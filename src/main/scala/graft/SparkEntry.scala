@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Operator coverage map (SURVEY.md §2 → query name):
+  *  - S1/S8 dim scans → s1_dim_scan; S2/P4/W3 pushdown scan →
+  *    s2_pushdown_scan; S5/S6/P1/P3 projection → s5_projection
+  *  - J1 → j1_left_join_default; J2/J3 → j3_multihop_dim_join;
+  *    J4/F18 → j4_conditional_lookup; J5/K4/J7/J8 → j5_upsert_merge;
+  *    J6/U2 → j6_anti_join; P5 → p5_semi_membership
+  *  - A1 → a1_grouped_metrics; A2/A3 → a2_minmax; A4 → a4_distinct
+  *  - W1 → w1_keeplast_dedup; W2 → w2_window_dedup; W4 → w4_topk;
+  *    U1 → u1_union_dedup; extra window → w5_running_window, a5_group_stats
+  *  - F1–F7/P6 → f_titlecode; F9/F13 → f9_safe_cast; F10/F21/F22 →
+  *    f10_tz_convert; F12 → f12_seconds_hms (custom codegen Expression);
+  *    F11/F14–F17 → f15_derived_rates; F19/F20 → f19_sanitize_allstring
+  *  - §2.9 streaming semantics (batch-deterministic form) → e1_window_agg,
+  |    e2_sessionize; nested JSON flatten → e3_json_flatten
+  *  - K1–K8 sinks → graft.sinks.Warehouse (+ pipeline tests)
+  *  - North-star: dedup d1–d5, text t1–t4, vectors v1–v3, multimodal m1
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  val allQueries: Seq[Q] =
+    Relational.all ++ Scalars.all ++ TextQueries.all ++ VecQueries.all ++
+      EventQueries.all
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. One epoch of
+    * the reference pipeline re-shaped onto the star schema: pushdown scan →
+    * broadcast dim joins → derived metrics → keep-last dedup → grouped
+    * rollup. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val n = Tables.nation(spark, d)
+    val latest = ops.Dedup.keepFirstBy(li, Seq("l_orderkey"),
+      Seq(col("l_linenumber").desc))
+    latest.join(o, latest("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy(coalesce(n("n_name"), lit("unknown")).as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

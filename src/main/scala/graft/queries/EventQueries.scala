@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream operators (SURVEY.md §2.9) in their deterministic batch
+  * form — the same transforms run under Structured Streaming in
+  * graft.streaming.EventStream (watermark + windowed agg + stateful
+  * sessionization); the batch versions here are the oracle-checkable
+  * semantics.
+  */
+object EventQueries {
+
+  /** E1 — tumbling event-time window aggregate (1h), the
+    * withWatermark+window shape. */
+  val e1WindowAgg = q("e1_window_agg",
+    s"""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       ${rnd("sum(value)", 2)} AS total_value,
+      |       ${rnd("avg(value)", 4)} AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"),
+        round(avg("value"), 4).as("avg_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"), col("avg_value"))
+  }
+
+  /** E2 — gap-based sessionization (30 min): the
+    * flatMapGroupsWithState-shape computed deterministically with window
+    * functions (integer microsecond arithmetic — engine-portable). */
+  val e2Sessionize = q("e2_sessionize",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus,
+      |         lag(epoch_us(ts::TIMESTAMP)) OVER (
+      |           PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tus,
+      |         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_start
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |         sum(is_start) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       min(event_id) AS first_event_id
+      |FROM sess GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+    val ordered = Window.partitionBy("user_id").orderBy(col("tus").asc, col("event_id").asc)
+    val marked = ev
+      .withColumn("prev", lag("tus", 1).over(ordered))
+      .withColumn("is_start",
+        when(col("prev").isNull || col("tus") - col("prev") > 1800000000L, 1).otherwise(0))
+    val sess = marked.withColumn("session_id",
+      sum("is_start").over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), min("event_id").as("first_event_id"))
+      .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
+        col("n_events"), col("first_event_id"))
+  }
+
+  /** E3 — nested-JSON flatten (API-response shape, dataingestion1.py:83-92):
+    * extract + cast + derive. */
+  val e3JsonFlatten = q("e3_json_flatten",
+    s"""SELECT event_id,
+      |       CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+      |       ${rnd("CAST(json_extract_string(props, '$.k') AS BIGINT) * value", 4)} AS k_weighted
+      |FROM events""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    Tables.events(s, d).select(col("event_id"), k.as("k"),
+      round(k * col("value"), 4).as("k_weighted"))
+  }
+
+  /** M1 — multimodal/binary column plumbing: text → binary payload with
+    * typed metadata (byte length + content hash) — the schema/partitioning
+    * half of the image/audio path; decode itself is the stubbed part
+    * (graft.multimodal.BinaryOps). */
+  val m1BinaryMeta = q("m1_binary_meta",
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       md5(text) AS content_md5,
+      |       CAST(length(text) AS BIGINT) AS n_chars_check
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
+      md5(col("text")).as("content_md5"),
+      length(col("text")).cast("bigint").as("n_chars_check"))
+  }
+
+  val all: Seq[Q] = Seq(e1WindowAgg, e2Sessionize, e3JsonFlatten, m1BinaryMeta)
+}

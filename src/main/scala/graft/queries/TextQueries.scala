@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.text.{NearDup, TextAnalysis}
+
+/** Training-data text operators over `documents`: dedup family
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard), language ID, quality
+  * scoring, token counting, fingerprinting. All hash primitives are
+  * md5-based so the DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object TextQueries {
+
+  /** Shared DuckDB token/shingle CTE prelude. */
+  private val tokCte =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |              ELSE list_transform(generate_series(1, len(t) - 2),
+      |                                  i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+      |  FROM tok)""".stripMargin
+
+  /** D1 — exact dedup: hash-groupBy on normalized content, keep min id
+    * (the 100 TB path: one shuffle on a 128-bit key). */
+  val d1Exact = q("d1_exact_dedup",
+    """SELECT md5(array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                       x -> x <> ''), ' ')) AS content_hash,
+      |       CAST(count(*) AS BIGINT) AS n_copies,
+      |       min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(TextAnalysis.normalizedHash(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+  }
+
+  /** D2 — MinHash signatures (k=8 over 3-token shingles): min of md5 per
+    * seed; signatures computed scan-side, zero shuffle. */
+  val d2Minhash = q("d2_minhash_signature",
+    tokCte + "\n" +
+    (0 until 8).map(i =>
+      s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS sig$i")
+      .mkString("SELECT doc_id,\n", ",\n", "\nFROM sh")) { (s, d) =>
+    NearDup.withMinhashSignature(
+      Tables.documents(s, d).select("doc_id", "text"), col("text"), n = 3, k = 8)
+      .select("doc_id", (0 until 8).map(i => s"sig$i"): _*)
+  }
+
+  /** D3 — LSH candidate pairs: band = one signature row (8 bands × 1 row),
+    * pairs agreeing on ≥1 band with collision count. The banding groupBy
+    * replaces the O(n²) cross join — the at-scale design. */
+  val d3LshPairs = q("d3_lsh_candidate_pairs",
+    tokCte + """,
+      |sigs AS (
+      |  SELECT doc_id, u.band,
+      |         md5(list_min(list_transform(shingles, s -> md5(u.band || ':' || s)))) AS h
+      |  FROM sh CROSS JOIN range(0, 8) u(band))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_bands
+      |FROM sigs a JOIN sigs b ON a.band = b.band AND a.h = b.h
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    NearDup.lshCandidates(Tables.documents(s, d), "doc_id", col("text"),
+      n = 3, k = 8, bands = 8)
+  }
+
+  /** D4 — 16-bit SimHash over the token multiset (hex-digit-MSB votes). */
+  val d4Simhash = q("d4_simhash",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                    x -> x <> '')) AS tk
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+    (0 until 16).map(b =>
+      s"         sum(CASE WHEN substr(md5(tk), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n") +
+    """
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id, CAST(""".stripMargin +
+    (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") +
+    " AS BIGINT) AS simhash\nFROM bits") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tk"))
+    NearDup.simhash16(toks, "doc_id", "tk")
+  }
+
+  /** D5 — exact n-gram Jaccard verification on the LSH candidates:
+    * |A∩B| / |A∪B| over distinct 3-shingles. At 100 TB only the candidate
+    * fraction pays the join. */
+  val d5Jaccard = q("d5_ngram_jaccard",
+    tokCte + s""",
+      |sigs AS (
+      |  SELECT doc_id, u.band,
+      |         md5(list_min(list_transform(shingles, s -> md5(u.band || ':' || s)))) AS h
+      |  FROM sh CROSS JOIN range(0, 8) u(band)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.h = b.h
+      |  WHERE a.doc_id < b.doc_id),
+      |dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dsh GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      |  FROM dsh x JOIN dsh y ON x.s = y.s WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.id_a, c.id_b,
+      |       ${rnd("CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))", 4)} AS jaccard
+      |FROM cand c
+      |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+      |JOIN sizes sa ON c.id_a = sa.doc_id
+      |JOIN sizes sb ON c.id_b = sb.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val cands = NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
+    NearDup.jaccardOnPairs(docs, cands, "doc_id", col("text"), 3)
+  }
+
+  // language marker vocabularies (disjoint subsets of the corpus vocab)
+  private[queries] val markers: Map[String, Seq[String]] = Map(
+    "sqlish" -> Seq("query", "join", "table", "agg", "group"),
+    "streamish" -> Seq("stream", "batch", "window", "event"),
+    "storish" -> Seq("row", "column", "scan", "hash", "sort"),
+    "sizish" -> Seq("big", "small", "fast", "slow"))
+
+  private def markerSql(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ",", ")")
+
+  /** T1 — language ID: marker-vocabulary hit counts, argmax with a fixed
+    * priority tiebreak (n-gram-profile method at unigram granularity). */
+  val t1LangId = q("t1_langid",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |                             x -> x <> '') AS t
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |         len(list_filter(t, x -> x IN ${markerSql(markers("sizish"))})) AS s_sizish,
+       |         len(list_filter(t, x -> x IN ${markerSql(markers("sqlish"))})) AS s_sqlish,
+       |         len(list_filter(t, x -> x IN ${markerSql(markers("storish"))})) AS s_storish,
+       |         len(list_filter(t, x -> x IN ${markerSql(markers("streamish"))})) AS s_streamish
+       |  FROM tok)
+       |SELECT doc_id,
+       |       CASE WHEN s_sizish > 0 AND s_sizish >= s_sqlish AND s_sizish >= s_storish
+       |                 AND s_sizish >= s_streamish THEN 'sizish'
+       |            WHEN s_sqlish > 0 AND s_sqlish >= s_storish
+       |                 AND s_sqlish >= s_streamish THEN 'sqlish'
+       |            WHEN s_storish > 0 AND s_storish >= s_streamish THEN 'storish'
+       |            WHEN s_streamish > 0 THEN 'streamish'
+       |            ELSE 'und' END AS pred_lang
+       |FROM scored""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.langId(col("text"), markers).as("pred_lang"))
+  }
+
+  /** T2 — quality scoring: length/richness/stopword-rate composite. */
+  private val distRatioSql =
+    "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END"
+  private val stopRatioSql =
+    "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> x IN ('a','the'))) AS DOUBLE) / len(t) END"
+  val t2Quality = q("t2_quality_score",
+    s"""WITH tok AS (
+      |  SELECT doc_id, n_chars,
+      |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(t) AS INT) AS n_tokens,
+      |       ${rnd(distRatioSql, 4)} AS distinct_ratio,
+      |       ${rnd(stopRatioSql, 4)} AS stopword_ratio,
+      |       ${rnd(s"least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 + ($distRatioSql) * 0.4 + (1.0 - abs(($stopRatioSql) - 0.1)) * 0.2", 4)} AS quality
+      |FROM tok""".stripMargin) { (s, d) =>
+    val stop = Seq("a", "the")
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      round(TextAnalysis.distinctRatio(col("text")), 4).as("distinct_ratio"),
+      round(TextAnalysis.stopwordRatio(col("text"), stop), 4).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars"), stop).as("quality"))
+  }
+
+  /** T3 — token counting: whitespace + BPE-ish regex tokens + byte check. */
+  val t3TokenCount = q("t3_token_count",
+    """SELECT doc_id,
+      |       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                            x -> x <> '')) AS INT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS regex_tokens,
+      |       CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+      TextAnalysis.regexTokenCount(col("text")).as("regex_tokens"),
+      length(col("text")).cast("bigint").as("n_chars_actual"))
+  }
+
+  /** T4 — fingerprints: order-insensitive bag hash + normalized hash. */
+  val t4Fingerprint = q("t4_fingerprint",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      |                             x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS bag_fingerprint,
+      |       md5(array_to_string(t, ' ')) AS content_hash
+      |FROM tok""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("bag_fingerprint"),
+      TextAnalysis.normalizedHash(col("text")).as("content_hash"))
+  }
+
+  val all: Seq[Q] = Seq(d1Exact, d2Minhash, d3LshPairs, d4Simhash, d5Jaccard,
+    t1LangId, t2Quality, t3TokenCount, t4Fingerprint)
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.vec.Similarity
+
+/** Similarity search over the `embeddings` table (array<float>, 64 dims).
+  * Scores are computed in double and rounded to 3dp BEFORE ranking so the
+  * (engine-dependent) FP summation order cannot change the result set.
+  */
+object VecQueries {
+
+  /** Shared DuckDB prelude: one row per (vec_id, dim, double value). */
+  private val vecCte =
+    """WITH v AS (
+      |  SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      |norms AS (
+      |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1)""".stripMargin
+
+  /** V1 — brute-force exact cosine top-k (baseline): queries = vec_id<10,
+    * k=5. At scale this is the broadcast-queries × corpus scan pattern. */
+  val v1BruteTopK = q("v1_cosine_topk",
+    vecCte + s"""
+      |, scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ${rnd("sum(q.x * c.x) / (nq.nrm * nc.nrm)", 3)} AS cos
+      |  FROM v q JOIN v c ON q.i = c.i AND q.vec_id <> c.vec_id
+      |  JOIN norms nq ON nq.vec_id = q.vec_id
+      |  JOIN norms nc ON nc.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10
+      |  GROUP BY 1, 2, nq.nrm, nc.nrm)
+      |SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  /** V2 — label-partitioned exact top-k: the IVF pattern (search only the
+    * query's coarse cell — here the given label plays the centroid-cell
+    * role). One shuffle on the cell key instead of a cross join. */
+  val v2IvfTopK = q("v2_ivf_label_topk",
+    vecCte + s"""
+      |, lab AS (SELECT vec_id, label FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         ${rnd("sum(q.x * c.x) / (nq.nrm * nc.nrm)", 3)} AS cos
+      |  FROM v q
+      |  JOIN lab lq ON lq.vec_id = q.vec_id
+      |  JOIN lab lc ON lc.label = lq.label AND lc.vec_id <> q.vec_id
+      |  JOIN v c ON c.vec_id = lc.vec_id AND q.i = c.i
+      |  JOIN norms nq ON nq.vec_id = q.vec_id
+      |  JOIN norms nc ON nc.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10
+      |  GROUP BY 1, 2, nq.nrm, nc.nrm)
+      |SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("label"),
+      Similarity.asDouble(col("embedding")).as("cv"))
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+    val scored = qs.join(c, Seq("label"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 3))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rn")
+  }
+
+  /** V3 — hyperplane-LSH bucketed ANN (scale path; md5-derived
+    * deterministic planes). No oracle: validated in ScalaTest against the
+    * brute-force baseline (recall ≥ threshold), rows-only check here. */
+  val v3LshAnn = qNoOracle("v3_lsh_ann") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dims = 64, planes = 4)
+  }
+
+  val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn)
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into Spark's `private[sql]` Expression↔Column
+  * converters (Spark 4 moved them to sql.classic.ExpressionUtils). Lives
+  * in the org.apache.spark.sql package solely for access; no Spark
+  * internals are modified.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
