@@ -81,7 +81,7 @@ object VecQueries {
   val v3LshAnn = qNoOracle("v3_lsh_ann") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5, dims = 64, planes = 4)
+      "vec_id", "embedding", k = 5, dims = 64, planes = 3, tables = 4)
   }
 
   val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn)

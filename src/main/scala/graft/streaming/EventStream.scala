@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming form of the reference's scheduled-batch semantics
+  * (SURVEY.md §2.9): the reference's cron-driven epochs + lagged fetch
+  * window + keep-last staging merge ARE streaming concepts — trigger,
+  * watermark/allowed-lateness, keyed upsert state.
+  *
+  * Batch-equivalent semantics of these transforms are oracle-checked via
+  * e1_window_agg / e2_sessionize / w1_keeplast_dedup; here the same logic
+  * runs under the streaming engine (memory sink tests drive them with
+  * processAllAvailable).
+  */
+object EventStream {
+
+  /** E1 streaming — tumbling 1h event-time aggregate with a 4-day
+    * watermark (the reference's 3–4 day analytics settling lag,
+    * dataingestion1.py:118-121). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "4 days")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** W1 streaming — keyed keep-last dedup state: the staging sheet's
+    * merge-upsert as dropDuplicatesWithinWatermark on the key. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "4 days")
+      .dropDuplicatesWithinWatermark(Seq("user_id"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
+  case class SessionOut(user_id: Long, session_events: Long, last_micros: Long)
+
+  /** E2 streaming — gap-based sessionization via flatMapGroupsWithState:
+    * emits a session row whenever a 30-min gap closes it. The stateful
+    * analog of the batch window-function version (e2_sessionize). */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionEvent], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[List[SessionEvent]]) =>
+          val prior = state.getOption.getOrElse(Nil)
+          val all = (prior ++ rows.toList).sortBy(e => (e.tsMicros, e.event_id))
+          // split on gaps; keep the trailing (still-open) session in state
+          val sessions = all.foldLeft(List.empty[List[SessionEvent]]) {
+            case (acc, e) => acc match {
+              case cur :: rest if e.tsMicros - cur.head.tsMicros <= gapMicros =>
+                (e :: cur) :: rest
+              case _ => List(e) :: acc
+            }
+          }
+          sessions match {
+            case open :: closed =>
+              state.update(open.reverse)
+              closed.reverseIterator.map(s =>
+                SessionOut(user, s.size.toLong, s.head.tsMicros))
+            case Nil => Iterator.empty
+          }
+      }
+  }
+
+  /** §3.3 drain — the staging→warehouse epoch as a foreachBatch sink:
+    * checkpointed offsets give exactly-once per epoch; the idempotent
+    * re-dedup (W2) is kept anyway for reference parity. */
+  def drainSink(stream: DataFrame, warehouseDir: String, checkpointDir: String,
+      key: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        val spark = batch.sparkSession
+        graft.sinks.Warehouse.append(
+          batch.withColumn("load_seq", lit(epochId)), warehouseDir)
+        graft.sinks.Warehouse.dedup(spark, warehouseDir, key, "load_seq")
+      }
+      .start()
+}

@@ -49,21 +49,22 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
-  /** Deterministic pseudorandom hyperplane weight for (plane, dim):
-    * hex digit of md5("plane:<p>:<block>") minus 7.5 — zero-mean, exactly
-    * representable in double, reproducible in any engine with md5. */
-  def planeWeight(p: Int, j: Int): Double = {
+  /** Deterministic pseudorandom hyperplane weight for (table, plane, dim):
+    * hex digit of md5("plane:<t>:<p>:<block>") minus 7.5 — zero-mean,
+    * exactly representable in double, reproducible in any engine with md5. */
+  def planeWeight(t: Int, p: Int, j: Int): Double = {
     val block = j / 32
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"plane:$p:$block".getBytes("UTF-8"))
+      .digest(s"plane:$t:$p:$block".getBytes("UTF-8"))
     val hex = digest.map("%02x".format(_)).mkString
     Integer.parseInt(hex.charAt(j % 32).toString, 16) - 7.5
   }
 
-  /** Sign-bit signature over `planes` hyperplanes → LongType bucket id. */
-  def lshBucket(vec: Column, dims: Int, planes: Int): Column = {
+  /** Sign-bit signature over `planes` hyperplanes → LongType bucket id
+    * for one hash table. */
+  def lshBucket(vec: Column, dims: Int, planes: Int, table: Int): Column = {
     (0 until planes).map { p =>
-      val ws = (0 until dims).map(planeWeight(p, _))
+      val ws = (0 until dims).map(planeWeight(table, p, _))
       val proj = aggregate(
         zip_with(vec, lit(ws.toArray), (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
@@ -71,18 +72,29 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** ANN via hyperplane-LSH buckets: exact cosine, but only within the
-    * query's bucket — the 100 TB-scale path (bucket groupBy, no cross
-    * join). Recall tunes with `planes` (fewer planes → bigger buckets). */
+  /** One (table, bucket) struct per hash table for a vector. */
+  private def lshBuckets(vec: Column, dims: Int, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, dims, planes, t).as("bucket"))): _*)
+
+  /** ANN via multi-table hyperplane LSH: candidates = union of the
+    * query's buckets across `tables` hash tables, then exact cosine
+    * re-rank. The 100 TB-scale path — a groupBy-shaped join on
+    * (table, bucket) instead of a cross join; recall tunes with
+    * planes (bucket size) × tables (independent chances). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, dims: Int, planes: Int): DataFrame = {
-    val c = corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), dims, planes))
-    val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), dims, planes))
-    val scored = q.join(c, Seq("bucket"))
+      k: Int, dims: Int, planes: Int, tables: Int = 4): DataFrame = {
+    def explodeBuckets(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(id).as(idAs), asDouble(col(vec)).as(vecAs))
+        .withColumn("tb", explode(lshBuckets(col(vecAs), dims, planes, tables)))
+        .select(col(idAs), col(vecAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = explodeBuckets(corpus, "neighbor_id", "cv")
+    val q = explodeBuckets(queries, "query_id", "qv")
+    val cands = q.join(c, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 3))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.withColumn("cos", round(cosine(col("qv"), col("cv")), 3))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

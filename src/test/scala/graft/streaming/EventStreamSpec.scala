@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming forms driven through the real streaming engine via
+  * MemoryStream + processAllAvailable. */
+class EventStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed agg under watermark matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(df).writeStream
+      .outputMode("append").format("memory").queryName("win_out").start()
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 5.0),
+      // advance watermark far enough to close the 10:00 and 11:00 windows
+      (ts("2024-01-09 00:00:00"), "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(out.contains(("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("stateful sessionization emits closed sessions with counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.sessionize(input.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    val base = 1700000000000000L
+    input.addData(
+      EventStream.SessionEvent(1L, 1L, base),
+      EventStream.SessionEvent(1L, 2L, base + 60L * 1000000),          // same session
+      EventStream.SessionEvent(1L, 3L, base + 3600L * 1000000),        // new session
+      EventStream.SessionEvent(2L, 4L, base))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").as[EventStream.SessionOut].collect()
+    // user 1's first session (2 events) closed by the 1h-later event
+    assert(out.exists(s => s.user_id == 1L && s.session_events == 2L))
+  }
+
+  test("foreachBatch drain writes warehouse exactly-once per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.drainSink(input.toDF().toDF("id", "payload"),
+      s"$root/wh", s"$root/ckpt", "id")
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((2L, "b2"), (3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val wh = spark.read.parquet(s"$root/wh")
+    assert(wh.count() == 3) // deduped on id, keep-latest-epoch
+    val v2 = wh.where(col("id") === 2).select("payload").head().getString(0)
+    assert(v2 == "b2")
+  }
+}
