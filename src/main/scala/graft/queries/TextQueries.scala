@@ -45,8 +45,7 @@ object TextQueries {
       s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS sig$i")
       .mkString("SELECT doc_id,\n", ",\n", "\nFROM sh")) { (s, d) =>
     NearDup.withMinhashSignature(
-      Tables.documents(s, d).select("doc_id", "text"), col("text"), n = 3, k = 8)
-      .select("doc_id", (0 until 8).map(i => s"sig$i"): _*)
+      Tables.documents(s, d), "doc_id", col("text"), n = 3, k = 8)
   }
 
   /** D3 — LSH candidate pairs: band = one signature row (8 bands × 1 row),
@@ -101,18 +100,12 @@ object TextQueries {
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.h = b.h
       |  WHERE a.doc_id < b.doc_id),
-      |dsh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
-      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dsh GROUP BY 1),
-      |inter AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-      |  FROM dsh x JOIN dsh y ON x.s = y.s WHERE x.doc_id < y.doc_id
-      |  GROUP BY 1, 2)
+      |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh)
       |SELECT c.id_a, c.id_b,
-      |       ${rnd("CAST(coalesce(i.inter, 0) AS DOUBLE) / (sa.n_sh + sb.n_sh - coalesce(i.inter, 0))", 4)} AS jaccard
+      |       ${rnd("CAST(len(list_distinct(list_intersect(a.shset, b.shset))) AS DOUBLE) / (len(a.shset) + len(b.shset) - len(list_distinct(list_intersect(a.shset, b.shset))))", 4)} AS jaccard
       |FROM cand c
-      |LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
-      |JOIN sizes sa ON c.id_a = sa.doc_id
-      |JOIN sizes sb ON c.id_b = sb.doc_id""".stripMargin) { (s, d) =>
+      |JOIN sets a ON c.id_a = a.doc_id
+      |JOIN sets b ON c.id_b = b.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select("doc_id", "text")
     val cands = NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
     NearDup.jaccardOnPairs(docs, cands, "doc_id", col("text"), 3)

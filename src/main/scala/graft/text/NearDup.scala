@@ -32,12 +32,25 @@ object NearDup {
   def minhash(shinglesCol: Column, seed: Int): Column =
     array_min(transform(shinglesCol, s => md5(concat(lit(seed.toString), lit(":"), s))))
 
-  /** k-column MinHash signature added as columns sig0..sig{k-1}. */
-  def withMinhashSignature(df: DataFrame, text: Column, n: Int, k: Int): DataFrame = {
-    val sh = shingles(text, n)
-    (0 until k).foldLeft(df.withColumn("__sh", sh)) { (d, i) =>
-      d.withColumn(s"sig$i", minhash(col("__sh"), i))
-    }.drop("__sh")
+  /** k-column MinHash signature (sig0..sig{k-1}) per `id`.
+    *
+    * Shape matters at scale: explode shingles ONCE, then groupBy(id) with
+    * k partial-aggregable `min`s — one shuffle, and each shingle string is
+    * materialized a single time. (The naive per-row
+    * array_min(transform(...)) form re-inlines the shingle-building
+    * expression into every signature column — 8× the work — because
+    * Catalyst's CollapseProject duplicates the sub-expression.) */
+  def withMinhashSignature(df: DataFrame, id: String, text: Column, n: Int,
+      k: Int): DataFrame = {
+    // repartition by id BEFORE the expansion: a small input file arrives
+    // as one partition, which would serialize the md5-heavy explode; the
+    // groupBy below reuses this hash partitioning (no second shuffle).
+    val exploded = df.select(col(id), text.as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id), explode(shingles(col("__text"), n)).as("__shingle"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__shingle")))).as(s"sig$i"))
+    exploded.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band hashes: group the k signature columns into `bands` bands of
@@ -53,7 +66,7 @@ object NearDup {
     * with the number of colliding bands (a cheap similarity proxy). */
   def lshCandidates(df: DataFrame, id: String, text: Column,
       n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val sigs = withMinhashSignature(df.select(col(id), text.as("__t")), col("__t"), n, k)
+    val sigs = withMinhashSignature(df, id, text, n, k)
     val banded = sigs.select(col(id) +: bandHashes(k, bands): _*)
     val long = banded.select(col(id), explode(array(
       (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("h"))): _*
@@ -67,22 +80,23 @@ object NearDup {
   }
 
   /** Exact n-gram Jaccard for given candidate pairs — |A∩B| / |A∪B| over
-    * DISTINCT shingles. `docs` must carry (id, text). */
+    * DISTINCT shingles. `docs` must carry (id, text).
+    *
+    * Scale shape: join the PAIRS to per-doc shingle sets and intersect
+    * arrays per pair — work is O(candidates × shingles-per-doc), never the
+    * quadratic co-shingle self-join (a frequent shingle would otherwise
+    * fan out to |bucket|² rows). */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, id: String,
       text: Column, n: Int): DataFrame = {
-    val sh = docs.select(col(id), explode(array_distinct(shingles(text, n))).as("sh"))
-    val sizes = sh.groupBy(id).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"), col("x.sh") === col("y.sh"))
-      .where(col(s"x.$id") < col(s"y.$id"))
-      .groupBy(col(s"x.$id").as("id_a"), col(s"y.$id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val sets = docs.select(col(id), text.as("__text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(id))
+      .select(col(id), array_distinct(shingles(col("__text"), n)).as("shset"))
     pairs.select(col("id_a"), col("id_b"))
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed(id, "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(id, "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .join(sets.select(col(id).as("id_a"), col("shset").as("sa")), Seq("id_a"))
+      .join(sets.select(col(id).as("id_b"), col("shset").as("sb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("inter")), 4))
       .select("id_a", "id_b", "jaccard")
   }
 

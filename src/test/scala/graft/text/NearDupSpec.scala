@@ -25,7 +25,7 @@ class NearDupSpec extends SparkSuite {
   }
 
   test("minhash signatures: identical docs share all, near-dups most") {
-    val sigs = NearDup.withMinhashSignature(docs, col("text"), 3, 8)
+    val sigs = NearDup.withMinhashSignature(docs, "doc_id", col("text"), 3, 8)
       .collect().map(r => r.getLong(0) ->
         (0 until 8).map(i => r.getString(r.fieldIndex(s"sig$i")))).toMap
     assert(sigs(1L) == sigs(4L)) // exact dup: identical signature
