@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+import org.apache.spark.sql.types.{LongType, StringType}
+import graft.functions.{SecondsToHms, TitleMainCode}
+
+/** SparkSessionExtensions entry point: makes the engine's custom Catalyst
+  * expressions callable from SQL.
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   SELECT seconds_to_hms(avg_view_duration_s), title_main_code(title) …
+  *
+  * For an already-running session use GraftExtensions.register(spark).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects exactly 1 argument")
+    args.head
+  }
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("seconds_to_hms",
+      new ExpressionInfo(classOf[SecondsToHms].getName, "seconds_to_hms"),
+      args => SecondsToHms(Cast(one(args, "seconds_to_hms"), LongType))),
+    ("title_main_code",
+      new ExpressionInfo(classOf[TitleMainCode].getName, "title_main_code"),
+      args => TitleMainCode(Cast(one(args, "title_main_code"), StringType))))
+
+  /** Register on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

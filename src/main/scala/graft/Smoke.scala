@@ -17,6 +17,19 @@ object Smoke {
     println(s"ENTRY_ROWS=${df.count()}")
     df.show(10, truncate = false)
     println(s"QUERIES=${SparkEntry.queries.size} ORACLES=${SparkEntry.oracleSql.size}")
+
+    // DSv2 connector + SQL-registered custom expressions
+    GraftExtensions.register(spark)
+    val videos = spark.read.format("graft-videos")
+      .option("path", "src/test/resources/fixtures/videos_epoch1.json").load()
+    videos.createOrReplaceTempView("videos_api")
+    val enriched = spark.sql(
+      """SELECT video_id, title_main_code(video_title) AS main_code,
+        |       seconds_to_hms(CAST(ingest_seq * 40000 AS BIGINT)) AS dur
+        |FROM videos_api WHERE channel_id = 'UC002'""".stripMargin)
+    println("DSV2_PLAN_HAS_PUSHDOWN=" +
+      enriched.queryExecution.executedPlan.toString.contains("PushedFilters: [EqualTo(channel_id,UC002)"))
+    enriched.show(5, truncate = false)
     spark.stop()
   }
 }

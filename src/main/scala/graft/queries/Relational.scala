@@ -295,8 +295,28 @@ object Relational {
       round(sum("o_totalprice").over(w), 2).as("running_total"))
   }
 
+  /** W2 via the SQL surface — the one statement the reference delegates
+    * to a real engine (BigQuery, ingestdatainbigquery.py:84-96) runs
+    * natively through spark.sql over a temp view: latest order per
+    * customer, deterministic order key substituted for the reference's
+    * nondeterministic ORDER BY CURRENT_TIMESTAMP(). */
+  val sqlWindowDedup = q("sql_window_dedup",
+    """SELECT o_custkey, o_orderkey,
+      |       strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d') AS latest_date
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |       date_format(o_orderdate, 'yyyy-MM-dd') AS latest_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders_v)
+        |WHERE rn = 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(s1DimScan, s2Pushdown, s5Projection, j1LeftJoin,
     j3MultiHop, j4Conditional, j5Upsert, j6Anti, p5Semi, a1Grouped, a2MinMax,
     a4Distinct, a5Stats, w1KeepLast, w2WindowDedup, w4TopK, u1UnionDedup,
-    w5Running)
+    w5Running, sqlWindowDedup)
 }

@@ -151,5 +151,59 @@ object Scalars {
     Warehouse.allString(Warehouse.sanitizeColumns(dirty))
   }
 
-  val all: Seq[Q] = Seq(fTitleCode, f9SafeCast, f10Tz, f12Hms, f15Rates, f19Sanitize)
+  /** F13 — the reference's all-or-nothing row blanking: if ANY numeric
+    * input of a row fails to parse, ALL derived columns of that row go
+    * blank; empty string counts as 0, garbage is an error
+    * (int(x or 0) + ValueError handler, dataprocessing3.py:50-55,93-97). */
+  val f13RowBlanking = q("f13_row_blanking",
+    """WITH dirty AS (
+      |  SELECT event_id,
+      |         CASE event_id % 5 WHEN 0 THEN 'xx'
+      |              WHEN 1 THEN '' ELSE CAST(event_id % 100 AS VARCHAR) END AS g,
+      |         CASE event_id % 7 WHEN 0 THEN 'oops' ELSE '3' END AS l
+      |  FROM events),
+      |parsed AS (
+      |  SELECT event_id,
+      |         CASE WHEN g = '' THEN 0 ELSE try_cast(g AS BIGINT) END AS gi,
+      |         CASE WHEN l = '' THEN 0 ELSE try_cast(l AS BIGINT) END AS li
+      |  FROM dirty)
+      |SELECT event_id,
+      |       CASE WHEN gi IS NULL OR li IS NULL THEN ''
+      |            ELSE CAST(gi - li AS VARCHAR) END AS net,
+      |       CASE WHEN gi IS NULL OR li IS NULL THEN ''
+      |            ELSE CAST(gi + li AS VARCHAR) END AS total
+      |FROM parsed""".stripMargin) { (s, d) =>
+    val g = when(col("event_id") % 5 === 0, lit("xx"))
+      .when(col("event_id") % 5 === 1, lit(""))
+      .otherwise((col("event_id") % 100).cast("string"))
+    val l = when(col("event_id") % 7 === 0, lit("oops")).otherwise(lit("3"))
+    val gi = when(g === "", lit(0L)).otherwise(g.try_cast("bigint"))
+    val li = when(l === "", lit(0L)).otherwise(l.try_cast("bigint"))
+    val rowValid = gi.isNotNull && li.isNotNull
+    Tables.events(s, d).select(col("event_id"),
+      when(!rowValid, lit("")).otherwise((gi - li).cast("string")).as("net"),
+      when(!rowValid, lit("")).otherwise((gi + li).cast("string")).as("total"))
+  }
+
+  /** P2/S4 — drop rows that are null in every (payload) column
+    * (dropna(how=all), dataingestion2.py:30). Nulls are injected
+    * deterministically, then na.drop("all") over the payload columns. */
+  val p2DropAllNull = q("p2_drop_all_null",
+    """WITH sparse AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS a,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END AS b
+      |  FROM orders)
+      |SELECT o_orderkey, coalesce(a, '') AS a, coalesce(b, '') AS b
+      |FROM sparse WHERE a IS NOT NULL OR b IS NOT NULL""".stripMargin) { (s, d) =>
+    val sparse = Tables.orders(s, d).select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_orderstatus")).as("a"),
+      when(col("o_orderkey") % 2 === 0, lit(null)).otherwise(col("o_orderpriority")).as("b"))
+    sparse.na.drop("all", Seq("a", "b"))
+      .select(col("o_orderkey"), coalesce(col("a"), lit("")).as("a"),
+        coalesce(col("b"), lit("")).as("b"))
+  }
+
+  val all: Seq[Q] = Seq(fTitleCode, f9SafeCast, f10Tz, f12Hms, f13RowBlanking,
+    f15Rates, f19Sanitize, p2DropAllNull)
 }

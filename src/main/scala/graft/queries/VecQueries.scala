@@ -84,5 +84,34 @@ object VecQueries {
       "vec_id", "embedding", k = 5, dims = 64, planes = 3, tables = 4)
   }
 
-  val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn)
+  /** V4 — embedding-cosine near-duplicate detection: same-cell pairs
+    * above a similarity threshold (the dedup flavor of the ANN path —
+    * cell-local pairs, never a global cross join). */
+  val v4EmbeddingNearDup = q("v4_embedding_neardup",
+    vecCte + s"""
+      |, lab AS (SELECT vec_id, label FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         ${rnd("sum(a.x * b.x) / (na.nrm * nb.nrm)", 3)} AS cos
+      |  FROM v a
+      |  JOIN lab la ON la.vec_id = a.vec_id
+      |  JOIN lab lb ON lb.label = la.label AND lb.vec_id > a.vec_id
+      |  JOIN v b ON b.vec_id = lb.vec_id AND a.i = b.i
+      |  JOIN norms na ON na.vec_id = a.vec_id
+      |  JOIN norms nb ON nb.vec_id = b.vec_id
+      |  GROUP BY 1, 2, na.nrm, nb.nrm)
+      |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("id_a"), col("label"),
+      Similarity.asDouble(col("embedding")).as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("label"),
+      Similarity.asDouble(col("embedding")).as("vb"))
+    a.join(b, Seq("label"))
+      .where(col("id_b") > col("id_a"))
+      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 3))
+      .where(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+  }
+
+  val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn, v4EmbeddingNearDup)
 }

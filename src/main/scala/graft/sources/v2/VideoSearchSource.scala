@@ -1,0 +1,156 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+import scala.collection.mutable.ArrayBuffer
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.pipeline.Schemas
+
+/** DataSource V2 connector modeling the YouTube Search endpoint
+  * (ref: Python-pipeline/dataingestion1.py:61-101). The reference pushes
+  * its predicates into the API call (`publishedAfter/Before`,
+  * `channelId`), requests only the needed part (`part="snippet"`), sorts
+  * server-side (`order="date"`) and paginates 50/page — this connector
+  * expresses exactly those as Catalyst-visible contracts:
+  *
+  *  - SupportsPushDownFilters: channel_id equality + published_at range
+  *    become "API parameters" (applied source-side; Catalyst drops the
+  *    residual Filter node for them);
+  *  - SupportsPushDownRequiredColumns: column pruning = `part` selection;
+  *  - one InputPartition per result PAGE (50 rows) = the pagination loop,
+  *    giving scan parallelism a real API client would batch this way.
+  *
+  * Backing data is a JSON fixture (the hermetic stand-in for the HTTP
+  * call); a production impl swaps `VideoCatalog.load` for the API client
+  * and nothing else changes.
+  */
+class VideoSearchSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-videos"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.videoRaw
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft-videos requires .option(\"path\", <videos json>)")
+    new VideoTable(path)
+  }
+}
+
+final case class VideoRow(videoId: String, title: String, publishedAt: String,
+    channelId: String, ingestSeq: Long)
+
+object VideoCatalog {
+  /** Driver-side fixture load (the "HTTP call"). */
+  def load(path: String): Seq[VideoRow] = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    val out = ArrayBuffer.empty[VideoRow]
+    root.forEach { n =>
+      out += VideoRow(
+        n.path("video_id").asText(null),
+        n.path("video_title").asText(null),
+        n.path("published_at").asText(null),
+        n.path("channel_id").asText(null),
+        n.path("ingest_seq").asLong(0L))
+    }
+    out.toSeq
+  }
+}
+
+class VideoTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-videos($path)"
+  override def schema(): StructType = Schemas.videoRaw
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VideoScanBuilder(path)
+}
+
+class VideoScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Schemas.videoRaw
+
+  private def supported(f: Filter): Boolean = f match {
+    case EqualTo("channel_id", _: String) => true
+    case GreaterThan("published_at", _: String) => true
+    case GreaterThanOrEqual("published_at", _: String) => true
+    case LessThan("published_at", _: String) => true
+    case LessThanOrEqual("published_at", _: String) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    filters.filterNot(supported) // residual: Spark evaluates these itself
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new VideoScan(path, pushed, required)
+}
+
+class VideoScan(path: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  private val pageSize = 50 // maxResults=50, dataingestion1.py:78
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-videos PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.simpleString}"
+
+  private def keep(r: VideoRow): Boolean = pushed.forall {
+    case EqualTo("channel_id", v: String) => r.channelId == v
+    case GreaterThan("published_at", v: String) =>
+      r.publishedAt != null && r.publishedAt > v
+    case GreaterThanOrEqual("published_at", v: String) =>
+      r.publishedAt != null && r.publishedAt >= v
+    case LessThan("published_at", v: String) =>
+      r.publishedAt != null && r.publishedAt < v
+    case LessThanOrEqual("published_at", v: String) =>
+      r.publishedAt != null && r.publishedAt <= v
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // "API" does filtering + order:date server-side; one partition per page
+    val rows = VideoCatalog.load(path).filter(keep)
+      .sortBy(r => (Option(r.publishedAt).getOrElse(""), r.ingestSeq))
+    rows.grouped(pageSize).map(p => VideoPage(p.toArray): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VideoReaderFactory(required)
+}
+
+final case class VideoPage(rows: Array[VideoRow]) extends InputPartition
+
+class VideoReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[VideoPage]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private val getters: Array[VideoRow => Any] = required.fieldNames.map {
+        case "video_id" => (r: VideoRow) => UTF8String.fromString(r.videoId)
+        case "video_title" => (r: VideoRow) => UTF8String.fromString(r.title)
+        case "published_at" => (r: VideoRow) => UTF8String.fromString(r.publishedAt)
+        case "channel_id" => (r: VideoRow) => UTF8String.fromString(r.channelId)
+        case "ingest_seq" => (r: VideoRow) => r.ingestSeq
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      override def next(): Boolean = { i += 1; i < page.rows.length }
+      override def get(): InternalRow =
+        new GenericInternalRow(getters.map(_(page.rows(i))))
+      override def close(): Unit = ()
+    }
+  }
+}
