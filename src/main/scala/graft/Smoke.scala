@@ -30,6 +30,15 @@ object Smoke {
     println("DSV2_PLAN_HAS_PUSHDOWN=" +
       enriched.queryExecution.executedPlan.toString.contains("PushedFilters: [EqualTo(channel_id,UC002)"))
     enriched.show(5, truncate = false)
+
+    // typed MinHash Aggregator over real docs (incremental-signature path)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val sigs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), explode(text.NearDup.shingles(col("text"), 3)).as("sh"))
+      .as[(Long, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(new text.MinHashAgg(8).toColumn.name("sig"))
+    println(s"MINHASH_AGG_DOCS=${sigs.count()}")
     spark.stop()
   }
 }

@@ -20,6 +20,39 @@ class GraftExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("property: fused TitleMainCode ≡ composed Column chain on random strings") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    // strings over a vocabulary that hits every branch: separators,
+    // digits, lower/upper, token lengths around the {3,4,5} gate
+    val tokenGen = Gen.oneOf(
+      Gen.stringOfN(2, Gen.alphaNumChar), Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.stringOfN(4, Gen.alphaNumChar), Gen.stringOfN(5, Gen.alphaNumChar),
+      Gen.stringOfN(6, Gen.alphaNumChar), Gen.numStr.map(_.take(4)),
+      Gen.const(""), Gen.const("|"))
+    val titleGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    val titles = Gen.listOfN(300, titleGen).sample.getOrElse(Nil)
+    val df = titles.toDF("t")
+    val rows = df.select(
+      graft.ops.TitleCode.mainCode(col("t")).as("chain"),
+      TitleMainCode.titleMainCode(col("t")).as("fused")).collect()
+    rows.zip(titles).foreach { case (r, t) =>
+      assert(r.getString(0) == r.getString(1), s"divergence on '$t'")
+    }
+    // plus plain scalacheck over the pure function vs a reference impl
+    val prop = Prop.forAll(titleGen) { t =>
+      val norm = t.replace('|', ' ').split("\\s+").filter(_.nonEmpty)
+      val last = norm.lastOption.getOrElse("")
+      val expect =
+        if (last.length < 3 || last.length > 5) ""
+        else if (last.nonEmpty && last.forall(_.isDigit)) ""
+        else if (last.count(c => c >= 'a' && c <= 'z') > 1) ""
+        else last
+      TitleMainCode.compute(t) == expect
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(2000), prop).passed)
+  }
+
   test("fused TitleMainCode ≡ composed Column chain on a title corpus") {
     val titles = Seq("Morning News | ABC4", "Evening Talk | K6A", "Recap 2025",
       "chat with friends", "Drama Serial | QB7x", "Video | funny", "",
