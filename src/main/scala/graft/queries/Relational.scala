@@ -110,14 +110,15 @@ object Relational {
       |       o.o_orderstatus
       |FROM orders o LEFT JOIN (
       |  SELECT l_orderkey,
-      |         ${rnd("sum(l_extendedprice * (1 - l_discount))", 2)} AS computed_price,
+      |         ${rnd(rnd("sum(l_extendedprice * (1 - l_discount))", 4), 2)} AS computed_price,
       |         count(*) AS n_lines
       |  FROM lineitem GROUP BY l_orderkey) u ON o.o_orderkey = u.l_orderkey""".stripMargin) { (s, d) =>
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     val updates = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      // 4dp pre-round: see a1_grouped_metrics comment
+      .agg(round(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4), 2)
         .as("o_totalprice"),
         count(lit(1)).as("n_lines"))
     val merged = Merge.upsertColumns(base, updates, "o_orderkey")
@@ -163,8 +164,8 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
       |       ${rnd("sum(l_quantity)", 2)} AS sum_qty,
       |       ${rnd("sum(l_extendedprice)", 2)} AS sum_base_price,
-      |       ${rnd("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
-      |       ${rnd("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
+      |       ${rnd(rnd("sum(l_extendedprice * (1 - l_discount))", 4), 2)} AS sum_disc_price,
+      |       ${rnd(rnd("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 6), 2)} AS sum_charge,
       |       ${rnd("avg(l_quantity)", 4)} AS avg_qty,
       |       ${rnd("avg(l_extendedprice)", 4)} AS avg_price,
       |       ${rnd("avg(l_discount)", 4)} AS avg_disc,
@@ -175,8 +176,12 @@ object Relational {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        // pre-round at the products' terminating decimal precision (4dp /
+        // 6dp): engine-dependent FP summation order perturbs the sum by
+        // ~1e-9, and a true sum landing exactly on a .xx5 boundary would
+        // otherwise round differently per engine (seen at sf0.1).
+        round(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4), 2).as("sum_disc_price"),
+        round(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6), 2).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
@@ -315,8 +320,29 @@ object Relational {
         |WHERE rn = 1""".stripMargin)
   }
 
+  /** A6 — hierarchical rollup (beyond-reference: the dashboard the
+    * reference feeds would ask for exactly this subtotal structure).
+    * grouping_id distinguishes subtotal levels; keys coalesced to ''
+    * for engine-portable output. */
+  val a6Rollup = q("a6_rollup",
+    s"""SELECT coalesce(l_returnflag, '') AS returnflag,
+      |       coalesce(l_linestatus, '') AS linestatus,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      |       ${rnd("sum(l_quantity)", 2)} AS sum_qty,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+  }
+
   val all: Seq[Q] = Seq(s1DimScan, s2Pushdown, s5Projection, j1LeftJoin,
     j3MultiHop, j4Conditional, j5Upsert, j6Anti, p5Semi, a1Grouped, a2MinMax,
-    a4Distinct, a5Stats, w1KeepLast, w2WindowDedup, w4TopK, u1UnionDedup,
-    w5Running, sqlWindowDedup)
+    a4Distinct, a5Stats, a6Rollup, w1KeepLast, w2WindowDedup, w4TopK,
+    u1UnionDedup, w5Running, sqlWindowDedup)
 }
