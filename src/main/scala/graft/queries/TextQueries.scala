@@ -112,7 +112,7 @@ object TextQueries {
   }
 
   // language marker vocabularies (disjoint subsets of the corpus vocab)
-  private[queries] val markers: Map[String, Seq[String]] = Map(
+  val markers: Map[String, Seq[String]] = Map(
     "sqlish" -> Seq("query", "join", "table", "agg", "group"),
     "streamish" -> Seq("stream", "batch", "window", "event"),
     "storish" -> Seq("row", "column", "scan", "hash", "sort"),
