@@ -341,8 +341,47 @@ object Relational {
         col("gid"), col("sum_qty"), col("n"))
   }
 
+  /** U3 — intersect (set semantics; beyond-reference completeness). */
+  val u2Intersect = q("u2_intersect",
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    o.where(col("o_totalprice") > 300000).select("o_custkey")
+      .intersect(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+  }
+
+  /** A7 — full cube over two dimensions (all 4 subtotal levels). */
+  val a7Cube = q("a7_cube",
+    s"""SELECT coalesce(o_orderstatus, '') AS status,
+      |       coalesce(o_orderpriority, '') AS priority,
+      |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |       ${rnd("sum(o_totalprice)", 2)} AS total,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().as("gid"),
+        round(sum("o_totalprice"), 2).as("total"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("")).as("status"),
+        coalesce(col("o_orderpriority"), lit("")).as("priority"),
+        col("gid"), col("total"), col("n"))
+  }
+
+  /** A8 — approximate sketches (HLL distinct, approx quantiles): the
+    * 100 TB substitutes for exact countDistinct/median. Sketch internals
+    * are engine-specific ⇒ no cross-engine oracle; error bounds vs exact
+    * are asserted in ApproxSpec. */
+  val a8Approx = qNoOracle("a8_approx_sketches") { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_med"))
+  }
+
   val all: Seq[Q] = Seq(s1DimScan, s2Pushdown, s5Projection, j1LeftJoin,
     j3MultiHop, j4Conditional, j5Upsert, j6Anti, p5Semi, a1Grouped, a2MinMax,
-    a4Distinct, a5Stats, a6Rollup, w1KeepLast, w2WindowDedup, w4TopK,
-    u1UnionDedup, w5Running, sqlWindowDedup)
+    a4Distinct, a5Stats, a6Rollup, a7Cube, a8Approx, w1KeepLast,
+    w2WindowDedup, w4TopK, u1UnionDedup, u2Intersect, w5Running,
+    sqlWindowDedup)
 }

@@ -200,6 +200,23 @@ object TextQueries {
       TextAnalysis.normalizedHash(col("text")).as("content_hash"))
   }
 
+  /** T5 — deterministic hash-based sampling / train-test split: the
+    * reproducible-at-100 TB pattern (content-hash thresholding — stable
+    * across runs, engines, and cluster layouts, unlike RNG sampling).
+    * ~1/8 of docs land in 'test' (first md5 hex digit 0 or 1), ~25% in
+    * the sampled flag (first digit < '4'). */
+  val t5HashSample = q("t5_hash_sample",
+    """SELECT doc_id,
+      |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+      |            THEN 'test' ELSE 'train' END AS split,
+      |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS in_sample
+      |FROM documents""".stripMargin) { (s, d) =>
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Tables.documents(s, d).select(col("doc_id"),
+      when(h1.isin("0", "1"), lit("test")).otherwise(lit("train")).as("split"),
+      (h1 < "4").as("in_sample"))
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2Minhash, d3LshPairs, d4Simhash, d5Jaccard,
-    t1LangId, t2Quality, t3TokenCount, t4Fingerprint)
+    t1LangId, t2Quality, t3TokenCount, t4Fingerprint, t5HashSample)
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** a8_approx_sketches has no cross-engine oracle (sketch internals are
+  * engine-specific); its contract is an error bound vs the exact answers. */
+class ApproxSpec extends SparkSuite {
+
+  test("approx distinct and median stay within tolerance of exact") {
+    val d = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("a8_approx_sketches")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, d).groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("parts"), median(col("l_quantity")).as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (parts, med)) =>
+      val (ap, am) = approx(k)
+      assert(math.abs(ap - parts).toDouble / parts < 0.05, s"$k distinct: $ap vs $parts")
+      assert(math.abs(am - med) <= 1.0, s"$k median: $am vs $med")
+    }
+  }
+
+  test("hash split is deterministic and near the expected fractions") {
+    val d = "/root/testdata/sf0.01"
+    val q = SparkEntry.queries("t5_hash_sample")(spark, d)
+    val a = q.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = q.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a == b)
+    val testFrac = a.values.count(_ == "test").toDouble / a.size
+    assert(testFrac > 0.06 && testFrac < 0.20, s"test fraction $testFrac")
+  }
+}
