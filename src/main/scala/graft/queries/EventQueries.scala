@@ -95,5 +95,25 @@ object EventQueries {
       length(col("text")).cast("bigint").as("n_chars_check"))
   }
 
-  val all: Seq[Q] = Seq(e1WindowAgg, e2Sessionize, e3JsonFlatten, m1BinaryMeta)
+  /** E4 — SLIDING event-time window (1h window, 15min slide): every event
+    * lands in 4 overlapping windows. Oracle replicates Spark's
+    * epoch-aligned window assignment with explicit integer µs arithmetic
+    * (no engine-specific bucket-origin assumptions). */
+  val e4SlidingWindow = q("e4_sliding_window",
+    s"""SELECT strftime(make_timestamp((epoch_us(ts::TIMESTAMP) // 900000000 - i.i) * 900000000),
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       ${rnd("sum(value)", 2)} AS total_value
+      |FROM events CROSS JOIN range(0, 4) i(i)
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  val all: Seq[Q] = Seq(e1WindowAgg, e2Sessionize, e3JsonFlatten,
+    e4SlidingWindow, m1BinaryMeta)
 }

@@ -217,6 +217,73 @@ object TextQueries {
       (h1 < "4").as("in_sample"))
   }
 
+  /** C1 — the composed curation pipeline (training-data flagship):
+    * quality gate → exact dedup (keep min id per content hash) →
+    * near-dup removal (LSH candidates among survivors, exact Jaccard ≥
+    * 0.5, drop the higher id) → deterministic hash split. Every stage is
+    * the already-verified operator; this query proves they COMPOSE with
+    * oracle-exact semantics end-to-end. */
+  val c1Curation = q("c1_curation_pipeline",
+    s"""WITH tok AS (
+       |  SELECT doc_id, n_chars,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |              ELSE list_transform(generate_series(1, len(t) - 2),
+       |                                  i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+       |  FROM tok),
+       |quality AS (
+       |  SELECT doc_id,
+       |         ${rnd(s"least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 + ($distRatioSql) * 0.4 + (1.0 - abs(($stopRatioSql) - 0.1)) * 0.2", 4)} AS quality,
+       |         md5(array_to_string(t, ' ')) AS content_hash
+       |  FROM tok),
+       |kept1 AS (SELECT * FROM quality WHERE quality >= 0.55),
+       |kept2 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY content_hash
+       |                                      ORDER BY doc_id ASC) AS rn
+       |    FROM kept1) WHERE rn = 1),
+       |sigs AS (
+       |  SELECT doc_id, u.band,
+       |         md5(list_min(list_transform(shingles, s -> md5(u.band || ':' || s)))) AS h
+       |  FROM sh CROSS JOIN range(0, 8) u(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.h = b.h
+       |  WHERE a.doc_id < b.doc_id
+       |    AND a.doc_id IN (SELECT doc_id FROM kept2)
+       |    AND b.doc_id IN (SELECT doc_id FROM kept2)),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh),
+       |removed AS (
+       |  SELECT DISTINCT c.id_b AS doc_id
+       |  FROM cand c JOIN sets a ON c.id_a = a.doc_id JOIN sets b ON c.id_b = b.doc_id
+       |  WHERE ${rnd("CAST(len(list_distinct(list_intersect(a.shset, b.shset))) AS DOUBLE) / (len(a.shset) + len(b.shset) - len(list_distinct(list_intersect(a.shset, b.shset))))", 4)} >= 0.5)
+       |SELECT k.doc_id,
+       |       CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+       |            THEN 'test' ELSE 'train' END AS split
+       |FROM kept2 k WHERE k.doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val stop = Seq("a", "the")
+    val quality = docs.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), col("n_chars"), stop).as("quality"),
+      TextAnalysis.normalizedHash(col("text")).as("content_hash"))
+    val kept1 = quality.where(col("quality") >= 0.55)
+    val kept2 = graft.ops.Dedup.keepFirstBy(kept1, Seq("content_hash"),
+      Seq(col("doc_id").asc)).select("doc_id")
+    val cands = NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
+      .join(kept2.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(kept2.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+    val removed = NearDup.jaccardOnPairs(docs, cands, "doc_id", col("text"), 3)
+      .where(col("jaccard") >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    kept2.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"),
+          lit("test")).otherwise(lit("train")).as("split"))
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2Minhash, d3LshPairs, d4Simhash, d5Jaccard,
-    t1LangId, t2Quality, t3TokenCount, t4Fingerprint, t5HashSample)
+    t1LangId, t2Quality, t3TokenCount, t4Fingerprint, t5HashSample, c1Curation)
 }

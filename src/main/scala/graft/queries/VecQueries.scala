@@ -75,10 +75,43 @@ object VecQueries {
       .select("query_id", "neighbor_id", "cos", "rn")
   }
 
-  /** V3 — hyperplane-LSH bucketed ANN (scale path; md5-derived
-    * deterministic planes). No oracle: validated in ScalaTest against the
-    * brute-force baseline (recall ≥ threshold), rows-only check here. */
-  val v3LshAnn = qNoOracle("v3_lsh_ann") { (s, d) =>
+  /** V3 — multi-table hyperplane-LSH ANN (scale path). The md5-derived
+    * plane weights are engine-portable, so even the LSH bucketing
+    * reproduces in the oracle: weights via hex-digit arithmetic, sign
+    * projections, per-table buckets, candidate union, exact re-rank.
+    * Recall vs brute force is separately asserted in SimilaritySpec. */
+  val v3LshAnn = q("v3_lsh_ann",
+    vecCte + s"""
+      |, w AS (
+      |  SELECT t.t, p.p, j.j,
+      |         strpos('0123456789abcdef',
+      |                substr(md5('plane:' || t.t || ':' || p.p || ':' || ((j.j - 1) // 32)),
+      |                       CAST((j.j - 1) % 32 AS INT) + 1, 1)) - 1 - 7.5 AS wt
+      |  FROM range(0, 4) t(t) CROSS JOIN range(0, 3) p(p) CROSS JOIN range(1, 65) j(j)),
+      |proj AS (
+      |  SELECT v.vec_id, w.t, w.p, sum(v.x * w.wt) AS pr
+      |  FROM v JOIN w ON v.i = w.j GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |         CAST(sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |scored AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |         ${rnd("sum(qv.x * cv.x) / (nq.nrm * nc.nrm)", 3)} AS cos
+      |  FROM cand
+      |  JOIN v qv ON qv.vec_id = cand.query_id
+      |  JOIN v cv ON cv.vec_id = cand.neighbor_id AND qv.i = cv.i
+      |  JOIN norms nq ON nq.vec_id = cand.query_id
+      |  JOIN norms nc ON nc.vec_id = cand.neighbor_id
+      |  GROUP BY 1, 2, nq.nrm, nc.nrm)
+      |SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, dims = 64, planes = 3, tables = 4)
