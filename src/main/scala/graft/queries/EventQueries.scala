@@ -114,6 +114,33 @@ object EventQueries {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** E5 — as-of join: each click matched to the user's latest purchase
+    * at-or-before it. Spark-side: graft.ops.AsOfJoin (union + window
+    * carry-forward, linear cost). Oracle: DuckDB's NATIVE ASOF LEFT JOIN
+    * — an independent implementation of the same semantics. */
+  val e5AsOfJoin = q("e5_asof_join",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |  WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT event_id AS p_event_id, user_id, ts::TIMESTAMP AS ts, value AS p_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id,
+      |       p.p_event_id AS asof_p_event_id,
+      |       p.p_value AS asof_p_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"),
+        col("value").as("p_value"))
+    graft.ops.AsOfJoin.asOf(clicks, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"))
+      .select("event_id", "user_id", "asof_p_event_id", "asof_p_value")
+  }
+
   val all: Seq[Q] = Seq(e1WindowAgg, e2Sessionize, e3JsonFlatten,
-    e4SlidingWindow, m1BinaryMeta)
+    e4SlidingWindow, e5AsOfJoin, m1BinaryMeta)
 }

@@ -379,9 +379,31 @@ object Relational {
       percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_med"))
   }
 
+  /** W6 — the ranking/offset window family over one pass: rank,
+    * dense_rank, ntile, lag, lead with a total order. */
+  val w6Ranking = q("w6_ranking_family",
+    s"""SELECT o_custkey, o_orderkey,
+      |       CAST(rank() OVER w AS INT) AS rnk,
+      |       CAST(dense_rank() OVER w AS INT) AS drnk,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       lag(o_orderkey, 1) OVER w AS prev_order,
+      |       lead(o_orderkey, 1) OVER w AS next_order
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      lag("o_orderkey", 1).over(w).as("prev_order"),
+      lead("o_orderkey", 1).over(w).as("next_order"))
+  }
+
   val all: Seq[Q] = Seq(s1DimScan, s2Pushdown, s5Projection, j1LeftJoin,
     j3MultiHop, j4Conditional, j5Upsert, j6Anti, p5Semi, a1Grouped, a2MinMax,
     a4Distinct, a5Stats, a6Rollup, a7Cube, a8Approx, w1KeepLast,
-    w2WindowDedup, w4TopK, u1UnionDedup, u2Intersect, w5Running,
+    w2WindowDedup, w4TopK, u1UnionDedup, u2Intersect, w5Running, w6Ranking,
     sqlWindowDedup)
 }
