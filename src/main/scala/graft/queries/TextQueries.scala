@@ -284,6 +284,39 @@ object TextQueries {
           lit("test")).otherwise(lit("train")).as("split"))
   }
 
+  /** D6 — transitive dup clustering: connected components over the LSH
+    * candidate graph, cluster id = min doc id in the component. Oracle is
+    * an independent algorithm: a recursive-CTE reachability closure —
+    * both must land on the same unique fixpoint. */
+  val d6DupClusters = q("d6_dup_clusters",
+    (tokCte + """,
+      |sigs AS (
+      |  SELECT doc_id, u.band,
+      |         md5(list_min(list_transform(shingles, s -> md5(u.band || ':' || s)))) AS h
+      |  FROM sh CROSS JOIN range(0, 8) u(band)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.h = b.h
+      |  WHERE a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.dst AS doc_id, r.label
+      |  FROM reach r JOIN edges e ON e.src = r.doc_id)
+      |SELECT doc_id, min(label) AS cluster_id
+      |FROM reach GROUP BY doc_id""".stripMargin)
+      .replaceFirst("WITH ", "WITH RECURSIVE ")) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
+    graft.text.DupClusters.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(d1Exact, d2Minhash, d3LshPairs, d4Simhash, d5Jaccard,
-    t1LangId, t2Quality, t3TokenCount, t4Fingerprint, t5HashSample, c1Curation)
+    d6DupClusters, t1LangId, t2Quality, t3TokenCount, t4Fingerprint,
+    t5HashSample, c1Curation)
 }
