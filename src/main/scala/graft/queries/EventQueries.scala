@@ -141,6 +141,56 @@ object EventQueries {
       .select("event_id", "user_id", "asof_p_event_id", "asof_p_value")
   }
 
+  /** E6 — pivot: event counts per user wide by event type (explicit
+    * value list ⇒ deterministic schema; Spark .pivot ≡ CASE-aggregation). */
+  val e6Pivot = q("e6_pivot",
+    """SELECT user_id,
+      |       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+      |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+      |       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+      |       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+      |       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id") +: types.map(t => col(t).as(s"n_$t")): _*)
+  }
+
+  /** E7 — binned range join: pairs (error, click) of the same user with
+    * the click in the 10 minutes before the error. A naive inequality
+    * join plans as BroadcastNestedLoop (quadratic); binning by the range
+    * width turns it into an equi-join on (user, bin) ∪ (user, bin-1) +
+    * residual filter — the 100 TB interval-join shape. */
+  val e7RangeJoin = q("e7_range_join",
+    """SELECT e.event_id AS error_id, c.event_id AS click_id
+      |FROM (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS tus
+      |      FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS tus
+      |      FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      | AND c.tus >= e.tus - 600000000 AND c.tus < e.tus""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("tus").as("e_tus"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("tus").as("c_tus"))
+    // exact integer binning (div, not double /): each error probes its
+    // own bin and the previous one
+    val e2bins = errors.withColumn("bin",
+      explode(array(expr("e_tus div 600000000"), expr("e_tus div 600000000 - 1"))))
+    val cbinned = clicks.withColumn("bin", expr("c_tus div 600000000"))
+    e2bins.join(cbinned, Seq("user_id", "bin"))
+      .where(col("c_tus") >= col("e_tus") - 600000000L && col("c_tus") < col("e_tus"))
+      .select("error_id", "click_id")
+      .distinct()
+  }
+
   val all: Seq[Q] = Seq(e1WindowAgg, e2Sessionize, e3JsonFlatten,
-    e4SlidingWindow, e5AsOfJoin, m1BinaryMeta)
+    e4SlidingWindow, e5AsOfJoin, e6Pivot, e7RangeJoin, m1BinaryMeta)
 }
