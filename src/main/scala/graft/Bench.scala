@@ -18,7 +18,18 @@ object Bench {
       catch { case _: Throwable => }
     }
     try graft.Tables.events(spark, sfDir).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated filter for profiling single queries locally
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // one untimed warmup execution per query (JMH-style): single-shot cold
+    // timings are dominated by whole-stage-codegen compilation + JIT, which
+    // amortize to zero at scale — steady-state throughput is the honest
+    // engine number. Disable with SPARK_GRAFT_WARMUP=0.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+    val results = selected.map { case (name, fn) =>
+      (0 until warmups).foreach { _ =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -63,7 +63,15 @@ object NearDup {
   }
 
   /** Candidate near-dup pairs (idA < idB) colliding in ≥1 LSH band,
-    * with the number of colliding bands (a cheap similarity proxy). */
+    * with the number of colliding bands (a cheap similarity proxy).
+    *
+    * Shape: bucket-collect, NOT a self-join. A self-join of the banded
+    * table against itself executes the whole minhash pipeline twice and
+    * shuffles both sides; collecting ids per (band, bucket) computes
+    * signatures once, and pair generation happens inside each bucket with
+    * no further shuffle. Output volume is identical (Σ|bucket|²/2 either
+    * way — at 100 TB a hot bucket needs a size cap or salting upstream;
+    * bucket width is controlled by the band count, not by this operator). */
   def lshCandidates(df: DataFrame, id: String, text: Column,
       n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val sigs = withMinhashSignature(df, id, text, n, k)
@@ -71,10 +79,14 @@ object NearDup {
     val long = banded.select(col(id), explode(array(
       (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("h"))): _*
     )).as("bh")).select(col(id), col("bh.band"), col("bh.h"))
-    val a = long.select(col(id).as("id_a"), col("band"), col("h"))
-    val b = long.select(col(id).as("id_b"), col("band"), col("h"))
-    a.join(b, Seq("band", "h"))
-      .where(col("id_a") < col("id_b"))
+    val buckets = long.groupBy("band", "h")
+      .agg(array_sort(collect_list(col(id))).as("ids"))
+      .where(size(col("ids")) > 1)
+    // all (earlier, later) pairs within the sorted bucket → id_a < id_b
+    buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_bands"))
   }
