@@ -63,12 +63,15 @@ object VecQueries {
     val emb = Tables.embeddings(s, d)
     val c = emb.select(col("vec_id").as("neighbor_id"), col("label"),
       Similarity.asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
     val qs = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("label"),
         Similarity.asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
     val scored = qs.join(c, Seq("label"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 3))
+      .withColumn("cos", round(
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
@@ -137,11 +140,14 @@ object VecQueries {
     val emb = Tables.embeddings(s, d)
     val a = emb.select(col("vec_id").as("id_a"), col("label"),
       Similarity.asDouble(col("embedding")).as("va"))
+      .withColumn("na", Similarity.norm(col("va")))
     val b = emb.select(col("vec_id").as("id_b"), col("label"),
       Similarity.asDouble(col("embedding")).as("vb"))
+      .withColumn("nb", Similarity.norm(col("vb")))
     a.join(b, Seq("label"))
       .where(col("id_b") > col("id_a"))
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 3))
+      .withColumn("cos", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 3))
       .where(col("cos") >= 0.4)
       .select("id_a", "id_b", "cos")
   }

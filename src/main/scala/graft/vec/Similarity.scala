@@ -24,24 +24,32 @@ object Similarity {
   /** embedding cast to array<double> for stable arithmetic. */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product — a native codegen Expression
+    * (graft.functions.VecDot): a primitive double loop inside
+    * whole-stage codegen, vs the higher-order-function form which
+    * allocates a zipped array and evaluates a Catalyst lambda per
+    * element. Same summation order, bit-identical results. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecOps.vecDot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors for each query vector (brute force).
     * Returns (query_id, neighbor_id, cos) — cos rounded to 3dp, ranking by
     * (rounded cos desc, neighbor id asc) so results are reproducible
-    * across engines and FP summation orders. */
+    * across engines and FP summation orders.
+    *
+    * Norms are computed ONCE per vector on each side before the join —
+    * per-pair work is exactly one dot product. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
       vec: String, k: Int): DataFrame = {
     val c = corpus.select(col(id).as("neighbor_id"), asDouble(col(vec)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(id).as("query_id"), asDouble(col(vec)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 3))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -65,9 +73,7 @@ object Similarity {
   def lshBucket(vec: Column, dims: Int, planes: Int, table: Int): Column = {
     (0 until planes).map { p =>
       val ws = (0 until dims).map(planeWeight(table, p, _))
-      val proj = aggregate(
-        zip_with(vec, lit(ws.toArray), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, lit(ws.toArray))
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -84,17 +90,20 @@ object Similarity {
     * planes (bucket size) × tables (independent chances). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, dims: Int, planes: Int, tables: Int = 4): DataFrame = {
-    def explodeBuckets(df: DataFrame, idAs: String, vecAs: String) =
+    def explodeBuckets(df: DataFrame, idAs: String, vecAs: String, nrmAs: String) =
       df.select(col(id).as(idAs), asDouble(col(vec)).as(vecAs))
+        .withColumn(nrmAs, norm(col(vecAs)))
         .withColumn("tb", explode(lshBuckets(col(vecAs), dims, planes, tables)))
-        .select(col(idAs), col(vecAs), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val c = explodeBuckets(corpus, "neighbor_id", "cv")
-    val q = explodeBuckets(queries, "query_id", "qv")
+        .select(col(idAs), col(vecAs), col(nrmAs),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = explodeBuckets(corpus, "neighbor_id", "cv", "cn")
+    val q = explodeBuckets(queries, "query_id", "qv", "qn")
     val cands = q.join(c, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.withColumn("cos", round(cosine(col("qv"), col("cv")), 3))
+    val scored = cands.withColumn("cos",
+      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 3))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
