@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.{LongType, StringType}
-import graft.functions.{SecondsToHms, TitleMainCode}
+import graft.functions.{SecondsToHms, TitleMainCode, VecDot}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions callable from SQL.
@@ -34,7 +34,13 @@ object GraftExtensions {
       args => SecondsToHms(Cast(one(args, "seconds_to_hms"), LongType))),
     ("title_main_code",
       new ExpressionInfo(classOf[TitleMainCode].getName, "title_main_code"),
-      args => TitleMainCode(Cast(one(args, "title_main_code"), StringType))))
+      args => TitleMainCode(Cast(one(args, "title_main_code"), StringType))),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      args => {
+        require(args.length == 2, "vec_dot expects exactly 2 arguments")
+        VecDot(args(0), args(1))
+      }))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -270,8 +270,11 @@ object TextQueries {
       TextAnalysis.qualityScore(col("text"), col("n_chars"), stop).as("quality"),
       TextAnalysis.normalizedHash(col("text")).as("content_hash"))
     val kept1 = quality.where(col("quality") >= 0.55)
+    // kept2 feeds THREE consumers (two semi joins + the final anti join);
+    // materialize once — at scale this is the persisted stage boundary
+    // between the dedup and near-dup phases of the pipeline
     val kept2 = graft.ops.Dedup.keepFirstBy(kept1, Seq("content_hash"),
-      Seq(col("doc_id").asc)).select("doc_id")
+      Seq(col("doc_id").asc)).select("doc_id").localCheckpoint(true)
     val cands = NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
       .join(kept2.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
       .join(kept2.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")

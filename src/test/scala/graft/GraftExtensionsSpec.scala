@@ -20,6 +20,24 @@ class GraftExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("vec_dot from SQL: codegen expression ≡ HOF form, interpreted ≡ codegen") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       vec_dot(array(1.0D), array(2.0D, 99.0D)) AS short_pad,
+        |       vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 2.0) // min-length semantics
+    assert(r.isNullAt(2))
+    // interpreted path (nullSafeEval) agrees with codegen
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1.5D, -2.25D), array(3.0D, 8.0D),
+        |                          (x, y) -> x * y), 0.0D, (a, x) -> a + x) AS d,
+        |       vec_dot(array(1.5D, -2.25D), array(3.0D, 8.0D)) AS v""".stripMargin).head()
+    assert(hof.getDouble(0) == hof.getDouble(1))
+  }
+
   test("property: fused TitleMainCode ≡ composed Column chain on random strings") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.Test.{check, Parameters}
