@@ -16,10 +16,16 @@ import graft.functions.{SecondsToHms, TitleMainCode, VecDot}
   * For an already-running session use GraftExtensions.register(spark).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // post-hoc RESOLUTION rule, not an optimizer rule: the fuse matches
+    // the freshly-analyzed chain; by optimizer time ConstantFolding /
+    // PushFoldableIntoBranches have already rewritten it beyond template
+    // equality
+    ext.injectPostHocResolutionRule(_ => graft.plans.FuseTitleCode)
+  }
 }
 
 object GraftExtensions {
@@ -42,7 +48,9 @@ object GraftExtensions {
         VecDot(args(0), args(1))
       }))
 
-  /** Register on a live session (temp functions). */
+  /** Register on a live session (temp functions only — analyzer rules
+    * like FuseTitleCode are fixed at session creation; start the session
+    * with spark.sql.extensions=graft.GraftExtensions to get the fuse). */
   def register(spark: SparkSession): Unit =
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
