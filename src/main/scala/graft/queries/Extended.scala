@@ -219,7 +219,46 @@ object Extended {
         col("q_l1"), round(col("err_raw"), 6).as("max_abs_err"))
   }
 
+  /** T7 — winnowing fingerprints (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every 3-token shingle, slide a window of 4 hashes, keep each
+    * window's minimum — guarantees any shared run ≥ w+k-1 tokens shares
+    * a fingerprint, at ~2/(w+1) the storage of full shingling. All
+    * scan-side (zero shuffle); md5-based so any engine reproduces it. */
+  val t7Winnow = q("t7_winnow_fingerprint",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |              ELSE list_transform(generate_series(1, len(t) - 2),
+      |                                  i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+      |  FROM tok),
+      |h AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hs FROM sh),
+      |wins AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+      |              ELSE list_transform(generate_series(1, len(hs) - 3),
+      |                                  i -> list_min(hs[i:i+3])) END AS mins
+      |  FROM h)
+      |SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(mins)), ' ')) AS winnow_fp,
+      |       CAST(len(list_distinct(mins)) AS INT) AS n_fp
+      |FROM wins""".stripMargin) { (s, d) =>
+    val hs = transform(graft.text.NearDup.shingles(col("text"), 3), x => md5(x))
+    val mins = when(size(hs) < 4, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(1), size(hs) - 3),
+        i => array_min(slice(hs, i, lit(4)))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_sort(array_distinct(mins)).as("fps"))
+      .select(col("doc_id"),
+        md5(array_join(col("fps"), " ")).as("winnow_fp"),
+        size(col("fps")).as("n_fp"))
+  }
+
   val all: Seq[Q] = Seq(a9GroupingSets, a10Percentiles, a11CorrCovar,
     j7FullOuterMerge, j8SaltedAgg, e8Unpivot, e9SessionWindow,
-    t6EditDistance, v5Quantize)
+    t6EditDistance, v5Quantize, t7Winnow)
 }

@@ -50,6 +50,25 @@ class EventStreamSpec extends SparkSuite {
     assert(out.exists(s => s.user_id == 1L && s.session_events == 2L))
   }
 
+
+  test("dedup-within-watermark drops re-sent keys while state is live") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStream.dedupStream(df).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "a"),
+      (ts("2024-01-01 10:01:00"), 1L, "b"), // dup key inside watermark
+      (ts("2024-01-01 10:02:00"), 2L, "a"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:03:00"), 1L, "c")) // still a dup
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("foreachBatch drain writes warehouse exactly-once per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
