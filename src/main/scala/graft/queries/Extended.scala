@@ -258,7 +258,25 @@ object Extended {
         size(col("fps")).as("n_fp"))
   }
 
+  /** T8 — pattern redaction (the PII-scrub pass every training corpus
+    * needs): mask digit runs and quoted tokens, count replacements.
+    * Scan-side regexp, zero shuffle; patterns kept in the common subset
+    * of Java/RE2 regex dialects so every engine executes them alike. */
+  val t8Redact = q("t8_redact",
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+      |                      'x[a-z0-9]{4,}', '<ID>', 'g') AS redacted,
+      |       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |            AS INT) AS n_digits_masked
+      |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+        "x[a-z0-9]{4,}", "<ID>").as("redacted"),
+      (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+        .cast("int").as("n_digits_masked"))
+  }
+
   val all: Seq[Q] = Seq(a9GroupingSets, a10Percentiles, a11CorrCovar,
     j7FullOuterMerge, j8SaltedAgg, e8Unpivot, e9SessionWindow,
-    t6EditDistance, v5Quantize, t7Winnow)
+    t6EditDistance, v5Quantize, t7Winnow, t8Redact)
 }

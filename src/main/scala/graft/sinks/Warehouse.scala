@@ -35,6 +35,17 @@ object Warehouse {
   def append(df: DataFrame, warehouseDir: String): Unit =
     df.write.mode(SaveMode.Append).parquet(warehouseDir)
 
+  /** K6 at scale — hive-layout partitioned append: queries filtering on
+    * the partition columns prune whole directories at planning time
+    * (PartitionFilters in the scan), so a day's query over a years-deep
+    * 100 TB warehouse reads one day of files. Partition columns should be
+    * low-cardinality (date, region) — high-cardinality keys belong in
+    * file-level sort/bucketing instead. */
+  def appendPartitioned(df: DataFrame, warehouseDir: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*)
+      .parquet(warehouseDir)
+
   /** W2 — idempotent keyed dedup of the warehouse: the reference orders by
     * CURRENT_TIMESTAMP() (nondeterministic survivor,
     * ingestdatainbigquery.py:89); we order by an explicit load sequence —

@@ -66,6 +66,16 @@ object EventStream {
       }
   }
 
+  /** J1 streaming — stream-static broadcast enrichment: the reference's
+    * per-row channel-name lookup (dataingestion1.py:129-133) as a
+    * streaming micro-batch joined against a static broadcast dimension.
+    * The dim is re-broadcast per micro-batch planning cycle; at scale the
+    * stream side never shuffles. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String,
+      nameCol: String, default: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+      .withColumn(nameCol, coalesce(col(nameCol), lit(default)))
+
   /** §3.3 drain — the staging→warehouse epoch as a foreachBatch sink:
     * checkpointed offsets give exactly-once per epoch; the idempotent
     * re-dedup (W2) is kept anyway for reference parity. */

@@ -69,6 +69,23 @@ class EventStreamSpec extends SparkSuite {
     assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
   }
 
+
+  test("stream-static broadcast enrichment with default for misses") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "user_name")
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val q = EventStream.enrichStream(df, dim, "user_id", "user_name", "Unknown")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:01:00"), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "alpha", 9L -> "Unknown"))
+  }
+
   test("foreachBatch drain writes warehouse exactly-once per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
