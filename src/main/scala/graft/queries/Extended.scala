@@ -276,7 +276,37 @@ object Extended {
         .cast("int").as("n_digits_masked"))
   }
 
+  /** SQL2 — the flagship star join through the spark.sql SURFACE (temp
+    * views + SQL text + BROADCAST hints): proves the SQL entry point
+    * plans identically to the DataFrame API — same broadcast star shape,
+    * one shuffle for the final aggregate. */
+  val sqlStarJoin = q("sql_star_join",
+    s"""SELECT n.n_name AS nation,
+       |       CAST(count(*) AS BIGINT) AS n_lines,
+       |       ${rnd("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |WHERE o.o_orderstatus = 'F'
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("sql_li")
+    Tables.orders(s, d).createOrReplaceTempView("sql_o")
+    Tables.customer(s, d).createOrReplaceTempView("sql_c")
+    Tables.nation(s, d).createOrReplaceTempView("sql_n")
+    s.sql(
+      """SELECT /*+ BROADCAST(c), BROADCAST(n) */ n.n_name AS nation,
+        |       count(*) AS n_lines,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM sql_li l
+        |JOIN sql_o o ON l.l_orderkey = o.o_orderkey
+        |JOIN sql_c c ON o.o_custkey = c.c_custkey
+        |JOIN sql_n n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY n.n_name""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(a9GroupingSets, a10Percentiles, a11CorrCovar,
     j7FullOuterMerge, j8SaltedAgg, e8Unpivot, e9SessionWindow,
-    t6EditDistance, v5Quantize, t7Winnow, t8Redact)
+    t6EditDistance, v5Quantize, t7Winnow, t8Redact, sqlStarJoin)
 }
