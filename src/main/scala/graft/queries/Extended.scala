@@ -306,7 +306,39 @@ object Extended {
         |GROUP BY n.n_name""".stripMargin)
   }
 
+  /** E10 — schema-typed JSON parse with corrupt-record tolerance:
+    * from_json against a declared StructType (vs e3's untyped path
+    * extraction); malformed payloads (planted on every 7th row) parse to
+    * null instead of failing the job — the permissive-ingest behavior a
+    * pipeline needs when 100 TB of scraped JSON is never all clean. */
+  val e10FromJson = q("e10_from_json_typed",
+    """WITH m AS (
+      |  SELECT event_id,
+      |         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 2)
+      |              ELSE props END AS s
+      |  FROM events)
+      |SELECT event_id,
+      |       CASE WHEN json_valid(s)
+      |            THEN CAST(json_extract_string(s, '$.k') AS BIGINT) END AS k,
+      |       CAST(CASE WHEN json_valid(s)
+      |                 THEN json_extract_string(s, '$.k') IS NOT NULL
+      |                 ELSE FALSE END AS BOOLEAN) AS is_valid
+      |FROM m""".stripMargin) { (s, d) =>
+    // truncation (not suffix garbage): Spark's Jackson parse tolerates
+    // trailing characters after a complete document, DuckDB's doesn't —
+    // a truncated document is malformed to every parser
+    val mutated = when(col("event_id") % 7 === 0,
+      expr("substring(props, 1, length(props) - 2)")).otherwise(col("props"))
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(mutated, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("j"))
+      .select(col("event_id"), col("j.k").as("k"),
+        col("j.k").isNotNull.as("is_valid"))
+  }
+
   val all: Seq[Q] = Seq(a9GroupingSets, a10Percentiles, a11CorrCovar,
     j7FullOuterMerge, j8SaltedAgg, e8Unpivot, e9SessionWindow,
-    t6EditDistance, v5Quantize, t7Winnow, t8Redact, sqlStarJoin)
+    t6EditDistance, v5Quantize, t7Winnow, t8Redact, sqlStarJoin, e10FromJson)
 }
