@@ -54,64 +54,83 @@ object DupClusters {
     def free(ids: Set[Int]): Unit =
       ids.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(false)))
 
+    // the iterative loop below is a chain of tiny 1-to-few-partition
+    // shuffles; AQE's per-stage materialization adds a scheduling round
+    // trip to each of them for zero re-planning benefit. Turn it off for
+    // the duration of this operator (restored in the finally).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+
     val (cpPairs, pairBlocks) = checkpoint(pairs.select("id_a", "id_b"))
-    val edges = cpPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(cpPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-    val (cpEdges0, edgeBlocks0) = checkpoint(edges)
-    free(pairBlocks)
 
     // size the loop's partitioning to the DUP GRAPH, not the corpus: the
     // graph inherits the corpus's partition count, so a small graph pays
     // full task-scheduling overhead on every one of O(diameter) rounds.
     // ~500k edges/partition keeps tasks meaningful; large graphs keep the
-    // session's parallelism.
-    val nEdges = cpEdges0.count()
+    // session's parallelism. (Sized from the pair count — half the edge
+    // count — so the edge set is materialized exactly once, already
+    // loop-partitioned.)
+    val nPairs = cpPairs.count()
     val parts = math.max(1L, math.min(sc.defaultParallelism.toLong,
-      nEdges / 500000L + 1L)).toInt
-    val (cpEdges, edgeBlocks) =
-      if (parts < cpEdges0.rdd.getNumPartitions) {
-        val r = checkpoint(cpEdges0.repartition(parts, col("src")))
-        free(edgeBlocks0); r
-      } else (cpEdges0, edgeBlocks0)
+      2L * nPairs / 500000L + 1L)).toInt
+    val edges = cpPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(cpPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    val (cpEdges, edgeBlocks) = checkpoint(edges.repartition(parts, col("src")))
+    free(pairBlocks)
 
     // only edge-touched nodes participate in propagation
     var (labels, labelBlocks) = checkpoint(
       cpEdges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id"))
         .repartition(parts, col("id")))
+    // convergence via the label-sum invariant: labels are per-id monotone
+    // non-increasing, so Σcluster_id is strictly decreasing until the
+    // fixpoint — equality ⟺ pointwise convergence. This rides the same
+    // job as the label update (no separate changed-flag join). DECIMAL
+    // accumulator: a 100 TB corpus has id sums far past long range.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // one round = min(own label, neighbors' labels): the neighbor
+      // propagation joins labels to edges, and the union + groupBy-min
+      // folds it into the node's own label — 2 shuffles/round, 1 job
+      // (lazy checkpoint; the convergence agg is the materializing
+      // action).
       val viaNeighbors = cpEdges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min("cluster_id").as("n_min"))
-      // lazy checkpoint: the convergence agg below is the materializing
-      // action, so each round costs exactly ONE job
+        .select(col("dst").as("id"), col("cluster_id"))
       val (updated, newBlocks) = checkpoint(
-        labels.join(viaNeighbors, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-              .as("cluster_id"),
-            (coalesce(col("n_min"), col("cluster_id")) < col("cluster_id"))
-              .cast("long").as("changed")),
+        labels.unionByName(viaNeighbors)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")),
         eager = false)
-      val changed = updated.agg(sum("changed")).head.getLong(0)
+      val newSum = labelSum(updated)
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        System.err.println(s"[cc] iter=$iter sum=$newSum")
       free(labelBlocks)
-      labels = updated.drop("changed")
+      labels = updated
       labelBlocks = newBlocks
-      converged = changed == 0L
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       iter += 1
     }
     free(edgeBlocks)
     // singletons never entered the loop: label them with their own id.
     // (Result stays checkpoint-backed on the labels side; callers that
-    // need the blocks released should materialize their own output.)
+    // need the blocks released should materialize their own output. The
+    // join itself runs lazily, after the finally restores AQE — only the
+    // loop's fixed-size shuffles are pinned to non-adaptive planning.)
     nodes.select(col("id"))
       .join(labels.withColumnRenamed("id", "__eid")
         .withColumnRenamed("cluster_id", "__cid"),
         col("id") === col("__eid"), "left")
       .select(col("id"), coalesce(col("__cid"), col("id")).as("cluster_id"))
+
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }

@@ -97,13 +97,23 @@ object NearDup {
     * Scale shape: join the PAIRS to per-doc shingle sets and intersect
     * arrays per pair — work is O(candidates × shingles-per-doc), never the
     * quadratic co-shingle self-join (a frequent shingle would otherwise
-    * fan out to |bucket|² rows). */
+    * fan out to |bucket|² rows). Shingle sets are built ONLY for documents
+    * that appear in a pair (semi join first): after LSH banding the
+    * candidate set is orders of magnitude smaller than the corpus, so
+    * re-shingling everything would dominate. `pairs` is materialized once
+    * (localCheckpoint) because it feeds both the member-id semi join and
+    * the verification join — its upstream (the full LSH pipeline) must
+    * not execute twice. */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, id: String,
       text: Column, n: Int): DataFrame = {
+    val cpPairs = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val members = cpPairs.select(explode(array(col("id_a"), col("id_b"))).as(id))
+      .distinct()
     val sets = docs.select(col(id), text.as("__text"))
+      .join(members, Seq(id), "left_semi")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(id))
       .select(col(id), array_distinct(shingles(col("__text"), n)).as("shset"))
-    pairs.select(col("id_a"), col("id_b"))
+    cpPairs
       .join(sets.select(col(id).as("id_a"), col("shset").as("sa")), Seq("id_a"))
       .join(sets.select(col(id).as("id_b"), col("shset").as("sb")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
