@@ -53,4 +53,42 @@ object BinaryOps {
       }
     }
   }
+
+  /** Deterministic fake "resize" of a decoded row to a target box:
+    * aspect-preserving integer downscale of the dims + mean-pooling the
+    * feature vector in half. Replace with a real resampler behind the
+    * same signature. */
+  def resizeStub(row: DecodedRow, maxDim: Int): DecodedRow = {
+    val scaleNum = math.min(maxDim, math.max(row.width, row.height))
+    val scaleDen = math.max(1, math.max(row.width, row.height))
+    val w = math.max(1, row.width * scaleNum / scaleDen)
+    val h = math.max(1, row.height * scaleNum / scaleDen)
+    val pooled = row.features.grouped(2).map(g => g.sum / g.length).toArray
+    DecodedRow(row.doc_id, row.n_bytes, w, h, pooled)
+  }
+
+  def resize(decoded: Dataset[DecodedRow], maxDim: Int): Dataset[DecodedRow] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map(resizeStub(_, maxDim)))
+  }
+
+  final case class VideoRow(doc_id: Long, frames: Array[Array[Byte]])
+  final case class FrameRow(doc_id: Long, frame_idx: Int, n_bytes: Long,
+      width: Int, height: Int)
+
+  /** Strided frame sampling + per-frame decode: a "video" is an array of
+    * frame payloads; keep frames 0, stride, 2·stride, … and decode only
+    * those. Generating the kept indices directly (instead of decoding
+    * everything then filtering) is the point — at 100 TB of video the
+    * decode cost dominates and must never run on dropped frames. */
+  def sampleFrames(video: Dataset[VideoRow], stride: Int): Dataset[FrameRow] = {
+    import video.sparkSession.implicits._
+    video.flatMap { v =>
+      (0 until v.frames.length by stride).iterator.map { i =>
+        val payload = v.frames(i)
+        val (w, h, _) = decodeStub(payload)
+        FrameRow(v.doc_id, i, payload.length.toLong, w, h)
+      }
+    }
+  }
 }

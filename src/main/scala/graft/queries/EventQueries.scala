@@ -95,6 +95,28 @@ object EventQueries {
       length(col("text")).cast("bigint").as("n_chars_check"))
   }
 
+  /** M2 — strided frame sampling (the video half of the multimodal path,
+    * graft.multimodal.BinaryOps.sampleFrames): each document's token
+    * sequence stands in for a frame sequence; keep every 5th frame and
+    * emit (frame index, frame hash). The kept indices are GENERATED
+    * (sequence with stride) rather than filtered post-explode — at video
+    * scale the decode never runs on dropped frames. */
+  val m2FrameSample = q("m2_frame_sample",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |fr AS (SELECT doc_id, t, unnest(generate_series(1, len(t), 5)) AS fidx FROM tok)
+      |SELECT doc_id, CAST(fidx - 1 AS INT) AS frame_idx, md5(t[fidx]) AS frame_md5
+      |FROM fr""".stripMargin) { (s, d) =>
+    val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("fidx", explode(sequence(lit(1), size(col("t")), lit(5))))
+      .select(col("doc_id"), (col("fidx") - 1).cast("int").as("frame_idx"),
+        md5(element_at(col("t"), col("fidx"))).as("frame_md5"))
+  }
+
   /** E4 — SLIDING event-time window (1h window, 15min slide): every event
     * lands in 4 overlapping windows. Oracle replicates Spark's
     * epoch-aligned window assignment with explicit integer µs arithmetic
@@ -192,5 +214,6 @@ object EventQueries {
   }
 
   val all: Seq[Q] = Seq(e1WindowAgg, e2Sessionize, e3JsonFlatten,
-    e4SlidingWindow, e5AsOfJoin, e6Pivot, e7RangeJoin, m1BinaryMeta)
+    e4SlidingWindow, e5AsOfJoin, e6Pivot, e7RangeJoin, m1BinaryMeta,
+    m2FrameSample)
 }

@@ -29,4 +29,29 @@ class BinaryOpsSpec extends SparkSuite {
     val again = BinaryOps.decode(media).collect().map(d => d.doc_id -> d.features.toSeq).toMap
     assert(again(1L) == out(1L).features.toSeq)
   }
+
+  test("resize: aspect-preserving downscale + pooled features") {
+    val media = Seq(BinaryOps.MediaRow(1L, Array[Byte](100, 40, 7))).toDS()
+    val dec = BinaryOps.decode(media)
+    val out = BinaryOps.resize(dec, maxDim = 32).collect().head
+    val in = dec.collect().head
+    // in: w = 16+100%64 = 52, h = 16+40%64 = 56 → scaled into 32 box
+    assert(in.width == 52 && in.height == 56)
+    assert(out.width == 52 * 32 / 56 && out.height == 32)
+    assert(out.features.length == 4)
+    assert(math.abs(out.features(0) - (in.features(0) + in.features(1)) / 2) < 1e-6)
+    // no upscale: already-small stays put
+    val small = BinaryOps.resize(dec, maxDim = 1000).collect().head
+    assert(small.width == in.width && small.height == in.height)
+  }
+
+  test("frame sampling decodes only kept frames, preserves indices") {
+    val frames = Array.tabulate(7)(i => Array[Byte](i.toByte, (i * 2).toByte))
+    val video = Seq(BinaryOps.VideoRow(9L, frames)).toDS()
+    val out = BinaryOps.sampleFrames(video, stride = 3).collect()
+      .sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 3, 6))
+    assert(out.forall(_.doc_id == 9L))
+    assert(out(1).width == 16 + 3 % 64 && out(1).height == 16 + 6 % 64)
+  }
 }
