@@ -76,6 +76,27 @@ object EventStream {
     events.join(broadcast(dim), Seq(key), "left")
       .withColumn(nameCol, coalesce(col(nameCol), lit(default)))
 
+  /** E7 streaming — stream-stream interval join: clicks matched to errors
+    * of the same user within the trailing 10 minutes, both sides
+    * watermarked so the join state is bounded (Spark retains each side
+    * only until the other side's watermark passes the interval bound —
+    * the state-cleanup contract that makes stream-stream joins viable on
+    * unbounded input). Batch form of the same semantics: e7_range_join. */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val e = errors.select(col("event_id").as("error_id"),
+      col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    e.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("e_ts"),
+      "inner")
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
   /** §3.3 drain — the staging→warehouse epoch as a foreachBatch sink:
     * checkpointed offsets give exactly-once per epoch; the idempotent
     * re-dedup (W2) is kept anyway for reference parity. */

@@ -90,4 +90,68 @@ class PlanAuditSpec extends SparkSuite {
     val p = SparkEntry.entry(spark).queryExecution.sparkPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("chunking / frame sampling / stratified sample are scan-side — zero shuffles") {
+    for (q <- Seq("t9_doc_chunking", "m2_frame_sample", "p6_stratified_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("k-means assignment broadcasts the codebook, never shuffles the vectors") {
+    val p = plan("v7_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), "vectors shuffle for the codebook:\n" + p)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // 100 TB shape: fact ⋈ filtered dim where neither side broadcasts —
+    // Spark injects a bloom filter built from the dim's join keys into the
+    // fact scan, cutting shuffle volume by the dim's selectivity. Verify
+    // the injection fires when thresholds allow it.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        "no runtime bloom filter injected:\n" + opt)
+    }
+  }
+
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    withConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100.0") {
+      val fact = spark.read.parquet(dir)
+      val dim = spark.read.parquet(s"$sf/region.parquet")
+        .select(col("r_name").substr(1, 1).as("flag"), col("r_regionkey"))
+        .where(col("r_regionkey") === 0)
+      val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      val p = joined.queryExecution.sparkPlan.toString
+      assert(p.contains("dynamicpruning"),
+        "partitioned scan lacks a dynamic pruning filter:\n" + p)
+    }
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

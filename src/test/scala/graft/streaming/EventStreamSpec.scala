@@ -86,6 +86,26 @@ class EventStreamSpec extends SparkSuite {
     assert(out == Map(1L -> "alpha", 9L -> "Unknown"))
   }
 
+  test("stream-stream interval join matches in-window pairs only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("event_id", "user_id", "ts")
+    val edf = errors.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStream.clickErrorJoin(cdf, edf).writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    clicks.addData(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // 5 min before error → match
+      (11L, 1L, ts("2024-01-01 09:40:00")), // 25 min before → out of window
+      (12L, 2L, ts("2024-01-01 10:00:00"))) // other user → no match
+    errors.addData((20L, 1L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((20L, 10L, 1L)))
+  }
+
   test("foreachBatch drain writes warehouse exactly-once per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
