@@ -76,9 +76,14 @@ class VideoTable(path: String) extends Table with SupportsRead {
 }
 
 class VideoScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schemas.videoRaw
+  private var limit: Option[Int] = None
+  private var topNDesc = false
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("channel_id", _: String) => true
@@ -96,17 +101,41 @@ class VideoScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new VideoScan(path, pushed, required)
+
+  /** Bare LIMIT: the API's maxResults — fully handled source-side. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** ORDER BY published_at [ASC|DESC] LIMIT n: the API's `order=date` +
+    * maxResults (dataingestion1.py:77-78) — the one sort the "server"
+    * offers. Anything else stays in Spark. Fully pushed: Catalyst drops
+    * its own Sort + Limit nodes entirely. */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean =
+    orders match {
+      case Array(so) => so.expression match {
+        case nr: NamedReference if nr.fieldNames.sameElements(Array("published_at")) =>
+          limit = Some(l)
+          topNDesc = so.direction == SortDirection.DESCENDING
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  override def isPartiallyPushed(): Boolean = false
+
+  override def build(): Scan =
+    new VideoScan(path, pushed, required, limit, topNDesc)
 }
 
-class VideoScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+class VideoScan(path: String, pushed: Array[Filter], required: StructType,
+    limit: Option[Int], topNDesc: Boolean) extends Scan with Batch {
   private val pageSize = 50 // maxResults=50, dataingestion1.py:78
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-videos PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(l => s"PushedTopN: published_at ${if (topNDesc) "DESC" else "ASC"} LIMIT $l, ")
+        .getOrElse("") +
       s"ReadSchema: ${required.simpleString}"
 
   private def keep(r: VideoRow): Boolean = pushed.forall {
@@ -124,8 +153,10 @@ class VideoScan(path: String, pushed: Array[Filter], required: StructType)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // "API" does filtering + order:date server-side; one partition per page
-    val rows = VideoCatalog.load(path).filter(keep)
+    val sorted = VideoCatalog.load(path).filter(keep)
       .sortBy(r => (Option(r.publishedAt).getOrElse(""), r.ingestSeq))
+    val ordered = if (topNDesc) sorted.reverse else sorted
+    val rows = limit.fold(ordered)(ordered.take)
     rows.grouped(pageSize).map(p => VideoPage(p.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -46,4 +46,33 @@ class VideoSearchSourceSpec extends SparkSuite {
       .select("video_id").collect().map(_.getString(0)).toSet
     assert(got == Set("v05"))
   }
+
+  test("ORDER BY published_at DESC LIMIT n pushes as TopN (order=date + maxResults)") {
+    val topn = viaSource.orderBy(col("published_at").desc).limit(2)
+    val planDesc = topn.queryExecution.executedPlan.toString
+    assert(planDesc.contains("PushedTopN: published_at DESC LIMIT 2"),
+      s"plan was:\n$planDesc")
+    // fully pushed: Spark drops its own Sort — no TakeOrderedAndProject
+    assert(!planDesc.contains("TakeOrderedAndProject"), s"plan was:\n$planDesc")
+    val want = viaJson.orderBy(col("published_at").desc).limit(2)
+      .select("video_id").collect().map(_.getString(0)).toSet
+    assert(topn.select("video_id").collect().map(_.getString(0)).toSet == want)
+  }
+
+  test("bare LIMIT pushes into the source (maxResults without order)") {
+    val lim = viaSource.limit(3)
+    val planDesc = lim.queryExecution.executedPlan.toString
+    assert(planDesc.contains("LIMIT 3"), s"plan was:\n$planDesc")
+    assert(lim.collect().length == 3)
+  }
+
+  test("a sort the API does not offer is NOT pushed; Spark sorts") {
+    val other = viaSource.orderBy(col("video_title").desc).limit(2)
+    val planDesc = other.queryExecution.executedPlan.toString
+    assert(!planDesc.contains("PushedTopN"), s"plan was:\n$planDesc")
+    assert(planDesc.contains("TakeOrderedAndProject"), s"plan was:\n$planDesc")
+    val want = viaJson.orderBy(col("video_title").desc).limit(2)
+      .select("video_id").collect().map(_.getString(0)).toSeq
+    assert(other.select("video_id").collect().map(_.getString(0)).toSeq == want)
+  }
 }
