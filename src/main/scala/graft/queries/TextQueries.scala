@@ -148,9 +148,9 @@ object TextQueries {
   }
 
   /** T2 — quality scoring: length/richness/stopword-rate composite. */
-  private val distRatioSql =
+  private[queries] val distRatioSql =
     "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END"
-  private val stopRatioSql =
+  private[queries] val stopRatioSql =
     "CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> x IN ('a','the'))) AS DOUBLE) / len(t) END"
   val t2Quality = q("t2_quality_score",
     s"""WITH tok AS (

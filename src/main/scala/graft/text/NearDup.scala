@@ -73,8 +73,14 @@ object NearDup {
     * way — at 100 TB a hot bucket needs a size cap or salting upstream;
     * bucket width is controlled by the band count, not by this operator). */
   def lshCandidates(df: DataFrame, id: String, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val sigs = withMinhashSignature(df, id, text, n, k)
+      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    lshCandidatesFromSigs(withMinhashSignature(df, id, text, n, k), id, k, bands)
+
+  /** Candidate pairs from an ALREADY-COMPUTED signature table — lets a
+    * caller that also needs the signatures themselves (e.g. estimated
+    * Jaccard) materialize the minhash pipeline once and fan out. */
+  def lshCandidatesFromSigs(sigs: DataFrame, id: String, k: Int,
+      bands: Int): DataFrame = {
     val banded = sigs.select(col(id) +: bandHashes(k, bands): _*)
     val long = banded.select(col(id), explode(array(
       (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("h"))): _*
