@@ -64,6 +64,40 @@ object Warehouse {
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(warehouseDir)
   }
 
+  /** Small-file compaction — the maintenance pass every incrementally
+    * appended warehouse needs: each micro-batch append (twice daily in
+    * the reference, dags/Dashboard-pipeline.py:26) leaves its own files;
+    * after months a 100 TB warehouse is millions of KB-sized parquet
+    * files and scan planning drowns in footer reads. Rewrite each
+    * partition's data into ~targetRowsPerFile-row files, preserving the
+    * hive partition layout. Content is untouched — this is a physical
+    * re-layout only. */
+  def compact(spark: SparkSession, warehouseDir: String,
+      partitionCols: Seq[String], targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(warehouseDir)
+    val tmp = warehouseDir + "_compact"
+    val writer =
+      if (partitionCols.isEmpty) {
+        val n = math.max(1L, df.count() / targetRowsPerFile).toInt
+        df.repartition(n).write
+      } else {
+        // one write task per (partition, file-slot): repartition by the
+        // partition columns so each hive dir is written by few tasks,
+        // and cap rows per file for the slot split
+        df.repartition(partitionCols.map(col): _*)
+          .write.option("maxRecordsPerFile", targetRowsPerFile)
+          .partitionBy(partitionCols: _*)
+      }
+    writer.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: write once, rename into place (no second write —
+    // unlike dedup's copy-back, compaction output can be large)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** K7 — truncate staging keeping the schema (clear + header re-append,
     * ingestdatainbigquery.py:103-112). */
   def truncate(spark: SparkSession, stagingDir: String): Unit = {

@@ -40,4 +40,45 @@ class WarehouseSpec extends SparkSuite {
     val files = q.queryExecution.executedPlan.collectLeaves().head.toString
     assert(!files.contains("load_date=2024-01-01"))
   }
+
+  test("compaction collapses micro-batch files, content and layout survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def parquetFiles(d: String): Array[java.io.File] = {
+      def walk(f: java.io.File): Array[java.io.File] =
+        if (f.isDirectory) f.listFiles().flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Array(f)
+        else Array.empty
+      walk(new java.io.File(d))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("wh_compact").toString + "/wh"
+    // 20 micro-batch appends of 30 rows each — the twice-daily drain
+    // pattern after 10 days
+    (1 to 20).foreach { b =>
+      val df = (1 to 30).map(i => (b * 1000L + i, s"d${i % 2}", i * 1.0))
+        .toDF("id", "part", "v")
+      Warehouse.appendPartitioned(df, dir, Seq("part"))
+    }
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    val nBefore = parquetFiles(dir).length
+    assert(nBefore >= 40, s"expected many small files, got $nBefore")
+
+    Warehouse.compact(spark, dir, Seq("part"), targetRowsPerFile = 1000L)
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.toSeq).toSet == beforeRows)
+    val nAfter = parquetFiles(dir).length
+    assert(nAfter <= 4, s"compaction left $nAfter files")
+    // hive layout preserved → partition pruning still works
+    val scan = after.where(col("part") === "d1").queryExecution.sparkPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(part"), scan)
+
+    // unpartitioned flavor
+    val flat = java.nio.file.Files.createTempDirectory("wh_flat").toString + "/wh"
+    (1 to 10).foreach(b => Seq((b.toLong, b * 1.0)).toDF("id", "v")
+      .write.mode("append").parquet(flat))
+    Warehouse.compact(spark, flat, Seq.empty, targetRowsPerFile = 1000L)
+    assert(parquetFiles(flat).length == 1)
+    assert(spark.read.parquet(flat).count() == 10)
+  }
 }
