@@ -106,6 +106,36 @@ class EventStreamSpec extends SparkSuite {
     assert(out.toSeq == Seq((20L, 10L, 1L)))
   }
 
+  test("AvailableNow epochs process only new files (the cron-scheduled incremental run)") {
+    // the reference's twice-daily cron epoch (dags/Dashboard-pipeline.py:26)
+    // = a file-source stream with Trigger.AvailableNow: each invocation
+    // drains exactly the not-yet-seen input, then stops; checkpointed
+    // offsets carry the high-water mark between invocations.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+      .write.parquet(s"$in/batch1")
+    def runEpoch(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, payload STRING")
+        .parquet(s"$in/*")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+    }
+    runEpoch()
+    assert(spark.read.parquet(out).count() == 2)
+    Seq((3L, "c")).toDF("id", "payload").write.parquet(s"$in/batch2")
+    runEpoch()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")), rows.toString)
+  }
+
   test("foreachBatch drain writes warehouse exactly-once per epoch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream").toString

@@ -23,4 +23,29 @@ class DupClustersSpec extends SparkSuite {
       .collect().map(r => r.getLong(1)).distinct
     assert(got.toSeq == Seq(1L))
   }
+
+  test("property: matches brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + trial * 10
+      val nEdges = n / 2 + rnd.nextInt(n)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L)).filter(p => p._1 != p._2)
+
+      // reference implementation: classic union-find
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (1 to n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val nodes = (1L to n.toLong).toDF("id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = DupClusters.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n, edges=$edges)")
+    }
+  }
 }
