@@ -127,6 +127,41 @@ object Extended4 {
       round(lag(col("o_totalprice"), 1, -1.0).over(w), 2).as("prev_price"))
   }
 
+  /** E14 — typed collect denormalization: per-user event profile as a
+    * deterministically ordered "type:count" list — the collect_list +
+    * array_sort reshape that turns a fact table into a per-entity feature
+    * string. Bounded output per key (distinct event types), so safe at
+    * any scale — unlike collecting raw events. */
+  val e14TypedCollect = q("e14_typed_collect",
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+      |SELECT user_id,
+      |       array_to_string(list_sort(list(event_type || ':' || CAST(n AS VARCHAR))), ',')
+      |         AS profile
+      |FROM c GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_list(
+        concat(col("event_type"), lit(":"), col("n").cast("string")))), ",")
+        .as("profile"))
+  }
+
+  /** F25 — regex group extraction: split "<adjective> <noun>" part names
+    * into typed columns via capture groups, with the no-match → empty
+    * convention both engines share when the group list is explicit. */
+  val f25RegexExtract = q("f25_regex_extract",
+    """SELECT p_partkey,
+      |       regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 1) AS adjective,
+      |       regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2) AS noun,
+      |       CAST(regexp_matches(p_name, '^(red|blue|green) ') AS BOOLEAN) AS is_color
+      |FROM part""".stripMargin) { (s, d) =>
+    Tables.part(s, d).select(col("p_partkey"),
+      regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)$", 1).as("adjective"),
+      regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)$", 2).as("noun"),
+      col("p_name").rlike("^(red|blue|green) ").as("is_color"))
+  }
+
   val all: Seq[Q] = Seq(j10NullSafeJoin, a14MultiDistinct, f24StringKitchen,
-    e13OuterExplode, a15ValueWindows)
+    e13OuterExplode, a15ValueWindows, e14TypedCollect, f25RegexExtract)
 }

@@ -275,9 +275,12 @@ object TextQueries {
     // between the dedup and near-dup phases of the pipeline
     val kept2 = graft.ops.Dedup.keepFirstBy(kept1, Seq("content_hash"),
       Seq(col("doc_id").asc)).select("doc_id").localCheckpoint(true)
-    val cands = NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
-      .join(kept2.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-      .join(kept2.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+    // near-dup candidates over SURVIVORS only: signatures are per-doc, so
+    // pairs-among-kept2 ≡ pairs-over-all ∩ kept2² — and the minhash
+    // pipeline (the expensive pass) runs on the post-quality-gate corpus,
+    // which at production selectivities is a fraction of the input
+    val cands = NearDup.lshCandidates(docs.join(kept2, Seq("doc_id"), "left_semi"),
+      "doc_id", col("text"), 3, 8, 8)
     val removed = NearDup.jaccardOnPairs(docs, cands, "doc_id", col("text"), 3)
       .where(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
