@@ -106,6 +106,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "vectors shuffle for the codebook:\n" + p)
   }
 
+  test("window-family operators pay exactly one shuffle") {
+    // SCD2 history, CDC apply, ntile, RANGE frames, value windows: each is
+    // one Window over one partitioning — at most one Exchange (zero when a
+    // single-partition input already satisfies the distribution); a second
+    // means the sort order or partitioning stopped lining up
+    for (q <- Seq("j9_scd2_history", "e11_cdc_apply", "w7_ntile_deciles",
+        "w8_trailing_range_window", "a15_value_windows")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost its Window operator:\n$p")
+      assert(count(p, "Exchange") <= 1,
+        s"$q: expected at most 1 shuffle, got ${count(p, "Exchange")}:\n$p")
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // 100 TB shape: fact ⋈ filtered dim where neither side broadcasts —
     // Spark injects a bloom filter built from the dim's join keys into the
