@@ -162,6 +162,64 @@ object Extended4 {
       col("p_name").rlike("^(red|blue|green) ").as("is_color"))
   }
 
+  /** E15 — time-series gap fill + forward fill: densify each user's
+    * hourly activity onto a complete hour grid (first→last active hour),
+    * then carry the last observed value across the gaps
+    * (last_value IGNORE NULLS — Spark last(_, ignoreNulls=true)). The
+    * grid generates scan-side (sequence + explode, no shuffle); the fill
+    * is one window shuffle on the entity key. The densify-then-fill
+    * shape every downstream charting/feature layer needs. */
+  val e15GapFill = q("e15_gap_fill_ffill",
+    s"""WITH hourly AS (
+       |  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
+       |         sum(value) AS v
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+       |grid AS (
+       |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+       |  FROM bounds)
+       |SELECT g.user_id,
+       |       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       |       ${rnd("hourly.v", 2)} AS v_raw,
+       |       ${rnd("last_value(hourly.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h ASC)", 2)} AS v_filled,
+       |       CAST(hourly.v IS NULL AS BOOLEAN) AS was_gap
+       |FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum("value").as("v"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy(col("h").asc)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        round(col("v"), 2).as("v_raw"),
+        round(last("v", ignoreNulls = true).over(w), 2).as("v_filled"),
+        col("v").isNull.as("was_gap"))
+  }
+
+  /** W9 — distribution ranks (percent_rank, cume_dist): the normalized
+    * complements of w6's ordinal ranking family — within-segment balance
+    * percentile per customer. Deterministic via the custkey tiebreak;
+    * one window shuffle. */
+  val w9DistRanks = q("w9_dist_ranks",
+    s"""SELECT c_custkey, c_mktsegment,
+       |       ${rnd("percent_rank() OVER w", 6)} AS pct_rank,
+       |       ${rnd("cume_dist() OVER w", 6)} AS cume
+       |FROM customer
+       |WINDOW w AS (PARTITION BY c_mktsegment
+       |             ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
   val all: Seq[Q] = Seq(j10NullSafeJoin, a14MultiDistinct, f24StringKitchen,
-    e13OuterExplode, a15ValueWindows, e14TypedCollect, f25RegexExtract)
+    e13OuterExplode, a15ValueWindows, e14TypedCollect, f25RegexExtract,
+    e15GapFill, w9DistRanks)
 }
