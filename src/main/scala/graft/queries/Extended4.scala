@@ -219,7 +219,33 @@ object Extended4 {
       round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** P7 — fixed-size uniform sample per group via the typed BottomK
+    * Aggregator (ops/Sampling): priority = md5(id), keep the k smallest —
+    * mergeable, order-independent, deterministic (unlike reservoir
+    * sampling), so it runs as a partial-aggregable hash aggregate with
+    * map-side combine and reproduces identically on any engine. The
+    * oracle recomputes it with a rank window — custom Aggregator vs SQL
+    * semantics, hash-compared. */
+  val p7BottomkSample = q("p7_bottomk_sample",
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+      |                                     doc_id ASC) AS rn
+      |  FROM documents)
+      |SELECT source, doc_id FROM ranked WHERE rn <= 5""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ds = Tables.documents(s, d)
+      .select(md5(col("doc_id").cast("string")), col("doc_id"), col("source"))
+      .as[(String, Long, String)]
+    ds.groupByKey(_._3)
+      .mapValues(r => (r._1, r._2))
+      .agg(graft.ops.Sampling.BottomK(5).toColumn.name("sample"))
+      .toDF("source", "sample")
+      .select(col("source"), explode(col("sample")).as("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(j10NullSafeJoin, a14MultiDistinct, f24StringKitchen,
     e13OuterExplode, a15ValueWindows, e14TypedCollect, f25RegexExtract,
-    e15GapFill, w9DistRanks)
+    e15GapFill, w9DistRanks, p7BottomkSample)
 }
