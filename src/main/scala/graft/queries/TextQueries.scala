@@ -120,6 +120,9 @@ object TextQueries {
 
   private def markerSql(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("(", ",", ")")
 
+  /** Marker vocabulary as a SQL IN-list (shared with t13's oracle). */
+  private[queries] def markerSqlFor(lang: String): String = markerSql(markers(lang))
+
   /** T1 — language ID: marker-vocabulary hit counts, argmax with a fixed
     * priority tiebreak (n-gram-profile method at unigram granularity). */
   val t1LangId = q("t1_langid",
