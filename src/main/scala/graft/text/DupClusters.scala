@@ -96,19 +96,24 @@ object DupClusters {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIters) {
-      // one round = min(own label, neighbors' labels): the neighbor
-      // propagation joins labels to edges, and the union + groupBy-min
-      // folds it into the node's own label — 2 shuffles/round, 1 job
-      // (lazy checkpoint; the convergence agg is the materializing
-      // action).
+    // one propagation step = min(own label, neighbors' labels): the
+    // neighbor propagation joins labels to edges, and the union +
+    // groupBy-min folds it into the node's own label — 2 shuffles/step
+    def step(l: DataFrame): DataFrame = {
       val viaNeighbors = cpEdges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(l.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val (updated, newBlocks) = checkpoint(
-        labels.unionByName(viaNeighbors)
-          .groupBy("id").agg(min("cluster_id").as("cluster_id")),
-        eager = false)
+      l.unionByName(viaNeighbors)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    }
+    while (!converged && iter < maxIters) {
+      // TWO steps per materialized round: on a latency-bound loop (the
+      // dup graph is tiny next to the corpus) the cost driver is jobs
+      // scheduled, not rows moved — one lazy checkpoint + one action
+      // per double-step halves the round trips. Monotonicity makes the
+      // convergence test exact either way: an unchanged sum over two
+      // steps implies neither step changed anything.
+      val (updated, newBlocks) = checkpoint(step(step(labels)), eager = false)
       val newSum = labelSum(updated)
       if (sys.env.contains("GRAFT_CC_VERBOSE"))
         System.err.println(s"[cc] iter=$iter sum=$newSum")
