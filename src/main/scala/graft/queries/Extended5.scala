@@ -125,6 +125,97 @@ object Extended5 {
         bit_or(shiftleft(col("l_linenumber") % 8, 4)).as("shifted_or"))
   }
 
+  /** D9 — train/test contamination check (decontamination): after the
+    * deterministic hash split (t5), find test-split documents whose
+    * normalized content hash also appears in the train split — the
+    * exact-overlap leak report every benchmark-safe corpus release runs.
+    * One shuffle on the 128-bit hash; the near-dup extension swaps the
+    * hash for MinHash bands (d3) with identical shape. Exact-hash overlap
+    * is rare by construction (the split is uniform over doc ids), so the
+    * report also flags SHARED 3-SHINGLES — the n-gram-overlap screen
+    * benchmark decontamination actually uses. */
+  val d9Contamination = q("d9_contamination",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+      |              THEN 'test' ELSE 'train' END AS split
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, split,
+      |         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                ELSE list_transform(generate_series(1, len(t) - 2),
+      |                                    i -> array_to_string(t[i:i+2], ' ')) END) AS g
+      |  FROM tok),
+      |train_grams AS (SELECT DISTINCT g FROM sh WHERE split = 'train')
+      |SELECT s.doc_id AS test_doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_shingles,
+      |       CAST(count(tg.g) AS BIGINT) AS n_shared,
+      |       CAST(count(tg.g) * 1.0 / count(*) > 0.5 AS BOOLEAN) AS is_contaminated
+      |FROM (SELECT DISTINCT doc_id, g FROM sh WHERE split = 'test') s
+      |LEFT JOIN train_grams tg ON s.g = tg.g
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val split = when(substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "1"), "test").otherwise("train")
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), split.as("split"),
+        explode(graft.text.NearDup.shingles(col("text"), 3)).as("g"))
+    val testGrams = grams.where(col("split") === "test")
+      .select(col("doc_id").as("test_doc_id"), col("g")).distinct()
+    val trainGrams = grams.where(col("split") === "train")
+      .select("g").distinct().withColumn("hit", lit(1))
+    testGrams.join(trainGrams, Seq("g"), "left")
+      .groupBy("test_doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .select(col("test_doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * 1.0 / col("n_shingles") > 0.5).as("is_contaminated"))
+  }
+
+  /** T14 — per-source dedup-rate report: documents vs distinct normalized
+    * contents per source — the corpus-health dashboard row. Map-side
+    * partial on (source, hash), then a tiny per-source rollup. */
+  val t14DupRateBySource = q("t14_dup_rate_by_source",
+    s"""WITH hashed AS (
+       |  SELECT source,
+       |         md5(array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                                         x -> x <> ''), ' ')) AS h
+       |  FROM documents)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+       |       ${rnd("1.0 - count(DISTINCT h) * 1.0 / count(*)", 4)} AS dup_rate
+       |FROM hashed GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), graft.text.TextAnalysis.normalizedHash(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("h").as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") * 1.0 / col("n_docs"), 4).as("dup_rate"))
+  }
+
+  /** E19 — z-score anomaly flags: events whose value sits > 3σ from the
+    * event-type mean — the data-quality outlier pass. Two-phase: tiny
+    * per-type stats (partial-aggregable), broadcast back over the fact
+    * scan — the stats join never shuffles the facts at any scale. */
+  val e19ZscoreAnomaly = q("e19_zscore_anomaly",
+    s"""WITH stats AS (
+       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_id, e.event_type,
+       |       ${rnd("(e.value - s.mu) / s.sigma", 4)} AS zscore,
+       |       CAST(abs((e.value - s.mu) / s.sigma) > 3.0 AS BOOLEAN) AS is_anomaly
+       |FROM events e JOIN stats s ON e.event_type = s.event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("zscore"),
+        (abs((col("value") - col("mu")) / col("sigma")) > 3.0).as("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(j11TemporalLookup, a16ArgmaxFamily,
-    t13ConfusionMatrix, f26BitwiseAgg)
+    t13ConfusionMatrix, f26BitwiseAgg, d9Contamination, t14DupRateBySource,
+    e19ZscoreAnomaly)
 }
