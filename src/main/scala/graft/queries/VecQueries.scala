@@ -152,5 +152,34 @@ object VecQueries {
       .select("id_a", "id_b", "cos")
   }
 
-  val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn, v4EmbeddingNearDup)
+  /** V8 — ANN recall evaluation: recall@5 of the LSH index (v3) against
+    * the brute-force ground truth (v1), per query — the quality metric
+    * that justifies (or rejects) an index at 100 TB. Composes the two
+    * already-verified queries verbatim (Spark: their DataFrames; oracle:
+    * their SQL as derived tables), so the eval measures exactly what the
+    * battery ships. */
+  val v8AnnRecall = q("v8_ann_recall",
+    s"""SELECT e.query_id,
+       |       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(a.neighbor_id) / 5.0 AS DOUBLE) AS recall_at_5
+       |FROM (${v1BruteTopK.oracle.get}) e
+       |LEFT JOIN (${v3LshAnn.oracle.get}) a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin) { (s, d) =>
+    val exact = v1BruteTopK.fn(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = v3LshAnn.fn(s, d)
+      .select(col("query_id"), col("neighbor_id").as("ann_id"))
+      .withColumn("hit", lit(1))
+    exact.join(approx,
+        exact("query_id") === approx("query_id") &&
+          col("neighbor_id") === col("ann_id"), "left")
+      .drop(approx("query_id"))
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") / 5.0).as("recall_at_5"))
+  }
+
+  val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn, v4EmbeddingNearDup,
+    v8AnnRecall)
 }
