@@ -86,6 +86,169 @@ object Extended6 {
           col("m").cast("string")).as("segment"))
   }
 
+  private def toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+
+  private val tokCte =
+    """  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents""".stripMargin
+
+  /** T15 — TF-IDF: the classic relevance weight, computed as three
+    * partial-aggregable passes — (doc,token) term counts, token document
+    * frequency, corpus size — joined back and combined scan-side. Both
+    * aggregations get map-side combine; the 1-row corpus count is
+    * broadcast. Token skew (stopwords) is absorbed by partial aggregation,
+    * not a hot reducer. */
+  val t15Tfidf = q("t15_tfidf",
+    s"""WITH tok AS (
+       |$tokCte),
+       |tf AS (SELECT doc_id, len(t) AS dlen, unnest(t) AS token FROM tok),
+       |c AS (SELECT doc_id, token, any_value(dlen) AS dlen, count(*) AS tf
+       |      FROM tf GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM c GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM documents)
+       |SELECT c.doc_id, c.token, CAST(c.tf AS BIGINT) AS tf,
+       |       CAST(df.df AS BIGINT) AS df,
+       |       ${rnd("(c.tf / c.dlen) * ln(n.n / df.df)", 6)} AS tfidf
+       |FROM c JOIN df ON c.token = df.token CROSS JOIN n""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val c = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), size(col("t")).as("dlen"), explode(col("t")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(first("dlen").as("dlen"), count(lit(1)).as("tf"))
+    val dfreq = c.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    c.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round((col("tf") / col("dlen")) * log(col("n") / col("df")), 6).as("tfidf"))
+  }
+
+  /** T16 — skip-gram pair extraction (offsets 1 and 2), the co-occurrence
+    * statistic embedding training feeds on. Pairs are generated
+    * ARRAY-LOCALLY (transform over positions) — no positional self-join,
+    * so the only shuffle is the final pair-count aggregation, and the
+    * work per document is linear in its token count. */
+  val t16Skipgrams = q("t16_skipgrams",
+    s"""WITH tok AS (
+       |$tokCte),
+       |p AS (
+       |  SELECT unnest(list_concat(
+       |    CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+       |         ELSE list_transform(generate_series(1, len(t) - 1),
+       |                             i -> t[i] || ' ' || t[i + 1]) END,
+       |    CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+       |         ELSE list_transform(generate_series(1, len(t) - 2),
+       |                             i -> t[i] || ' ' || t[i + 2]) END)) AS pair
+       |  FROM tok)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1 HAVING count(*) >= 5""".stripMargin) { (s, d) =>
+    def grams(off: Int) =
+      when(size(col("t")) <= off, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("t")) - off),
+          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + off))))
+    Tables.documents(s, d).select(toks.as("t"))
+      .select(explode(concat(grams(1), grams(2))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 5)
+  }
+
+  /** T18 — inverted index build: token → document frequency + the head of
+    * the sorted posting list. Distinct (token, doc) pairs aggregate with
+    * map-side combine; posting lists are truncated to 5 AFTER a numeric
+    * sort so the output is deterministic and bounded per token even when
+    * a stopword matches every document in the corpus. */
+  val t18InvertedIndex = q("t18_inverted_index",
+    s"""WITH tok AS (
+       |$tokCte),
+       |w AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM tok)
+       |SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |       array_to_string(list_transform(list_sort(list(doc_id))[1:5],
+       |                                      v -> CAST(v AS VARCHAR)), ',') AS posting_head
+       |FROM w GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(slice(array_sort(collect_list(col("doc_id"))), 1, 5),
+          v => v.cast("string"))).as("posting_head"))
+  }
+
+  /** F29 — map-type function family: per-document term-frequency MAP built
+    * scan-locally (map_from_entries over the distinct-token array), probed
+    * with element_at, filtered with map_filter — zero shuffles, the whole
+    * row stays inside whole-stage codegen. The oracle states the same
+    * semantics relationally (DuckDB's map surface differs). */
+  val f29MapKitchen = q("f29_map_kitchen",
+    s"""WITH tok AS (
+       |$tokCte),
+       |w AS (SELECT doc_id, unnest(t) AS token FROM tok),
+       |c AS (SELECT doc_id, token, count(*) AS n FROM w GROUP BY 1, 2),
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS vocab,
+       |             CAST(count(*) FILTER (n > 1) AS BIGINT) AS n_rep,
+       |             CAST(coalesce(sum(n) FILTER (token = 'the'), 0) AS BIGINT) AS the_n
+       |      FROM c GROUP BY 1)
+       |SELECT d.doc_id, coalesce(g.vocab, 0) AS vocab,
+       |       coalesce(g.n_rep, 0) AS n_rep, coalesce(g.the_n, 0) AS the_n
+       |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id""".stripMargin) { (s, d) =>
+    val t = toks
+    val m = map_from_entries(transform(array_distinct(t),
+      w => struct(w, size(filter(t, x => x === w)).cast("long"))))
+    Tables.documents(s, d).select(col("doc_id"), m.as("m"))
+      .select(col("doc_id"),
+        size(map_keys(col("m"))).cast("long").as("vocab"),
+        size(map_filter(col("m"), (_, v) => v > 1)).cast("long").as("n_rep"),
+        coalesce(element_at(col("m"), "the"), lit(0L)).as("the_n"))
+  }
+
+  /** F30 — array set-operation family (intersect / except / union /
+    * overlap) of each document's distinct-token array against a literal
+    * stop-list: the membership calculus of token-level filtering, all
+    * scan-side with no shuffle. Sizes, not arrays, are output so the
+    * comparison is element-order-independent. */
+  val f30ArraySetops = q("f30_array_setops",
+    s"""WITH tok AS (
+       |$tokCte),
+       |a AS (SELECT doc_id, list_distinct(t) AS a,
+       |             ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'] AS st
+       |      FROM tok)
+       |SELECT doc_id,
+       |       CAST(len(list_filter(a, x -> list_contains(st, x))) AS INT) AS n_common,
+       |       CAST(len(list_filter(a, x -> NOT list_contains(st, x))) AS INT) AS n_only,
+       |       CAST(len(list_distinct(list_concat(a, st))) AS INT) AS n_union,
+       |       len(list_filter(a, x -> list_contains(st, x))) > 0 AS has_stop
+       |FROM a""".stripMargin) { (s, d) =>
+    val st = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks).as("a"), st.as("st"))
+      .select(col("doc_id"),
+        size(array_intersect(col("a"), col("st"))).as("n_common"),
+        size(array_except(col("a"), col("st"))).as("n_only"),
+        size(array_union(col("a"), col("st"))).as("n_union"),
+        arrays_overlap(col("a"), col("st")).as("has_stop"))
+  }
+
+  /** T17 — class-balance report with Shannon entropy contribution: the
+    * label-distribution audit run before any training job. One grouped
+    * count (map-side combined), then the share/entropy math over the
+    * few-row language table — the unbounded window is fine precisely
+    * because it runs on the aggregate, never the corpus. */
+  val t17LabelEntropy = q("t17_label_entropy",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1)
+       |SELECT lang, CAST(n AS BIGINT) AS n,
+       |       ${rnd("n / sum(n) OVER ()", 6)} AS share,
+       |       ${rnd("-(n / sum(n) OVER ()) * log2(n / sum(n) OVER ())", 6)} AS bits
+       |FROM c""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        round(col("n") / sum("n").over(w), 6).as("share"),
+        round(-(col("n") / sum("n").over(w)) * log2(col("n") / sum("n").over(w)), 6)
+          .as("bits"))
+  }
+
   val all: Seq[Q] = Seq(f28ConditionalFamily, u4SchemaEvolutionUnion,
-    g4RfmSegmentation)
+    g4RfmSegmentation, t15Tfidf, t16Skipgrams, t18InvertedIndex,
+    f29MapKitchen, f30ArraySetops, t17LabelEntropy)
 }
