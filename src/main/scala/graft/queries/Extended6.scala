@@ -248,7 +248,127 @@ object Extended6 {
           .as("bits"))
   }
 
+  /** T19 — intra-document repetition filters (the Gopher-rule family):
+    * duplicate-bigram fraction and top-bigram mass, with a keep flag at
+    * the published 0.2/0.1 style thresholds. Entirely array-local per
+    * row — zero shuffles, linear scan; the O(u²) distinct-count inner
+    * loop is bounded by per-document vocabulary, not corpus size. */
+  val t19RepetitionFilters = q("t19_repetition_filters",
+    s"""WITH tok AS (
+       |$tokCte),
+       |b AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+       |              ELSE list_transform(generate_series(1, len(t) - 1),
+       |                                  i -> t[i] || ' ' || t[i + 1]) END AS b
+       |  FROM tok)
+       |SELECT doc_id, CAST(len(b) AS BIGINT) AS n_bi,
+       |       ${rnd("(len(b) - len(list_distinct(b))) / nullif(len(b), 0)", 6)} AS dup_frac,
+       |       ${rnd("list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) / nullif(len(b), 0)", 6)} AS top_frac,
+       |       (len(b) - len(list_distinct(b))) / nullif(len(b), 0) <= 0.2
+       |         AND list_max(list_transform(list_distinct(b),
+       |               g -> len(list_filter(b, x -> x = g)))) / nullif(len(b), 0) <= 0.1
+       |         AS keep
+       |FROM b""".stripMargin) { (s, d) =>
+    val bi = when(size(col("t")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+    val nb = size(col("b"))
+    val dupFrac = (nb - size(array_distinct(col("b")))) / nullif(nb, lit(0))
+    val topFrac = array_max(transform(array_distinct(col("b")),
+      g => size(filter(col("b"), x => x === g)))) / nullif(nb, lit(0))
+    Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), bi.as("b"))
+      .select(col("doc_id"), nb.cast("long").as("n_bi"),
+        round(dupFrac, 6).as("dup_frac"), round(topFrac, 6).as("top_frac"),
+        (dupFrac <= 0.2 && topFrac <= 0.1).as("keep"))
+  }
+
+  /** T20 — sequence packing: stream documents per source in doc_id order
+    * into fixed 1000-token bins (bin id + intra-bin offset from an
+    * EXCLUSIVE running sum). The window partitions by source, so state
+    * per task is one running counter and packing parallelizes across
+    * sources/shards at 100 TB — integer math only, no FP drift. */
+  val t20SequencePacking = q("t20_sequence_packing",
+    """WITH n AS (
+      |  SELECT doc_id, source,
+      |         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, n_tok,
+      |         coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumx
+      |  FROM n)
+      |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+      |       CAST(cumx // 1000 AS BIGINT) AS bin,
+      |       CAST(cumx % 1000 AS BIGINT) AS off
+      |FROM p""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+      .withColumn("cumx", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("cumx div 1000").as("bin"), (col("cumx") % 1000).as("off"))
+  }
+
+  /** E21 — robust outlier flags via median/MAD (the skew-immune z-score):
+    * two exact-percentile grouped passes over the fact, each joined back
+    * by BROADCAST (the per-type stats table is tiny), so the fact is
+    * scanned, never shuffled. At 100 TB swap `percentile` for the
+    * approx_percentile sketch — same plan shape. */
+  val e21MadOutliers = q("e21_mad_outliers",
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |mad AS (
+       |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+       |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+       |SELECT e.event_id, e.event_type,
+       |       ${rnd("0.6745 * (e.value - m.med) / nullif(d.mad, 0)", 5)} AS robust_z,
+       |       abs(0.6745 * (e.value - m.med) / nullif(d.mad, 0)) > 3.5 AS is_outlier
+       |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    val z = lit(0.6745) * (col("value") - col("med")) / nullif(col("mad"), lit(0.0))
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(z, 5).as("robust_z"), (abs(z) > 3.5).as("is_outlier"))
+  }
+
+  /** V9 — per-label feature scaling: min-max normalization and
+    * standardization of a projected embedding coordinate against
+    * label-level stats. One partial-aggregable stats pass, broadcast
+    * back over the corpus scan — the normalize step every feature
+    * pipeline runs before training. */
+  val v9FeatureScaling = q("v9_feature_scaling",
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding[1] AS DOUBLE) AS c1 FROM embeddings),
+       |st AS (
+       |  SELECT label, min(c1) AS mn, max(c1) AS mx,
+       |         avg(c1) AS av, stddev_samp(c1) AS sd
+       |  FROM v GROUP BY 1)
+       |SELECT v.vec_id, v.label,
+       |       ${rnd("(v.c1 - st.mn) / nullif(st.mx - st.mn, 0)", 6)} AS minmax,
+       |       ${rnd("(v.c1 - st.av) / nullif(st.sd, 0)", 6)} AS zscore
+       |FROM v JOIN st USING (label)""".stripMargin) { (s, d) =>
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        element_at(col("embedding"), 1).cast("double").as("c1"))
+    val st = v.groupBy("label").agg(min("c1").as("mn"), max("c1").as("mx"),
+      avg("c1").as("av"), stddev_samp("c1").as("sd"))
+    v.join(broadcast(st), "label")
+      .select(col("vec_id"), col("label"),
+        round((col("c1") - col("mn")) / nullif(col("mx") - col("mn"), lit(0.0)), 6)
+          .as("minmax"),
+        round((col("c1") - col("av")) / nullif(col("sd"), lit(0.0)), 6).as("zscore"))
+  }
+
   val all: Seq[Q] = Seq(f28ConditionalFamily, u4SchemaEvolutionUnion,
     g4RfmSegmentation, t15Tfidf, t16Skipgrams, t18InvertedIndex,
-    f29MapKitchen, f30ArraySetops, t17LabelEntropy)
+    f29MapKitchen, f30ArraySetops, t17LabelEntropy, t19RepetitionFilters,
+    t20SequencePacking, e21MadOutliers, v9FeatureScaling)
 }
