@@ -140,6 +140,35 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("skip-gram extraction pays at most one shuffle (array-local pairs)") {
+    val p = plan("t16_skipgrams")
+    // pairs are generated inside the scan projection; the only Exchange is
+    // the pair-count aggregation (elided entirely on a single-partition
+    // input) — a positional self-join would add more
+    assert(count(p, "Exchange") <= 1,
+      s"expected at most 1 shuffle, got ${count(p, "Exchange")}:\n$p")
+    assert(!p.contains("Join"), s"pairs must be array-local, not a join:\n$p")
+  }
+
+  test("broadcast-stats operators never shuffle-join the fact") {
+    // per-group stats joined back to the scan must plan as broadcast
+    for (q <- Seq("e21_mad_outliers", "v9_feature_scaling", "t15_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+    }
+    // v9's fact side never shuffles: stats broadcast over the scan
+    val p9 = plan("v9_feature_scaling")
+    assert(count(p9, "Exchange") <= 1, s"v9 over-shuffles:\n$p9")
+  }
+
+  test("scan-local text filters pay zero shuffles") {
+    for (q <- Seq("t19_repetition_filters", "f29_map_kitchen",
+        "f30_array_setops")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
   test("dynamic partition pruning reaches a partitioned fact scan") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
