@@ -26,10 +26,24 @@ object Bench {
     // amortize to zero at scale — steady-state throughput is the honest
     // engine number. Disable with SPARK_GRAFT_WARMUP=0.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+    // clean-slate between executions: queries that materialize a stage
+    // boundary (localCheckpoint) leave storage blocks behind, and the
+    // ContextCleaner only frees them on a driver GC — which a large heap
+    // may never run. Left in place, each battery pass accumulates blocks
+    // that squeeze execution memory and skew later queries' timings.
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def cleanSlate(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline(id)) rdd.unpersist(blocking = true)
+      }
+    }
     val results = selected.map { case (name, fn) =>
       (0 until warmups).foreach { _ =>
+        cleanSlate()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       }
+      cleanSlate()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

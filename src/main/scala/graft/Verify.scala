@@ -19,6 +19,10 @@ object Verify {
     // driver always runs the full battery)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // free storage blocks a query's localCheckpoint left behind before the
+    // next query runs — the ContextCleaner only does so on a driver GC,
+    // and 120 queries of leaked blocks in one JVM squeeze execution memory
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet.toSet
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +30,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline(id)) rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
