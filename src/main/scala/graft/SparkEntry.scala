@@ -28,7 +28,8 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     Relational.all ++ Scalars.all ++ TextQueries.all ++ VecQueries.all ++
       EventQueries.all ++ Extended.all ++ Analytics2.all ++ Training2.all ++
-      Extended3.all ++ Extended4.all ++ Extended5.all ++ Extended6.all
+      Extended3.all ++ Extended4.all ++ Extended5.all ++ Extended6.all ++
+      Extended7.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. One epoch of
     * the reference pipeline re-shaped onto the star schema: pushdown scan →
