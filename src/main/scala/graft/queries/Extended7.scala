@@ -246,7 +246,141 @@ object Extended7 {
         round(sum("o_totalprice").over(w) / col("tot"), 6).as("cum_share"))
   }
 
+  /** D10 — train/test distribution-drift screen: length-histogram shares
+    * of the two hash-split halves compared bin-by-bin (the KS-style check
+    * run before accepting a split). One grouped count with conditional
+    * aggregation + a broadcast 1-row total — two tiny shuffles. */
+  val d10SplitDrift = q("d10_split_drift",
+    s"""WITH s AS (
+       |  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+       |              THEN 'train' ELSE 'test' END AS split,
+       |         n_chars // 100 AS bin
+       |  FROM documents),
+       |c AS (SELECT bin, count(*) FILTER (split = 'train') AS ntr,
+       |             count(*) FILTER (split = 'test') AS nte
+       |      FROM s GROUP BY 1),
+       |t AS (SELECT sum(ntr) AS ttr, sum(nte) AS tte FROM c)
+       |SELECT bin, CAST(ntr AS BIGINT) AS ntr, CAST(nte AS BIGINT) AS nte,
+       |       ${rnd("ntr / ttr", 6)} AS train_share,
+       |       ${rnd("nte / tte", 6)} AS test_share,
+       |       ${rnd("abs(ntr / ttr - nte / tte)", 6)} AS drift
+       |FROM c CROSS JOIN t""".stripMargin) { (s, d) =>
+    val split = when(substring(md5(col("doc_id").cast("string")), 1, 1) < "8",
+      "train").otherwise("test")
+    val c = Tables.documents(s, d)
+      .select(split.as("split"), expr("n_chars div 100").as("bin"))
+      .groupBy("bin")
+      .agg(count(when(col("split") === "train", 1)).as("ntr"),
+        count(when(col("split") === "test", 1)).as("nte"))
+    val t = c.agg(sum("ntr").as("ttr"), sum("nte").as("tte"))
+    c.crossJoin(broadcast(t))
+      .select(col("bin"), col("ntr"), col("nte"),
+        round(col("ntr") / col("ttr"), 6).as("train_share"),
+        round(col("nte") / col("tte"), 6).as("test_share"),
+        round(abs(col("ntr") / col("ttr") - col("nte") / col("tte")), 6)
+          .as("drift"))
+  }
+
+  /** F33 — text normalization pipeline: lowercase → trim → strip
+    * non-alphanumerics → collapse runs of whitespace → slug. The
+    * canonicalization pass that precedes exact dedup (d1 hashes THIS,
+    * not raw text, in production). Pure codegen'd scan work. */
+  val f33TextNormalize = q("f33_text_normalize",
+    """SELECT doc_id,
+      |       regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |                      ' +', ' ', 'g') AS norm,
+      |       replace(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |                              ' +', ' ', 'g'), ' ', '-') AS slug,
+      |       CAST(length(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |                                  ' +', ' ', 'g')) AS INT) AS n_chars_norm
+      |FROM documents""".stripMargin) { (s, d) =>
+    val norm = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +", " ")
+    Tables.documents(s, d).select(col("doc_id"), norm.as("norm"),
+      regexp_replace(norm, " ", "-").as("slug"),
+      length(norm).cast("int").as("n_chars_norm"))
+  }
+
+  /** P9 — cluster (block) sampling: keep ALL events of a deterministic
+    * 25% of users — when rows within a key are correlated, row sampling
+    * (t5/p6) biases per-key statistics; key sampling preserves them.
+    * Scan-side hash filter, no shuffle, pushdown-friendly. */
+  val p9UserClusterSample = q("p9_user_cluster_sample",
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '4'""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .where(substring(md5(col("user_id").cast("string")), 1, 1) < "4")
+      .select("event_id", "user_id", "event_type")
+  }
+
+  /** V10 — partition label-noise report: bucket vectors into sign-bit
+    * cells, take each cell's majority label (deterministic tie-break),
+    * and report the disagreement rate — the "is this cluster coherent"
+    * screen run over candidate training labels. Cell stats are tiny;
+    * everything partial-aggregates. */
+  val v10CellLabelNoise = q("v10_cell_label_noise",
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |         (CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 2 ELSE 0 END
+       |        + CASE WHEN CAST(embedding[2] AS DOUBLE) > 0 THEN 1 ELSE 0 END) AS cell
+       |  FROM embeddings),
+       |c AS (SELECT cell, label, count(*) AS n FROM v GROUP BY 1, 2),
+       |t AS (SELECT cell, sum(n) AS tot FROM c GROUP BY 1),
+       |m AS (SELECT cell, label AS maj_label, n AS maj_n FROM (
+       |        SELECT cell, label, n, row_number() OVER (
+       |          PARTITION BY cell ORDER BY n DESC, label) AS rk FROM c)
+       |      WHERE rk = 1)
+       |SELECT CAST(m.cell AS INT) AS cell, CAST(m.maj_label AS INT) AS maj_label,
+       |       CAST(t.tot AS BIGINT) AS n_vecs,
+       |       ${rnd("1 - m.maj_n / t.tot", 6)} AS noise_rate
+       |FROM m JOIN t USING (cell)""".stripMargin) { (s, d) =>
+    val cell = (when(element_at(col("embedding"), 1).cast("double") > 0, 2)
+      .otherwise(0)
+      + when(element_at(col("embedding"), 2).cast("double") > 0, 1).otherwise(0))
+    val c = Tables.embeddings(s, d).select(cell.as("cell"), col("label"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("cell").agg(sum("n").as("tot"))
+    val m = c.withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("n").desc, col("label"))))
+      .where(col("rk") === 1)
+      .select(col("cell"), col("label").as("maj_label"), col("n").as("maj_n"))
+    m.join(t, "cell")
+      .select(col("cell").cast("int").as("cell"),
+        col("maj_label").cast("int").as("maj_label"),
+        col("tot").as("n_vecs"),
+        round(lit(1) - col("maj_n") / col("tot"), 6).as("noise_rate"))
+  }
+
+  /** E25 — time-since-marker: seconds since the user's last PRIOR
+    * purchase at every event (running max over a marker timestamp,
+    * exclusive frame) — the recency feature and "events since
+    * conversion" segmentation in one window. One shuffle on user. */
+  val e25SinceMarker = q("e25_since_marker",
+    s"""WITH x AS (
+       |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us,
+       |         max(CASE WHEN event_type = 'purchase'
+       |                  THEN epoch_us(ts::TIMESTAMP) END) OVER (
+       |           PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mark_us
+       |  FROM events)
+       |SELECT event_id, user_id,
+       |       ${rnd("(us - mark_us) / 1000000.0", 4)} AS since_s,
+       |       mark_us IS NOT NULL AS had_prior_purchase
+       |FROM x""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("mark_us",
+        max(when(col("event_type") === "purchase", col("us"))).over(w))
+      .select(col("event_id"), col("user_id"),
+        round((col("us") - col("mark_us")) / 1000000.0, 4).as("since_s"),
+        col("mark_us").isNotNull.as("had_prior_purchase"))
+  }
+
   val all: Seq[Q] = Seq(a17ChiSquare, w10DebounceDedup, w11TopkPerGroup,
     e22InterEventGaps, g5FirstTouch, g6Covisitation, f31ValidationTags,
-    f32RowHash, w12ShareOfTotal)
+    f32RowHash, w12ShareOfTotal, d10SplitDrift, f33TextNormalize,
+    p9UserClusterSample, v10CellLabelNoise, e25SinceMarker)
 }
