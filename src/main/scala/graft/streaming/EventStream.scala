@@ -66,6 +66,33 @@ object EventStream {
       }
   }
 
+  case class DebEvent(user_id: Long, event_type: String, event_id: Long,
+    tsMicros: Long)
+
+  /** W10 streaming — debounce dedup via flatMapGroupsWithState: an event
+    * is emitted iff the previous event of the same (user, type) — emitted
+    * or suppressed — is at least `ttlMicros` older, exactly the batch
+    * w10_debounce_dedup lag semantics. State per key is ONE long (the
+    * last-seen timestamp), so state size is bounded by key cardinality,
+    * not traffic. */
+  def debounce(events: Dataset[DebEvent],
+      ttlMicros: Long = 600L * 1000000): Dataset[DebEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, DebEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, String), rows: Iterator[DebEvent], state: GroupState[Long]) =>
+          var prev = state.getOption
+          val out = rows.toList.sortBy(e => (e.tsMicros, e.event_id)).flatMap { e =>
+            val keep = prev.forall(p => e.tsMicros - p >= ttlMicros)
+            prev = Some(e.tsMicros)
+            if (keep) Some(e) else None
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** J1 streaming — stream-static broadcast enrichment: the reference's
     * per-row channel-name lookup (dataingestion1.py:129-133) as a
     * streaming micro-batch joined against a static broadcast dimension.

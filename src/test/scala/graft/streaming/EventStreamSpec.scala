@@ -70,6 +70,33 @@ class EventStreamSpec extends SparkSuite {
   }
 
 
+  test("debounce suppresses within-TTL events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[EventStream.DebEvent]
+    val q = EventStream.debounce(input.toDS(), ttlMicros = 600L * 1000000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("debounce_out").start()
+    val t0 = 1700000000000000L
+    input.addData(
+      EventStream.DebEvent(1L, "click", 10L, t0),                    // keep (first)
+      EventStream.DebEvent(1L, "click", 11L, t0 + 100L * 1000000),   // drop (<600s)
+      EventStream.DebEvent(1L, "view", 12L, t0 + 200L * 1000000),    // keep (other type)
+      EventStream.DebEvent(2L, "click", 13L, t0 + 300L * 1000000))   // keep (other user)
+    q.processAllAvailable()
+    input.addData(
+      // 500s after event 11 (the SUPPRESSED one) — still inside its TTL:
+      // lag semantics measure from the last SEEN, not last EMITTED
+      EventStream.DebEvent(1L, "click", 14L, t0 + 600L * 1000000),
+      // 900s after event 14 — clear of the TTL
+      EventStream.DebEvent(1L, "click", 15L, t0 + 1500L * 1000000))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("debounce_out").as[EventStream.DebEvent]
+      .collect().map(_.event_id).sorted.toSeq
+    assert(kept == Seq(10L, 12L, 13L, 15L))
+  }
+
   test("stream-static broadcast enrichment with default for misses") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "user_name")
