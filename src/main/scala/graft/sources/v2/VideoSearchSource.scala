@@ -77,13 +77,52 @@ class VideoTable(path: String) extends Table with SupportsRead {
 
 class VideoScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Schemas.videoRaw
   private var limit: Option[Int] = None
   private var topNDesc = false
+  private var agg: Option[(Seq[String], Seq[String])] = None // (group cols, agg tags)
+
+  /** COUNT(*) / MIN(published_at) / MAX(published_at), optionally grouped
+    * by channel_id — the stats the "API" can answer without shipping rows
+    * (the analytics-report shape of dataprocessing.py:87-97). Complete
+    * pushdown: Spark plans NO aggregate of its own on top. */
+  private def translate(a: Aggregation): Option[(Seq[String], Seq[String])] = {
+    val groups = a.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames.sameElements(Array("channel_id")) =>
+        "channel_id"
+      case _ => return None
+    }
+    val tags = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => "count"
+      case m: Min => m.column match {
+        case nr: NamedReference if nr.fieldNames.sameElements(Array("published_at")) =>
+          "min_pub"
+        case _ => return None
+      }
+      case m: Max => m.column match {
+        case nr: NamedReference if nr.fieldNames.sameElements(Array("published_at")) =>
+          "max_pub"
+        case _ => return None
+      }
+      case _ => return None
+    }
+    Some((groups, tags))
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translate(a).isDefined
+  override def pushAggregation(a: Aggregation): Boolean = {
+    translate(a) match {
+      case some @ Some(_) => agg = some; true
+      case None => false
+    }
+  }
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo("channel_id", _: String) => true
@@ -91,6 +130,10 @@ class VideoScanBuilder(path: String) extends ScanBuilder
     case GreaterThanOrEqual("published_at", _: String) => true
     case LessThan("published_at", _: String) => true
     case LessThanOrEqual("published_at", _: String) => true
+    // the "API" never returns null ids/dates for matched rows; absorbing
+    // the null guard keeps the scan residual-free, which is what lets a
+    // later aggregate push down completely
+    case IsNotNull("channel_id" | "published_at") => true
     case _ => false
   }
 
@@ -123,20 +166,34 @@ class VideoScanBuilder(path: String) extends ScanBuilder
   override def isPartiallyPushed(): Boolean = false
 
   override def build(): Scan =
-    new VideoScan(path, pushed, required, limit, topNDesc)
+    new VideoScan(path, pushed, required, limit, topNDesc, agg)
 }
 
 class VideoScan(path: String, pushed: Array[Filter], required: StructType,
-    limit: Option[Int], topNDesc: Boolean) extends Scan with Batch {
+    limit: Option[Int], topNDesc: Boolean,
+    agg: Option[(Seq[String], Seq[String])] = None) extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
   private val pageSize = 50 // maxResults=50, dataingestion1.py:78
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg match {
+    case Some((groups, tags)) => StructType(
+      groups.map(g => StructField(g, StringType)) ++
+        tags.map {
+          case "count" => StructField("count", LongType, nullable = false)
+          case "min_pub" => StructField("min_pub", StringType)
+          case "max_pub" => StructField("max_pub", StringType)
+        })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-videos PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedTopN: published_at ${if (topNDesc) "DESC" else "ASC"} LIMIT $l, ")
         .getOrElse("") +
-      s"ReadSchema: ${required.simpleString}"
+      agg.map { case (g, t) =>
+        s"PushedAggregates: [${t.mkString(", ")}] GroupBy: [${g.mkString(", ")}], "
+      }.getOrElse("") +
+      s"ReadSchema: ${readSchema().simpleString}"
 
   private def keep(r: VideoRow): Boolean = pushed.forall {
     case EqualTo("channel_id", v: String) => r.channelId == v
@@ -148,19 +205,52 @@ class VideoScan(path: String, pushed: Array[Filter], required: StructType,
       r.publishedAt != null && r.publishedAt < v
     case LessThanOrEqual("published_at", v: String) =>
       r.publishedAt != null && r.publishedAt <= v
+    case IsNotNull("channel_id") => r.channelId != null
+    case IsNotNull("published_at") => r.publishedAt != null
     case _ => true
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // "API" does filtering + order:date server-side; one partition per page
-    val sorted = VideoCatalog.load(path).filter(keep)
-      .sortBy(r => (Option(r.publishedAt).getOrElse(""), r.ingestSeq))
-    val ordered = if (topNDesc) sorted.reverse else sorted
-    val rows = limit.fold(ordered)(ordered.take)
-    rows.grouped(pageSize).map(p => VideoPage(p.toArray): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some((groups, tags)) =>
+      // the "API's" server-side report: one aggregated row per group
+      val data = VideoCatalog.load(path).filter(keep)
+      val grouped: Seq[(Seq[String], Seq[VideoRow])] =
+        if (groups.isEmpty) Seq(Seq.empty -> data)
+        else data.groupBy(r => Seq(r.channelId)).toSeq.sortBy(_._1.mkString)
+      val rows = grouped.map { case (key, rs) =>
+        val pubs = rs.flatMap(r => Option(r.publishedAt))
+        (key.map(k => if (k == null) null else UTF8String.fromString(k)) ++
+          tags.map {
+            case "count" => rs.size.toLong
+            case "min_pub" => pubs.minOption.map(UTF8String.fromString).orNull
+            case "max_pub" => pubs.maxOption.map(UTF8String.fromString).orNull
+          }).toArray[Any]
+      }
+      Array(VideoAggPage(rows.toArray))
+    case None =>
+      // "API" does filtering + order:date server-side; one partition per page
+      val sorted = VideoCatalog.load(path).filter(keep)
+        .sortBy(r => (Option(r.publishedAt).getOrElse(""), r.ingestSeq))
+      val ordered = if (topNDesc) sorted.reverse else sorted
+      val rows = limit.fold(ordered)(ordered.take)
+      rows.grouped(pageSize).map(p => VideoPage(p.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new VideoReaderFactory(required)
+    if (agg.isDefined) new VideoAggReaderFactory else new VideoReaderFactory(required)
+}
+
+final case class VideoAggPage(rows: Array[Array[Any]]) extends InputPartition
+
+class VideoAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val page = partition.asInstanceOf[VideoAggPage]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < page.rows.length }
+      override def get(): InternalRow = new GenericInternalRow(page.rows(i))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class VideoPage(rows: Array[VideoRow]) extends InputPartition

@@ -29,8 +29,10 @@ class VideoSearchSourceSpec extends SparkSuite {
 
     val planDesc = viaSource.where(pred).queryExecution.executedPlan.toString
     assert(planDesc.contains("graft-videos"))
-    assert(planDesc.contains("PushedFilters: [EqualTo(channel_id,UC002)"),
+    assert(planDesc.contains("EqualTo(channel_id,UC002)"),
       s"plan was:\n$planDesc")
+    // every predicate (incl. the null guards) absorbed: no residual Filter
+    assert(!planDesc.contains("isnotnull"), s"plan was:\n$planDesc")
   }
 
   test("column pruning reaches the reader (part=snippet analog)") {
@@ -64,6 +66,42 @@ class VideoSearchSourceSpec extends SparkSuite {
     val planDesc = lim.queryExecution.executedPlan.toString
     assert(planDesc.contains("LIMIT 3"), s"plan was:\n$planDesc")
     assert(lim.collect().length == 3)
+  }
+
+  test("COUNT/MIN/MAX by channel push completely — no Spark-side aggregate") {
+    val a = viaSource.groupBy("channel_id")
+      .agg(count(lit(1)).as("n"), min("published_at").as("first_pub"),
+        max("published_at").as("last_pub"))
+    val planDesc = a.queryExecution.executedPlan.toString
+    assert(planDesc.contains("PushedAggregates: [count, min_pub, max_pub] " +
+      "GroupBy: [channel_id]"), s"plan was:\n$planDesc")
+    assert(!planDesc.contains("HashAggregate"),
+      s"aggregate not fully pushed:\n$planDesc")
+    val want = viaJson.groupBy("channel_id")
+      .agg(count(lit(1)).as("n"), min("published_at").as("first_pub"),
+        max("published_at").as("last_pub"))
+      .collect().map(_.toSeq).toSet
+    assert(a.collect().map(_.toSeq).toSet == want)
+  }
+
+  test("global COUNT(*) pushes; pushed filters still apply first") {
+    val pred = col("channel_id") === "UC002"
+    val a = viaSource.where(pred).agg(count(lit(1)).as("n"))
+    val planDesc = a.queryExecution.executedPlan.toString
+    assert(planDesc.contains("PushedAggregates: [count] GroupBy: []"),
+      s"plan was:\n$planDesc")
+    assert(a.collect().head.getLong(0) ==
+      viaJson.where(pred).count())
+  }
+
+  test("an aggregate the API cannot answer falls back to Spark") {
+    val a = viaSource.groupBy("channel_id").agg(sum("ingest_seq").as("s"))
+    val planDesc = a.queryExecution.executedPlan.toString
+    assert(!planDesc.contains("PushedAggregates"), s"plan was:\n$planDesc")
+    assert(planDesc.contains("HashAggregate"), s"plan was:\n$planDesc")
+    val want = viaJson.groupBy("channel_id").agg(sum("ingest_seq").as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(a.collect().map(_.toSeq).toSet == want)
   }
 
   test("a sort the API does not offer is NOT pushed; Spark sorts") {
