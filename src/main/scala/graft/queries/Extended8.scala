@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-2 widening, part 8: weighted statistics, grouped mode,
+  * symmetric difference with provenance, engagement stickiness
+  * (DAU/WAU), and the label-centroid distance matrix.
+  */
+object Extended8 {
+
+  /** A18 — weighted mean / variance per group (quantity-weighted price):
+    * single-pass algebraic form (Σwx, Σwx², Σw) so the whole thing
+    * partial-aggregates map-side — the two-pass textbook form would scan
+    * twice for no accuracy the 2-dp rounding can see. */
+  val a18WeightedStats = q("a18_weighted_stats",
+    s"""SELECT l_returnflag,
+       |       ${rnd("sum(l_quantity * l_extendedprice) / sum(l_quantity)", 2)} AS wmean,
+       |       ${rnd("sum(l_quantity * l_extendedprice * l_extendedprice) / sum(l_quantity) - pow(sum(l_quantity * l_extendedprice) / sum(l_quantity), 2)", 2)} AS wvar
+       |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    val swx = sum(col("l_quantity") * col("l_extendedprice"))
+    val swx2 = sum(col("l_quantity") * col("l_extendedprice") * col("l_extendedprice"))
+    val sw = sum(col("l_quantity"))
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(round(swx / sw, 2).as("wmean"),
+        round(swx2 / sw - pow(swx / sw, 2), 2).as("wvar"))
+  }
+
+  /** A19 — statistical mode per group with a deterministic tie-break
+    * (highest count, then lexicographic): counts then a rank-1 window —
+    * the idiom that makes "most frequent value" reproducible across
+    * engines and partitionings, unlike any_value/max_by ties. */
+  val a19ModePerGroup = q("a19_mode_per_group",
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority,
+      |       CAST(n AS BIGINT) AS n
+      |FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |             row_number() OVER (PARTITION BY o_orderstatus
+      |               ORDER BY count(*) DESC, o_orderpriority) AS rk
+      |      FROM orders GROUP BY 1, 2)
+      |WHERE rk = 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    Tables.orders(s, d).groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"))
+  }
+
+  /** U5 — symmetric difference with provenance: keys on exactly one side
+    * (customers who ordered but aren't high-balance, and vice versa),
+    * labeled with which side they came from — the reconciliation shape
+    * j7 gives for full rows, here at key granularity via one full-outer
+    * join of two pre-shrunk distinct sets. */
+  val u5SymmetricDiff = q("u5_symmetric_diff",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      |SELECT coalesce(a.k, b.k) AS custkey,
+      |       CASE WHEN b.k IS NULL THEN 'only_orders' ELSE 'only_highbal' END AS side
+      |FROM a FULL OUTER JOIN b ON a.k = b.k
+      |WHERE a.k IS NULL OR b.k IS NULL""".stripMargin) { (s, d) =>
+    val a = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+    val b = Tables.customer(s, d).where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k"))
+    a.as("a").join(b.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .where(col("a.k").isNull || col("b.k").isNull)
+      .select(coalesce(col("a.k"), col("b.k")).as("custkey"),
+        when(col("b.k").isNull, "only_orders").otherwise("only_highbal")
+          .as("side"))
+  }
+
+  /** E27 — engagement stickiness: daily active users joined to their
+    * week's weekly actives, DAU/WAU per day. Two exact distinct-count
+    * aggregations at different grains (each one shuffle over (grain,
+    * user) — swap in approx_count_distinct at 100 TB) and a broadcast
+    * join of the tiny week table. */
+  val e27DauWauStickiness = q("e27_dau_wau_stickiness",
+    s"""WITH d AS (
+       |  SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+       |         date_trunc('week', CAST(ts::TIMESTAMP AS DATE)) AS wk,
+       |         user_id
+       |  FROM events),
+       |dau AS (SELECT day, any_value(wk) AS wk, count(DISTINCT user_id) AS dau
+       |        FROM d GROUP BY day),
+       |wau AS (SELECT wk, count(DISTINCT user_id) AS wau FROM d GROUP BY 1)
+       |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+       |       CAST(wau.wau AS BIGINT) AS wau,
+       |       ${rnd("dau.dau / wau.wau", 6)} AS stickiness
+       |FROM dau JOIN wau ON dau.wk = wau.wk""".stripMargin) { (s, d) =>
+    val base = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        date_trunc("week", to_date(col("ts"))).as("wk"), col("user_id"))
+    val dau = base.groupBy("day")
+      .agg(first("wk").as("wk"), countDistinct("user_id").as("dau"))
+    val wau = base.groupBy("wk").agg(countDistinct("user_id").as("wau"))
+    dau.join(broadcast(wau), "wk")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"))
+  }
+
+  /** V11 — label-centroid distance matrix: mean-pooled centroids (v6's
+    * shape) self-joined on dimension to get pairwise L2 distances — the
+    * "are my classes separable" screen. Everything after the one
+    * explode-aggregate pass runs on labels×dims rows, which is tiny at
+    * any corpus scale. */
+  val v11CentroidDistances = q("v11_centroid_distances",
+    s"""WITH v AS (
+       |  SELECT label, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+       |c AS (SELECT label, i, avg(x) AS cx FROM v GROUP BY 1, 2)
+       |SELECT CAST(a.label AS INT) AS l1, CAST(b.label AS INT) AS l2,
+       |       ${rnd("sqrt(sum(pow(a.cx - b.cx, 2)))", 5)} AS dist
+       |FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val c = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(graft.vec.Similarity.asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).as("i"), col("col").as("x"))
+      .groupBy("label", "i").agg(avg("x").as("cx"))
+    c.as("a").join(c.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").cast("int").as("l1"),
+        col("b.label").cast("int").as("l2"))
+      .agg(round(sqrt(sum(pow(col("a.cx") - col("b.cx"), 2))), 5).as("dist"))
+  }
+
+  val all: Seq[Q] = Seq(a18WeightedStats, a19ModePerGroup, u5SymmetricDiff,
+    e27DauWauStickiness, v11CentroidDistances)
+}
