@@ -124,6 +124,73 @@ object Extended8 {
       .agg(round(sqrt(sum(pow(col("a.cx") - col("b.cx"), 2))), 5).as("dist"))
   }
 
+  /** W13 — running distinct count (cumulative unique items per user over
+    * time): a first-seen flag (rank-1 per (user, item)) summed by an
+    * ordered window — the exact streaming-compatible form of "how many
+    * distinct things has this key touched so far", without any
+    * set-valued state. Two windows over the same user partitioning, so
+    * Spark plans ONE shuffle and reuses the sort. */
+  val w13RunningDistinct = q("w13_running_distinct",
+    """WITH x AS (
+      |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us,
+      |         CAST(json_extract_string(props, '$.k') AS INT) AS item
+      |  FROM events),
+      |f AS (
+      |  SELECT event_id, user_id, us,
+      |         CASE WHEN lag(item) OVER (PARTITION BY user_id
+      |                ORDER BY item, us, event_id) IS DISTINCT FROM item
+      |              THEN 1 ELSE 0 END AS first_seen
+      |  FROM x)
+      |SELECT event_id, user_id,
+      |       CAST(sum(first_seen) OVER (PARTITION BY user_id
+      |         ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |         AS distinct_items_so_far
+      |FROM f""".stripMargin) { (s, d) =>
+    // both windows partition by user_id (different sort orders): one
+    // Exchange, two Sorts — a (user_id, item) first window would pay a
+    // second shuffle for nothing
+    val wFirst = Window.partitionBy("user_id")
+      .orderBy(col("item"), col("us"), col("event_id"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevItem = lag("item", 1).over(wFirst)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .withColumn("first_seen",
+        when(prevItem.isNull || prevItem =!= col("item"), 1).otherwise(0))
+      .select(col("event_id"), col("user_id"),
+        sum("first_seen").over(wRun).cast("long").as("distinct_items_so_far"))
+  }
+
+  /** E28 — fulfillment lag: days from order to FIRST ship across its
+    * lines, aggregated per priority. The per-order min is a
+    * partial-aggregable pre-shrink of the big side BEFORE the join —
+    * at 100 TB you join 1 row per order, not every lineitem. */
+  val e28FulfillmentLag = q("e28_fulfillment_lag",
+    s"""WITH fs AS (
+       |  SELECT l_orderkey, min(CAST(l_shipdate::TIMESTAMP AS DATE)) AS first_ship
+       |  FROM lineitem GROUP BY 1),
+       |lag_t AS (
+       |  SELECT o.o_orderpriority,
+       |         date_diff('day', CAST(o.o_orderdate::TIMESTAMP AS DATE), fs.first_ship) AS lag_days
+       |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey)
+       |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |       ${rnd("avg(lag_days)", 4)} AS avg_lag_days,
+       |       CAST(max(lag_days) AS BIGINT) AS max_lag_days
+       |FROM lag_t GROUP BY 1""".stripMargin) { (s, d) =>
+    val fs = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    Tables.orders(s, d).join(fs, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), to_date(col("o_orderdate"))).as("lag_days"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(avg("lag_days"), 4).as("avg_lag_days"),
+        max("lag_days").cast("long").as("max_lag_days"))
+  }
+
   val all: Seq[Q] = Seq(a18WeightedStats, a19ModePerGroup, u5SymmetricDiff,
-    e27DauWauStickiness, v11CentroidDistances)
+    e27DauWauStickiness, v11CentroidDistances, w13RunningDistinct,
+    e28FulfillmentLag)
 }

@@ -161,6 +161,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(count(p9, "Exchange") <= 1, s"v9 over-shuffles:\n$p9")
   }
 
+  test("running-distinct's two windows share one user_id shuffle") {
+    val p = plan("w13_running_distinct")
+    assert(count(p, "Exchange") <= 1,
+      s"first-seen window re-shuffles instead of re-sorting:\n$p")
+  }
+
   test("scan-local text filters pay zero shuffles") {
     for (q <- Seq("t19_repetition_filters", "f29_map_kitchen",
         "f30_array_setops")) {
