@@ -190,7 +190,72 @@ object Extended8 {
         max("lag_days").cast("long").as("max_lag_days"))
   }
 
+  /** D8 — SimHash near-dup DEGREE via pigeonhole banding: split the
+    * 16-bit signature (d4's) into 4 nibbles — any two signatures within
+    * Hamming distance 3 MUST agree on at least one nibble (pigeonhole),
+    * so candidate generation is a per-band bucket join (never all-pairs),
+    * then the exact popcount filter keeps true near-dups and the output
+    * aggregates to one row per document (neighbor count + closest
+    * distance): the emitted result stays linear in the corpus even when
+    * the pair set is pathologically dense (this synthetic vocab collides
+    * hard). The same shape carries a 64-bit simhash with 16-bit chunks
+    * at 100 TB. */
+  val d8SimhashHamming = q("d8_simhash_hamming",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                    x -> x <> '')) AS tk
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+    (0 until 16).map(b =>
+      s"         sum(CASE WHEN substr(md5(tk), ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n") +
+    """
+      |  FROM tok GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST(""".stripMargin +
+    (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") +
+    """ AS BIGINT) AS sh FROM bits),
+      |bands AS (
+      |  SELECT doc_id, sh, b, (sh >> (4 * b)) & 15 AS key
+      |  FROM sig CROSS JOIN range(0, 4) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      |p AS (
+      |  SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+      |  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+      |deg AS (
+      |  SELECT id_a AS doc_id, hamming FROM p
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, hamming FROM p)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+      |       CAST(min(hamming) AS INT) AS min_hamming
+      |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
+    val sig = graft.text.NearDup.simhash16(toks, "doc_id", "tk")
+      .select(col("doc_id"), col("simhash").as("sh"))
+    val bands = sig.select(col("doc_id"), col("sh"),
+      explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("key", expr("shiftright(sh, 4 * b) & 15"))
+    val a = bands.select(col("b"), col("key"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = bands.select(col("b"), col("key"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    val pairs = a.join(b, Seq("b", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .where(hamming <= 3)
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    pairs.select(col("id_a").as("doc_id"), col("hamming"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        min("hamming").cast("int").as("min_hamming"))
+  }
+
   val all: Seq[Q] = Seq(a18WeightedStats, a19ModePerGroup, u5SymmetricDiff,
     e27DauWauStickiness, v11CentroidDistances, w13RunningDistinct,
-    e28FulfillmentLag)
+    e28FulfillmentLag, d8SimhashHamming)
 }
