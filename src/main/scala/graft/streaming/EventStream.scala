@@ -93,6 +93,60 @@ object EventStream {
       }
   }
 
+  /** W10 streaming, Spark-4 form — the same debounce on the
+    * `transformWithState` arbitrary-state API: per-key state is a single
+    * TTL-backed ValueState[Long] (the engine evicts idle keys itself, so
+    * state is bounded by ACTIVE keys, not ever-seen keys — the property
+    * flatMapGroupsWithState can't give without hand-rolled timeouts).
+    *
+    * Correctness of eviction: state TTL (`stateTtl`) must be ≥ the
+    * debounce window (`ttlMicros`). A key idle long enough to be evicted
+    * is by construction past its debounce window, so losing its state
+    * never changes which events are emitted — eviction is purely a
+    * state-size optimization. Note the engine keeps scheduling empty
+    * micro-batches to advance the TTL clock (`shouldRunAnotherBatch` is
+    * always true in ProcessingTime mode), so tests must poll the sink
+    * rather than call `processAllAvailable()`, which never returns. */
+  class DebounceProcessor(ttlMicros: Long, stateTtl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), DebEvent, DebEvent] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var lastTs: ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+      lastTs = getHandle.getValueState[Long]("lastTs", TTLConfig(stateTtl))
+    }
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[DebEvent],
+        timerValues: TimerValues): Iterator[DebEvent] = {
+      var prev = Option(lastTs.get()).filter(_ != 0L)
+      val out = rows.toList.sortBy(e => (e.tsMicros, e.event_id)).flatMap { e =>
+        val keep = prev.forall(p => e.tsMicros - p >= ttlMicros)
+        prev = Some(e.tsMicros)
+        if (keep) Some(e) else None
+      }
+      prev.foreach(lastTs.update)
+      out.iterator
+    }
+  }
+
+  /** The debounce above on the Spark-4 `transformWithState` API.
+    * Requires the RocksDB state store provider. */
+  def debounceTws(events: Dataset[DebEvent],
+      ttlMicros: Long = 600L * 1000000,
+      stateTtl: java.time.Duration = java.time.Duration.ofHours(1))
+      : Dataset[DebEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(stateTtl.toNanos / 1000 >= ttlMicros,
+      "state TTL must cover the debounce window or eviction changes output")
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new DebounceProcessor(ttlMicros, stateTtl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** J1 streaming — stream-static broadcast enrichment: the reference's
     * per-row channel-name lookup (dataingestion1.py:129-133) as a
     * streaming micro-batch joined against a static broadcast dimension.

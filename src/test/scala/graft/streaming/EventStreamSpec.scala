@@ -97,6 +97,46 @@ class EventStreamSpec extends SparkSuite {
     assert(kept == Seq(10L, 12L, 13L, 15L))
   }
 
+  test("transformWithState debounce matches the flatMapGroupsWithState semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.DebEvent]
+      val q = EventStream.debounceTws(input.toDS(), ttlMicros = 600L * 1000000)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("debounce_tws_out").start()
+      // TTL keeps the engine scheduling empty batches forever (to advance
+      // the eviction clock), so processAllAvailable() never returns — poll
+      // the sink for the expected ids instead.
+      def keptIds(): Seq[Long] = spark.table("debounce_tws_out")
+        .as[EventStream.DebEvent].collect().map(_.event_id).sorted.toSeq
+      def awaitKept(expect: Seq[Long]): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (keptIds() != expect && System.nanoTime() < deadline)
+          Thread.sleep(200)
+        assert(keptIds() == expect)
+      }
+      val t0 = 1700000000000000L
+      input.addData(
+        EventStream.DebEvent(1L, "click", 10L, t0),
+        EventStream.DebEvent(1L, "click", 11L, t0 + 100L * 1000000),
+        EventStream.DebEvent(2L, "click", 13L, t0 + 300L * 1000000))
+      awaitKept(Seq(10L, 13L))
+      input.addData(
+        EventStream.DebEvent(1L, "click", 14L, t0 + 600L * 1000000), // 500s after 11
+        EventStream.DebEvent(1L, "click", 15L, t0 + 1500L * 1000000))
+      awaitKept(Seq(10L, 13L, 15L))
+      q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static broadcast enrichment with default for misses") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "user_name")
