@@ -103,5 +103,112 @@ object Extended9 {
         col("quota"))
   }
 
-  val all: Seq[Q] = Seq(d11SegmentDedup, t21MixWeights)
+  /** V12 — SemDeDup (semantic dedup, Abbas et al. 2023): assign every
+    * embedding to its nearest of k seed centroids, rank within each
+    * cluster by distance-to-centroid, and drop any vector whose cosine
+    * similarity to an earlier-ranked cluster-mate is >= 0.35 (greedy
+    * keep-first in centroid-proximity order — the released SemDeDup
+    * implementation's policy). Catches paraphrase/translation duplicates
+    * that MinHash (d2/d3) and SimHash (d4) can't see.
+    *
+    * Shape at scale: the codebook broadcasts (k is chosen so clusters
+    * stay ~10³ docs — at 100 TB that means k ~ 10⁵, still a broadcast);
+    * the only shuffle is on centroid_id, and the quadratic pair phase is
+    * bounded per cluster, never corpus-wide. Norms are computed once per
+    * vector before the pair join; per-pair work is exactly one
+    * codegen'd VecDot. */
+  val v12SemDedup = q("v12_semdedup",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      |  FROM embeddings WHERE vec_id <= 10),
+      |d AS (
+      |  SELECT e.vec_id, s.cid,
+      |         list_sum(list_transform(generate_series(1, 64),
+      |           i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - s.ce[CAST(i AS INT)]) ^ 2)) AS dist,
+      |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings e CROSS JOIN seeds s),
+      |assign AS (
+      |  SELECT vec_id, cid, dist, v FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d)
+      |  WHERE rn = 1),
+      |ranked AS (
+      |  SELECT vec_id, cid, dist, v, sqrt(list_dot_product(v, v)) AS nrm,
+      |         row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk
+      |  FROM assign),
+      |dup AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rk < b.rk
+      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 3) >= 0.35)
+      |SELECT r.vec_id, r.cid AS centroid_id, CAST(r.rk AS BIGINT) AS rk,
+      |       (dup.vec_id IS NULL) AS keep
+      |FROM ranked r LEFT JOIN dup ON dup.vec_id = r.vec_id""".stripMargin) { (s, d) =>
+    import graft.vec.Similarity
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val seeds = emb.where(col("vec_id") <= 10)
+      .select(col("vec_id").as("cid"), col("v").as("c"))
+    val dist = aggregate(zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cid"), dist.as("dist"), col("v"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1).drop("rn")
+    val wRank = Window.partitionBy("cid").orderBy(col("dist").asc, col("vec_id").asc)
+    val ranked = assign
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val earlier = ranked.select(col("cid"), col("rk").as("rka"),
+      col("v").as("va"), col("nrm").as("na"))
+    val dup = ranked.select(col("vec_id"), col("cid"), col("rk"), col("v"), col("nrm"))
+      .join(earlier, Seq("cid"))
+      .where(col("rka") < col("rk") &&
+        round(Similarity.dot(col("va"), col("v")) / (col("na") * col("nrm")), 3) >= 0.35)
+      .select("vec_id").distinct().withColumn("isdup", lit(true))
+    ranked.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("centroid_id"),
+        col("rk").cast("long").as("rk"), col("isdup").isNull.as("keep"))
+  }
+
+  /** D13 — quality-aware duplicate-cluster survivor selection: within each
+    * d6 connected-component dup cluster, keep the member with the highest
+    * token count (tiebreak: lowest doc_id) and flag the rest for removal —
+    * the policy step that turns a dup-graph into an actual curated corpus
+    * (drop the truncated/boilerplate variants, keep the fullest copy).
+    * Composes the verified d6 clustering verbatim (Spark: same
+    * lshCandidates → connectedComponents; oracle: d6's recursive-CTE SQL
+    * as a derived table), so the survivor choice is audited against an
+    * independently-computed clustering.
+    *
+    * Shape at scale: clustering cost is d6's (bounded by the candidate
+    * graph, not the corpus); the survivor pick adds one bounded window
+    * over cluster_id — dup clusters are small by construction, so no
+    * skewed partition. */
+  val d13ClusterKeepBest = q("d13_cluster_keep_best",
+    s"""WITH c AS (SELECT * FROM (${TextQueries.d6DupClusters.oracle.get}) t),
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                              x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT c.doc_id, c.cluster_id, tok.n_tok,
+       |       row_number() OVER (PARTITION BY c.cluster_id
+       |         ORDER BY tok.n_tok DESC, c.doc_id) = 1 AS keep
+       |FROM c JOIN tok USING (doc_id)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.text.NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
+    val clusters = graft.text.DupClusters.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val ntok = docs.select(col("doc_id"),
+      size(filter(split(trim(col("text")), "\\s+"), x => x =!= ""))
+        .cast("long").as("n_tok"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("n_tok").desc, col("doc_id").asc)
+    clusters.join(ntok, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "n_tok", "keep")
+  }
+
+  val all: Seq[Q] = Seq(d11SegmentDedup, t21MixWeights, v12SemDedup,
+    d13ClusterKeepBest)
 }
