@@ -209,6 +209,47 @@ object Extended9 {
       .select("doc_id", "cluster_id", "n_tok", "keep")
   }
 
+  /** M3 — audio-style fixed-window segmentation (the audio half of the
+    * multimodal path, complementing m1 image-meta and m2 frame-sample):
+    * each document's byte stream stands in for a PCM buffer; cut it into
+    * 100-sample windows at a 50-sample hop (2× overlap, the standard STFT
+    * frame layout) and emit per-window sample count, DC sum and energy
+    * (Σx, Σx² — the exact-integer precursors of mean/RMS). Window starts
+    * are GENERATED (sequence with hop), never filtered post-explode, so a
+    * real decoder would touch each sample once per overlap factor and
+    * dropped audio never gets decoded.
+    *
+    * Shape at scale: pure scan-side explode — zero shuffle, linear in
+    * corpus bytes, whole-stage codegen throughout. The real-codec
+    * version swaps the ascii() stand-in for a byte-buffer read inside
+    * mapPartitions (graft.multimodal.BinaryOps.decode shape); the window
+    * bookkeeping here is exactly what it would reuse. */
+  val m3AudioWindows = q("m3_audio_windows",
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0, CAST(floor((length(text)-1)/50.0) AS INT))) AS widx
+      |  FROM documents WHERE length(text) > 0),
+      |seg AS (SELECT doc_id, widx, substring(text, CAST(widx*50+1 AS INT), 100) AS seg FROM w)
+      |SELECT doc_id, CAST(widx AS INT) AS win_idx,
+      |       CAST(length(seg) AS BIGINT) AS n_samples,
+      |       CAST(list_sum(list_transform(generate_series(1, length(seg)),
+      |              i -> ascii(substring(seg, CAST(i AS INT), 1)))) AS BIGINT) AS dc_sum,
+      |       CAST(list_sum(list_transform(generate_series(1, length(seg)),
+      |              i -> ascii(substring(seg, CAST(i AS INT), 1))
+      |                   * ascii(substring(seg, CAST(i AS INT), 1)))) AS BIGINT) AS energy
+      |FROM seg""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, int(floor((length(text)-1)/50.0)))")).as("win_idx"))
+      .withColumn("seg", expr("substring(text, win_idx*50+1, 100)"))
+      .withColumn("codes", expr("transform(sequence(1, length(seg)), i -> ascii(substring(seg, i, 1)))"))
+      .select(col("doc_id"), col("win_idx").cast("int").as("win_idx"),
+        length(col("seg")).cast("long").as("n_samples"),
+        expr("aggregate(codes, 0L, (acc, x) -> acc + x)").as("dc_sum"),
+        expr("aggregate(codes, 0L, (acc, x) -> acc + x * x)").as("energy"))
+  }
+
   val all: Seq[Q] = Seq(d11SegmentDedup, t21MixWeights, v12SemDedup,
-    d13ClusterKeepBest)
+    d13ClusterKeepBest, m3AudioWindows)
 }
