@@ -194,6 +194,33 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("segment dedup: window + reassembly, at most two shuffles") {
+    val p = plan("d11_segment_dedup")
+    assert(p.contains("Window"), "keep-first window missing:\n" + p)
+    assert(count(p, "Exchange") <= 2,
+      s"expected <=2 shuffles (segment window + doc reassembly), got ${count(p, "Exchange")}:\n$p")
+  }
+
+  test("mixing quotas broadcast onto the ranked corpus — no dim shuffle") {
+    val p = plan("t21_mix_weights")
+    assert(p.contains("BroadcastHashJoin"), "quota table not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "corpus shuffles for the quota join:\n" + p)
+  }
+
+  test("semdedup broadcasts the codebook; intra-cluster pair join stays equi") {
+    val p = plan("v12_semdedup")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "pair generation degraded to a corpus-wide cartesian:\n" + p)
+    assert(p.contains("vec_dot"), "cosine not on the codegen VecDot path:\n" + p)
+  }
+
+  test("audio windowing is scan-side — zero shuffles") {
+    val p = plan("m3_audio_windows")
+    assert(!p.contains("Exchange"), "audio segmentation shuffles:\n" + p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
