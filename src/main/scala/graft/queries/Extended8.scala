@@ -243,10 +243,19 @@ object Extended8 {
     val a = bands.select(col("b"), col("key"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = bands.select(col("b"), col("key"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    // A pair agreeing on several nibbles matches in several bands; instead
+    // of a DISTINCT (an extra shuffle of the full candidate set) emit it
+    // exactly once — only from its FIRST agreeing band, a pure bitwise
+    // predicate on the joined row. Pigeonhole guarantees hamming<=3 pairs
+    // have an agreeing nibble, so the first-band rule loses nothing.
+    val firstBand = expr(
+      """CASE WHEN (sh_a ^ sh_b) & 15 = 0 THEN 0
+        |     WHEN shiftright(sh_a ^ sh_b, 4) & 15 = 0 THEN 1
+        |     WHEN shiftright(sh_a ^ sh_b, 8) & 15 = 0 THEN 2
+        |     ELSE 3 END""".stripMargin)
     val pairs = a.join(b, Seq("b", "key"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .where(hamming <= 3)
+      .where(hamming <= 3 && col("b") === firstBand)
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
     pairs.select(col("id_a").as("doc_id"), col("hamming"))
       .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
