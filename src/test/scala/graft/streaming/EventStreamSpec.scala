@@ -32,6 +32,31 @@ class EventStreamSpec extends SparkSuite {
     assert(out.contains(("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("events later than the watermark are dropped; closed windows never re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedAgg(df).writeStream
+      .outputMode("append").format("memory").queryName("late_out").start()
+    input.addData((ts("2024-01-01 10:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark to 2024-01-05 (max event time − 4 days): the
+    // 10:00 window closes and emits
+    input.addData((ts("2024-01-09 00:00:00"), "advance", 0.0))
+    q.processAllAvailable()
+    val closed = spark.table("late_out").collect()
+    assert(closed.exists(r => r.getString(1) == "click" && r.getLong(2) == 1L))
+    val nAfterClose = closed.length
+    // an event 4+ days behind the watermark targets the closed window:
+    // the engine must drop it, not re-open or re-emit
+    input.addData((ts("2024-01-01 10:10:00"), "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("late_out").collect()
+    assert(after.length == nAfterClose, "late event re-opened a closed window")
+    assert(!after.exists(_.getDouble(3) == 100.0), "late event's value leaked into output")
+  }
+
   test("stateful sessionization emits closed sessions with counts") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventStream.SessionEvent]
