@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -250,6 +251,87 @@ object Extended9 {
         expr("aggregate(codes, 0L, (acc, x) -> acc + x * x)").as("energy"))
   }
 
+  /** D14 — SimHash near-dup degree at PRODUCTION signature width: the d8
+    * plan carried to a 64-bit signature in 4 × 16-bit chunks, each chunk
+    * its own band key (65536 buckets per band vs d8's 16). Same pigeonhole
+    * guarantee (hamming <= 3 ⇒ some chunk agrees), same exactly-once
+    * first-agreeing-band emission, same per-doc degree output — but
+    * bucket occupancy stays flat as the corpus grows, which the BENCH.md
+    * scale probe shows is precisely where the 16-bit demo signature goes
+    * quadratic. This query IS the scale path named in d8's scaladoc,
+    * oracle-checked. */
+  val d14Simhash64Hamming = q("d14_simhash64_hamming",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                    x -> x <> '')) AS tk
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+    (0 until 64).map { b =>
+      val src = if (b < 32) s"md5(tk)" else s"md5('x' || tk)"
+      val pos = (b % 32) + 1
+      s"         sum(CASE WHEN substr($src, $pos, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n") +
+    """
+      |  FROM tok GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |""".stripMargin +
+    (0 until 4).map { j =>
+      "        CAST(" + (0 until 16).map(b =>
+        s"(CASE WHEN s${j * 16 + b} > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") +
+      s" AS BIGINT) AS sh$j"
+    }.mkString(",\n") +
+    """
+      |  FROM bits),
+      |bands AS (
+      |  SELECT doc_id, sh0, sh1, sh2, sh3, b,
+      |         CASE b WHEN 0 THEN sh0 WHEN 1 THEN sh1 WHEN 2 THEN sh2 ELSE sh3 END AS key
+      |  FROM sig CROSS JOIN range(0, 4) t(b)),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) +
+      |         bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3)) AS hamming
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) +
+      |        bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3)) <= 3
+      |    AND a.b = (CASE WHEN a.sh0 = b.sh0 THEN 0 WHEN a.sh1 = b.sh1 THEN 1
+      |                    WHEN a.sh2 = b.sh2 THEN 2 ELSE 3 END)),
+      |deg AS (
+      |  SELECT id_a AS doc_id, hamming FROM p
+      |  UNION ALL
+      |  SELECT id_b AS doc_id, hamming FROM p)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+      |       CAST(min(hamming) AS INT) AS min_hamming
+      |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
+    val sig = graft.text.NearDup.simhash64Chunks(toks, "doc_id", "tk")
+    val bands = sig.withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("key", element_at(
+        array(col("sh0"), col("sh1"), col("sh2"), col("sh3")), col("b") + 1))
+    def side(s0: String): DataFrame => DataFrame = df =>
+      df.select(col("b") +: col("key") +: (col("doc_id").as(s"id_$s0") +:
+        (0 until 4).map(j => col(s"sh$j").as(s"${s0}$j"))): _*)
+    val a = side("a")(bands)
+    val bb = side("b")(bands)
+    val hamming = (0 until 4).map(j =>
+      bit_count(col(s"a$j").bitwiseXOR(col(s"b$j")))).reduce(_ + _)
+    val firstBand = when(col("a0") === col("b0"), 0)
+      .when(col("a1") === col("b1"), 1)
+      .when(col("a2") === col("b2"), 2).otherwise(3)
+    val pairs = a.join(bb, Seq("b", "key"))
+      .where(col("id_a") < col("id_b"))
+      .where(hamming <= 3 && col("b") === firstBand)
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    pairs.select(col("id_a").as("doc_id"), col("hamming"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_neighbors"),
+        min("hamming").cast("int").as("min_hamming"))
+  }
+
   val all: Seq[Q] = Seq(d11SegmentDedup, t21MixWeights, v12SemDedup,
-    d13ClusterKeepBest, m3AudioWindows)
+    d13ClusterKeepBest, m3AudioWindows, d14Simhash64Hamming)
 }

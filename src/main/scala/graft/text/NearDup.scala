@@ -143,4 +143,27 @@ object NearDup {
     }.reduce(_ + _)
     agg.select(col(id), value.as("simhash"))
   }
+
+  /** 64-bit SimHash at production width, as 4 × 16-bit chunks (`sh0..sh3`
+    * — each chunk doubles as its band key, and staying in [0, 65535]
+    * sidesteps engine-specific sign-bit semantics of a packed 64-bit
+    * long). Bits come from the 64 hex digits of md5(token)·md5('x'·token),
+    * majority-voted per bit. With 65536 buckets per band, bucket occupancy
+    * stays flat as the corpus grows — where the 16-bit signature's
+    * 16-bucket bands saturate (measured: BENCH.md scale probe). One
+    * shuffle: the per-doc groupBy; all 64 bit-sums are partial-aggregable. */
+  def simhash64Chunks(docTokens: DataFrame, id: String, tok: String): DataFrame = {
+    val h = concat(md5(col(tok)), md5(concat(lit("x"), col(tok))))
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bitCols = (0 until 64).map { b =>
+      sum(when(substring(h, b + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = docTokens.groupBy(col(id)).agg(bitCols.head, bitCols.tail: _*)
+    val chunks = (0 until 4).map { j =>
+      (0 until 16).map { b =>
+        when(col(s"s${j * 16 + b}") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"sh$j")
+    }
+    agg.select(col(id) +: chunks: _*)
+  }
 }
