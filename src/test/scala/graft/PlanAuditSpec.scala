@@ -216,6 +216,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("vec_dot"), "cosine not on the codegen VecDot path:\n" + p)
   }
 
+  test("64-bit simhash: partial-aggregable signature, no pair-level distinct") {
+    val p = plan("d14_simhash64_hamming")
+    assert(count(p, "HashAggregate") >= 2,
+      "bit-sums lost their map-side partial phase:\n" + p)
+    // degree agg + signature agg are the only aggregates; a third would be
+    // a pair-dedup Aggregate (the shuffle d8/d14 design removes)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("audio windowing is scan-side — zero shuffles") {
     val p = plan("m3_audio_windows")
     assert(!p.contains("Exchange"), "audio segmentation shuffles:\n" + p)
