@@ -235,8 +235,10 @@ object Extended8 {
       |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
+    // materialized once: the band self-join otherwise re-runs the whole
+    // signature pipeline on both sides (see d14)
     val sig = graft.text.NearDup.simhash16(toks, "doc_id", "tk")
-      .select(col("doc_id"), col("simhash").as("sh"))
+      .select(col("doc_id"), col("simhash").as("sh")).localCheckpoint(true)
     val bands = sig.select(col("doc_id"), col("sh"),
       explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("key", expr("shiftright(sh, 4 * b) & 15"))
@@ -257,8 +259,12 @@ object Extended8 {
       .where(col("id_a") < col("id_b"))
       .where(hamming <= 3 && col("b") === firstBand)
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
-    pairs.select(col("id_a").as("doc_id"), col("hamming"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+    // both degree directions in ONE pass over the pair set — a union of
+    // two selects would execute the whole band-join subtree twice
+    pairs.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("hamming")),
+        struct(col("id_b").as("doc_id"), col("hamming")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.hamming").as("hamming"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_neighbors"),
         min("hamming").cast("int").as("min_hamming"))

@@ -307,7 +307,12 @@ object Extended9 {
       |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
+    // the signature table fans out into BOTH sides of the band self-join;
+    // without materialization each side re-runs the whole tokenize → md5 →
+    // 17-sum aggregation subtree (no exchange reuse across a broadcast
+    // build side) — measured 20× slower than joining the materialized table
     val sig = graft.text.NearDup.simhash64Chunks(toks, "doc_id", "tk")
+      .localCheckpoint(true)
     val bands = sig.withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("key", element_at(
         array(col("sh0"), col("sh1"), col("sh2"), col("sh3")), col("b") + 1))
@@ -325,8 +330,12 @@ object Extended9 {
       .where(col("id_a") < col("id_b"))
       .where(hamming <= 3 && col("b") === firstBand)
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
-    pairs.select(col("id_a").as("doc_id"), col("hamming"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+    // both degree directions in ONE pass over the pair set — a union of
+    // two selects would execute the whole band-join subtree twice
+    pairs.select(explode(array(
+        struct(col("id_a").as("doc_id"), col("hamming")),
+        struct(col("id_b").as("doc_id"), col("hamming")))).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.hamming").as("hamming"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_neighbors"),
         min("hamming").cast("int").as("min_hamming"))

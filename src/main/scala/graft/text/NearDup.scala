@@ -132,14 +132,19 @@ object NearDup {
     * majority vote of the top bit of hex digit b of md5(token). Small but
     * real SimHash — portable to any engine with md5/substr. */
   def simhash16(docTokens: DataFrame, id: String, tok: String): DataFrame = {
-    val h = md5(col(tok))
-    val bitCols = (0 until 16).map { b =>
-      sum(when(substring(h, b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"s$b")
-    }
-    val agg = docTokens.groupBy(col(id)).agg(bitCols.head, bitCols.tail: _*)
+    // single-pass bit extraction (HexTopBitsPack over md5's first 16
+    // digits — fields 0..3 of the packed array), then 4 sums + a count;
+    // majority vote per bit as 2·ones_b > n ⟺ the ±1-sum form's s_b > 0
+    val packed = docTokens.select(col(id),
+      graft.functions.HexTopBitsPack(md5(col(tok))).as("__p"))
+    val proj = packed.select(col(id) +:
+      (0 until 4).map(f => element_at(col("__p"), f + 1).as(s"p$f")): _*)
+    val aggCols = (0 until 4).map(f => sum(col(s"p$f")).as(s"q$f")) :+
+      count(lit(1)).as("__n")
+    val agg = proj.groupBy(col(id)).agg(aggCols.head, aggCols.tail: _*)
     val value = (0 until 16).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      val ones = shiftright(col(s"q${b / 4}"), 16 * (b % 4)).bitwiseAND(lit(65535L))
+      when(ones * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(id), value.as("simhash"))
   }
@@ -153,15 +158,25 @@ object NearDup {
     * 16-bucket bands saturate (measured: BENCH.md scale probe). One
     * shuffle: the per-doc groupBy; all 64 bit-sums are partial-aggregable. */
   def simhash64Chunks(docTokens: DataFrame, id: String, tok: String): DataFrame = {
-    val h = concat(md5(col(tok)), md5(concat(lit("x"), col(tok))))
-    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val bitCols = (0 until 64).map { b =>
-      sum(when(substring(h, b + 1, 1).isin(hi: _*), 1).otherwise(-1)).as(s"s$b")
-    }
-    val agg = docTokens.groupBy(col(id)).agg(bitCols.head, bitCols.tail: _*)
+    // single-pass bit extraction (graft.functions.HexTopBitsPack): the 64
+    // per-bit counters packed four-to-a-long in one codegen'd byte loop —
+    // the composed 64 × substring/compare form spent ~6× the signature
+    // build there. 16 sums + a count instead of 64 sums; majority vote
+    // recovered per bit as 2·ones_b > n. Field width bounds docs at 65535
+    // tokens — far past any sane document; pre-chunk (t9) longer.
+    val packed = docTokens.select(col(id), graft.functions.HexTopBitsPack(
+      concat(md5(col(tok)), md5(concat(lit("x"), col(tok))))).as("__p"))
+    val proj = packed.select(col(id) +:
+      (0 until 16).map(f => element_at(col("__p"), f + 1).as(s"p$f")): _*)
+    val aggCols = (0 until 16).map(f => sum(col(s"p$f")).as(s"q$f")) :+
+      count(lit(1)).as("__n")
+    val agg = proj.groupBy(col(id)).agg(aggCols.head, aggCols.tail: _*)
     val chunks = (0 until 4).map { j =>
       (0 until 16).map { b =>
-        when(col(s"s${j * 16 + b}") > 0, lit(1L << b)).otherwise(lit(0L))
+        val bit = j * 16 + b
+        val ones = shiftright(col(s"q${bit / 4}"), 16 * (bit % 4))
+          .bitwiseAND(lit(65535L))
+        when(ones * 2 > col("__n"), lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"sh$j")
     }
     agg.select(col(id) +: chunks: _*)
