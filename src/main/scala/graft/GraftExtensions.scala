@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.{LongType, StringType}
-import graft.functions.{SecondsToHms, TitleMainCode, VecDot}
+import graft.functions.{HexTopBitsPack, SecondsToHms, TitleMainCode, VecDot}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions callable from SQL.
@@ -46,7 +46,10 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "vec_dot expects exactly 2 arguments")
         VecDot(args(0), args(1))
-      }))
+      }),
+    ("hex_topbits_pack",
+      new ExpressionInfo(classOf[HexTopBitsPack].getName, "hex_topbits_pack"),
+      args => HexTopBitsPack(Cast(one(args, "hex_topbits_pack"), StringType))))
 
   /** Register on a live session (temp functions only — analyzer rules
     * like FuseTitleCode are fixed at session creation; start the session

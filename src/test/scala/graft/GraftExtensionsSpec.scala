@@ -20,6 +20,17 @@ class GraftExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("hex_topbits_pack from SQL: packs md5 top bits") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT hex_topbits_pack('ffff0000') AS p, hex_topbits_pack(md5('x')) AS pm")
+      .head()
+    val full = 1L + (1L << 16) + (1L << 32) + (1L << 48)
+    assert(r.getSeq[Long](0) == Seq.tabulate(16)(f => if (f == 0) full else 0L),
+      "'ffff' fills field 0, '0000' leaves field 1 empty")
+    assert(r.getSeq[Long](1).length == 16)
+  }
+
   test("vec_dot from SQL: codegen expression ≡ HOF form, interpreted ≡ codegen") {
     GraftExtensions.register(spark)
     val r = spark.sql(
