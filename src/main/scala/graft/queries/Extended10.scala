@@ -120,5 +120,55 @@ object Extended10 {
         col("cl").cast("int").as("neg_label"), col("cos"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(g7NegativeSampling, v13HardNegatives)
+  /** D15 — fuzzy-dedup verification: LSH candidate pairs (d3's banding)
+    * confirmed by character-level edit distance — the verifier of choice
+    * when shingle Jaccard (d5) is too coarse (OCR noise, small in-place
+    * edits). The dup rule is RELATIVE (edit_dist ≤ 20% of the longer
+    * text, integer form 5·d ≤ maxlen) so short and long documents face
+    * the same bar.
+    *
+    * Shape at scale: Levenshtein is O(len²) per pair — the expensive
+    * verify — so it runs ONLY on the banding candidates (bounded by the
+    * near-dup structure, never corpus²); the two text lookups are joins
+    * on the corpus's natural doc_id partitioning. */
+  val d15FuzzyVerify = q("d15_fuzzy_verify",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |              ELSE list_transform(generate_series(1, len(t) - 2),
+      |                                  i -> array_to_string(t[i:i+2], ' ')) END AS shingles
+      |  FROM tok),
+      |sigs AS (
+      |  SELECT doc_id, u.band,
+      |         md5(list_min(list_transform(shingles, s -> md5(u.band || ':' || s)))) AS h
+      |  FROM sh CROSS JOIN range(0, 8) u(band)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.h = b.h
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |lev AS (
+      |  SELECT p.id_a, p.id_b,
+      |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+      |         CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+      |  FROM pairs p JOIN documents da ON da.doc_id = p.id_a
+      |  JOIN documents db ON db.doc_id = p.id_b)
+      |SELECT id_a, id_b, edit_dist, (edit_dist * 5 <= max_len) AS is_dup
+      |FROM lev""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = graft.text.NearDup.lshCandidates(docs, "doc_id", col("text"), 3, 8, 8)
+      .select("id_a", "id_b")
+    val ta = docs.select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val tb = docs.select(col("doc_id").as("id_b"), col("text").as("tb"))
+    pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("max_len"))
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        (col("edit_dist") * 5 <= col("max_len")).as("is_dup"))
+  }
+
+  val all: Seq[Q] = Seq(g7NegativeSampling, v13HardNegatives, d15FuzzyVerify)
 }
