@@ -30,19 +30,49 @@ object Extended12 {
   val ITERS = 5
   val SCALE = 1000000L
 
+  /** Shared oracle CTE: the co-visitation graph with the relative edge bar
+    * (pairs within 90% of the max co-visit count, integer arithmetic) —
+    * `it` (user, item), `pairs` (i1 < i2). */
+  private[queries] val covisitCte =
+    """it AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(json_extract_string(props, '$.k') AS INT) AS item
+      |  FROM events),
+      |pcnt AS (
+      |  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS c
+      |  FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT max(c) AS m FROM pcnt),
+      |pairs AS (SELECT i1, i2 FROM pcnt, mx WHERE c * 10 >= m * 9)""".stripMargin
+
+  /** Spark side of [[covisitCte]]: (distinct user-item pairs, thresholded
+    * undirected edge list as i1 < i2). Pair generation is array-local per
+    * user (g6's shape) — no positional self-join of the fact table. */
+  private[queries] def covisitGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val it = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct()
+    val pcnt = it.groupBy("user_id").agg(sort_array(collect_set(col("item"))).as("a"))
+      .select(explode(expr(
+        "flatten(transform(a, (x, i) -> transform(slice(a, i + 2, size(a)), " +
+          "y -> named_struct('i1', x, 'i2', y))))")).as("p"))
+      .groupBy(col("p.i1").as("i1"), col("p.i2").as("i2"))
+      .agg(count(lit(1)).as("cnt"))
+    // relative edge bar (within 90% of the max co-visit count): a FIXED
+    // count bar can't be right at every corpus size, and the integer form
+    // c*10 >= 9*max keeps the threshold FP-free
+    val mx = pcnt.agg(max(col("cnt")).as("m"))
+    val pairs = pcnt.crossJoin(broadcast(mx))
+      .where(col("cnt") * 10 >= col("m") * 9)
+      .select("i1", "i2")
+    (it, pairs)
+  }
+
   private def pagerankOracle: String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH it AS (
-        |  SELECT DISTINCT user_id,
-        |         CAST(json_extract_string(props, '$.k') AS INT) AS item
-        |  FROM events),
-        |pcnt AS (
-        |  SELECT a.item AS i1, b.item AS i2, CAST(count(*) AS BIGINT) AS c
-        |  FROM it a JOIN it b ON a.user_id = b.user_id AND a.item < b.item
-        |  GROUP BY 1, 2),
-        |mx AS (SELECT max(c) AS m FROM pcnt),
-        |pairs AS (SELECT i1, i2 FROM pcnt, mx WHERE c * 10 >= m * 9),
+      s"""WITH $covisitCte,
         |edges AS (SELECT i1 AS src, i2 AS dst FROM pairs
         |          UNION ALL SELECT i2, i1 FROM pairs),
         |nodes AS (SELECT DISTINCT item AS node FROM it),
@@ -71,23 +101,7 @@ object Extended12 {
   }
 
   val g9Pagerank = q("g9_pagerank", pagerankOracle) { (s, d) =>
-    val it = Tables.events(s, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .distinct()
-    val pcnt = it.groupBy("user_id").agg(sort_array(collect_set(col("item"))).as("a"))
-      .select(explode(expr(
-        "flatten(transform(a, (x, i) -> transform(slice(a, i + 2, size(a)), " +
-          "y -> named_struct('i1', x, 'i2', y))))")).as("p"))
-      .groupBy(col("p.i1").as("i1"), col("p.i2").as("i2"))
-      .agg(count(lit(1)).as("cnt"))
-    // relative edge bar (within 90% of the max co-visit count): a FIXED
-    // count bar can't be right at every corpus size, and the integer form
-    // c*10 >= 9*max keeps the threshold FP-free
-    val mx = pcnt.agg(max(col("cnt")).as("m"))
-    val pairs = pcnt.crossJoin(broadcast(mx))
-      .where(col("cnt") * 10 >= col("m") * 9)
-      .select("i1", "i2")
+    val (it, pairs) = covisitGraph(s, d)
     val edges = pairs.select(col("i1").as("src"), col("i2").as("dst"))
       .unionAll(pairs.select(col("i2").as("src"), col("i1").as("dst")))
       .localCheckpoint(true) // feeds deg + every iteration: cut the LSH-free but still 2-shuffle upstream
