@@ -230,6 +230,44 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "audio segmentation shuffles:\n" + p)
   }
 
+  test("PMI: unigram joins broadcast onto the filtered bigram table") {
+    val p = plan("t22_pmi_collocations")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      "vocabulary-sized unigram counts not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "bigram table shuffle-joined:\n" + p)
+  }
+
+  test("PQ assignment: broadcast codebook, partial-aggregable argmin, no window") {
+    val p = plan("v14_pq_codes")
+    assert(!p.contains("CartesianProduct"), p)
+    // struct-min argmin must keep a map-side partial phase (the whole
+    // point of replacing the row_number window)
+    assert(p.contains("partial_min(struct(dist"),
+      "argmin lost its partial aggregation:\n" + p)
+    assert(!p.contains("Window"), "window crept back into the argmin:\n" + p)
+  }
+
+  test("concurrency gauge: fact window is hour-partitioned, never global") {
+    val p = plan("e33_concurrency")
+    // the ±delta fact stream must sort within hour partitions …
+    assert(p.contains("windowspecdefinition(hour"),
+      "fact-level running sum lost its hour partitioning:\n" + p)
+    // … and only the hours-sized carry table may use a global-order window
+    assert(count(p, "Window") == 2, p)
+  }
+
+  test("repeated spans: shared-hash filter is a semi join; no pair blowup") {
+    val p = plan("d16_repeated_spans")
+    assert(p.contains("LeftSemi"), "span filter lost semi-join form:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("triangle enumeration stays equi-join — no nested loop") {
+    val p = plan("g10_triangle_cc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
