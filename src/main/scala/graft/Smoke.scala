@@ -28,7 +28,7 @@ object Smoke {
         |       seconds_to_hms(CAST(ingest_seq * 40000 AS BIGINT)) AS dur
         |FROM videos_api WHERE channel_id = 'UC002'""".stripMargin)
     println("DSV2_PLAN_HAS_PUSHDOWN=" +
-      enriched.queryExecution.executedPlan.toString.contains("PushedFilters: [EqualTo(channel_id,UC002)"))
+      enriched.queryExecution.executedPlan.toString.contains("EqualTo(channel_id,UC002)"))
     enriched.show(5, truncate = false)
 
     // typed MinHash Aggregator over real docs (incremental-signature path)

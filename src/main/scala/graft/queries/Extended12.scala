@@ -186,8 +186,13 @@ object Extended12 {
     val long = emb.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("cid"),
         posexplode(array((0 until 4).map(b => subDist(b)): _*)).as(Seq("b", "dist")))
-    val w = Window.partitionBy("vec_id", "b").orderBy(col("dist").asc, col("cid").asc)
-    val best = long.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    // argmin as min(struct(dist, cid)) — struct ordering IS (dist asc,
+    // cid asc), and unlike the row_number window this keeps a map-side
+    // partial phase: each scan task reduces its 10-candidate groups to one
+    // row before the vec_id shuffle, which the final pivot then reuses
+    val best = long.groupBy("vec_id", "b")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("b"), col("m.cid").as("cid"), col("m.dist").as("dist"))
     val aggs = (0 until 4).map(b =>
         max(when(col("b") === b, col("cid"))).as(s"code$b")) ++
       (0 until 4).map(b =>

@@ -268,6 +268,51 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("warehouse-OLAP stars: dims broadcast, top-k never a global sort") {
+    // h2/h7 are the 6-to-8-table stars: every dim side must broadcast —
+    // the fact scan is allowed at most the orders/customer shuffles
+    for (q <- Seq("h2_regional_supplier_volume", "h7_market_share")) {
+      val p = plan(q)
+      assert(count(p, "BroadcastHashJoin") >= 3, s"$q lost dim broadcasts:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // the top-k family plans TakeOrderedAndProject — bounded per-partition
+    // heaps + driver merge, never a full sort of the aggregate output
+    for (q <- Seq("h1_shipping_priority", "h3_returned_customers",
+        "h5_large_volume_orders")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q sorts globally:\n$p")
+    }
+  }
+
+  test("h5: HAVING pre-aggregate shrinks the fact before any dim join") {
+    val p = plan("h5_large_volume_orders")
+    // the quantity rollup must sit BELOW the orders join (partial+final
+    // HashAggregate on l_orderkey, then the join consumes its output)
+    val aggIdx = p.indexOf("partial_sum(l_quantity")
+    assert(aggIdx >= 0, "quantity rollup lost its partial phase:\n" + p)
+  }
+
+  test("h8: lateness EXISTS compiles to a semi join") {
+    val p = plan("h8_priority_late_orders")
+    assert(p.contains("LeftSemi"), "EXISTS not planned as semi join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v15: ADC reads codes + broadcast LUT; argmin stays partial-aggregable") {
+    val p = plan("v15_pq_adc_topk")
+    assert(p.contains("partial_min(struct(dist"),
+      "code assignment argmin lost partial aggregation:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "ADC top-k sorts globally:\n" + p)
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t24: lexical diversity is scan-local — no explode, no extra shuffle") {
+    val p = plan("t24_lexical_diversity")
+    assert(!p.contains("Generate"), "per-token explode crept in:\n" + p)
+    assert(!p.contains("Exchange"), "diversity screen shuffles:\n" + p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
