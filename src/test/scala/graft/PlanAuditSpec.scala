@@ -307,6 +307,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("v16: staged retrieval — broadcast query, top-k merges not global sorts") {
+    val p = plan("v16_matryoshka_rerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "coarse candidate cut sorts globally:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "single query row not broadcast:\n" + p)
+  }
+
+  test("sql surface: co-located star honors its BROADCAST hints") {
+    val p = plan("sql_colocated_star")
+    assert(count(p, "BroadcastHashJoin") >= 3, "hinted dims not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e34: lateness audit is one keyed shuffle (user-partitioned window)") {
+    val p = plan("e34_out_of_order")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "running-max window lost user partitioning:\n" + p)
+    assert(count(p, "Exchange") <= 1, "extra shuffle beyond the keyed window:\n" + p)
+  }
+
   test("t24: lexical diversity is scan-local — no explode, no extra shuffle") {
     val p = plan("t24_lexical_diversity")
     assert(!p.contains("Generate"), "per-token explode crept in:\n" + p)
