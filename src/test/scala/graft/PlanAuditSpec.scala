@@ -328,6 +328,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(count(p, "Exchange") <= 1, "extra shuffle beyond the keyed window:\n" + p)
   }
 
+  test("c2: the composed epoch is one plan — window filter pushed, no rescan") {
+    val p = plan("c2_analytics_epoch")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"),
+      "epoch window predicate not pushed to the scan:\n" + p)
+    assert(count(p, "FileScan") == 1,
+      "stage composition re-scans the source:\n" + p)
+  }
+
+  test("p10: column profile is ONE scan (never per-column rescans)") {
+    val p = plan("p10_column_profile")
+    assert(count(p, "FileScan") == 1, "profile rescans per column:\n" + p)
+  }
+
   test("t24: lexical diversity is scan-local — no explode, no extra shuffle") {
     val p = plan("t24_lexical_diversity")
     assert(!p.contains("Generate"), "per-token explode crept in:\n" + p)
