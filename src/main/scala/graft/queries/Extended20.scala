@@ -139,21 +139,26 @@ object Extended20 {
     * partial aggregations, so at 100 TB this is two cheap passes rather
     * than one pass + a driver collect. Both sides of the comparison are
     * snapped at 4 decimals (terminating precision) before the strict >,
-    * making the selected set engine-independent. */
+    * making the selected set engine-independent. The threshold is a
+    * multiple of the MEAN per-part revenue (not a fixed fraction of
+    * total), so the selected set stays meaningful at every scale
+    * factor — a fraction-of-total cut empties as |part| grows. */
   val h13ImportantParts = q("h13_important_parts",
     s"""SELECT l_partkey, ${rnd(rnd(s"sum($rev)", 4), 2)} AS part_value
        |FROM lineitem
        |GROUP BY 1
        |HAVING ${rnd(s"sum($rev)", 4)} >
-       |       (SELECT ${rnd(s"sum($rev)", 4)} * 0.0008 FROM lineitem)""".stripMargin) { (s, d) =>
+       |       (SELECT ${rnd(s"sum($rev)", 4)} * 1.6e0 / count(DISTINCT l_partkey)
+       |        FROM lineitem)""".stripMargin) { (s, d) =>
     val revC = col("l_extendedprice") * (lit(1) - col("l_discount"))
     val li = Tables.lineitem(s, d)
       .select(col("l_partkey"), revC.as("rev"))
-    val total = li.agg(round(sum("rev"), 4).as("total_rev"))
+    val total = li.agg((round(sum("rev"), 4) * 1.6 /
+      countDistinct("l_partkey")).as("thr"))
     li.groupBy("l_partkey")
       .agg(round(sum("rev"), 4).as("pv"))
       .crossJoin(broadcast(total))
-      .where(col("pv") > col("total_rev") * 0.0008)
+      .where(col("pv") > col("thr"))
       .select(col("l_partkey"), round(col("pv"), 2).as("part_value"))
   }
 
