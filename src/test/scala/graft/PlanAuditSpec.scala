@@ -347,6 +347,80 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), "diversity screen shuffles:\n" + p)
   }
 
+  test("h9/h10: scan-bound aggregates — filters pushed, partial agg, no join") {
+    for (q <- Seq("h9_pricing_summary", "h10_forecast_revenue")) {
+      val p = plan(q)
+      assert(!p.contains("PushedFilters: []"), s"$q pushes no filters:\n$p")
+      assert(count(p, "HashAggregate") >= 2, s"$q lost map-side combine:\n$p")
+      assert(!p.contains("Join"), s"$q joins — should be scan-only:\n$p")
+    }
+  }
+
+  test("h19: decorrelated Q21 — one fact aggregation, no fact self-join") {
+    val p = plan("h19_waiting_suppliers")
+    // the fact (lineitem) appears exactly once: the EXISTS/NOT-EXISTS pair
+    // is folded into the per-order aggregate, not two more fact joins
+    assert(count(p, "lineitem.parquet") == 1,
+      "fact scanned more than once (correlated EXISTS not folded):\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 sorts globally:\n" + p)
+  }
+
+  test("h16: NOT IN runs as broadcast anti join; distinct count stays partial") {
+    val p = plan("h16_supplier_diversity")
+    assert(p.contains("LeftAnti"), "NOT IN not planned as anti join:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "exclusion list shuffles:\n" + p)
+  }
+
+  test("h13/h14/h20: scalar-subquery thresholds broadcast as one-row sides") {
+    for (q <- Seq("h13_important_parts", "h14_top_supplier",
+        "h20_idle_rich_customers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q pays a real cartesian for its scalar:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q shuffle-joins a scalar/dim:\n$p")
+    }
+  }
+
+  test("h21: argmin window runs over the (part×supplier) rollup, not the fact") {
+    val p = plan("h21_cheapest_supplier")
+    // partial min below the exchange: the fact collapses to the rollup
+    // before any window/sort sees it
+    assert(p.contains("partial_min"), "unit-price rollup lost partials:\n" + p)
+    assert(count(p, "lineitem.parquet") == 1, p)
+  }
+
+  test("v19: sign-bit signature packs to one long before the query cross") {
+    val p = plan("v19_sign_hamming")
+    // the corpus side carries (vec_id, sig) only — no 64-float payload
+    // survives past the projection under the broadcast join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query set not broadcast:\n" + p)
+    assert(count(p, "Exchange") <= 2, "extra shuffles beyond the window:\n" + p)
+  }
+
+  test("v20: Lloyd update — broadcast codebook, partial per-dim means") {
+    val p = plan("v20_kmeans_update")
+    assert(!p.contains("SortMergeJoin"), "codebook shuffle-joined:\n" + p)
+    assert(count(p, "HashAggregate") >= 2, "per-dim means lost partials:\n" + p)
+    assert(count(p, "embeddings.parquet") <= 2, p)
+  }
+
+  test("d18: URL dedup is one derived-key aggregation — no join, no window") {
+    val p = plan("d18_url_dedup")
+    // pre-EnsureRequirements plan: the partial/final pair implies exactly
+    // one inserted exchange; anything else (join, window, sort) is a bug
+    assert(count(p, "HashAggregate") >= 2, "keeper agg lost partials:\n" + p)
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Sort"),
+      "URL dedup grew non-aggregate operators:\n" + p)
+  }
+
+  test("g12: deadline funnel — range predicate rides the user-key equi join") {
+    val p = plan("g12_conversion_window")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("LeftSemi"),
+      "conversion join degraded to a nested loop:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
