@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PushFoldableIntoBranches have already rewritten it beyond template
     // equality
     ext.injectPostHocResolutionRule(_ => graft.plans.FuseTitleCode)
+    // physical planning for the native top-k-per-group logical node
+    // (graft.plans.TopKPerGroup → partial/final bounded-heap pair)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 
