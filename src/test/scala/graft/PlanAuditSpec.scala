@@ -421,6 +421,52 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("p11: priority sample is a scan-side top-k — no shuffle, no global sort") {
+    val p = plan("p11_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), "top-k became a sort:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "priority keys should be scan-side:\n" + p)
+  }
+
+  test("e35: run-length encode pays ONE keyed shuffle (windows + agg share it)") {
+    // the groupBy's (user_id, seg, event_type) clustering is satisfied by
+    // the window's user_id hash partitioning (subset rule) — a second
+    // exchange means the reuse broke. Exchanges only exist post-
+    // EnsureRequirements, so audit the executed plan.
+    val p = SparkEntry.queries("e35_run_length")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(count(p, "Exchange hashpartitioning") == 1,
+      "expected exactly one keyed exchange:\n" + p)
+  }
+
+  test("sql subqueries decorrelate — no nested-loop per-row re-execution") {
+    for (q <- Seq("sql_scalar_subquery", "sql_lateral_agg")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q re-executes per row:\n$p")
+      assert(p.contains("HashAggregate"), s"$q lost its decorrelated agg:\n$p")
+    }
+  }
+
+  test("t29/m7: corpus-frequency flag joins stay equi — no nested loop") {
+    for (q <- Seq("t29_boilerplate_strip", "m7_patch_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(count(p, "HashAggregate") >= 2,
+        s"$q frequency count lost its partial phase:\n$p")
+    }
+  }
+
+  test("d19: incremental dedup signs the corpus once — both band sides read the checkpoint") {
+    val p = plan("d19_incremental_dedup")
+    // the banded table is localCheckpointed before fanning into batch and
+    // corpus sides: the minhash explode/agg pipeline must NOT appear in
+    // the final plan at all (it already ran, once)
+    assert(p.contains("ExistingRDD"), "checkpoint reuse lost:\n" + p)
+    assert(!p.contains("partial_min"), "signature pipeline re-runs inline:\n" + p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
