@@ -467,6 +467,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("partial_min"), "signature pipeline re-runs inline:\n" + p)
   }
 
+  test("v22: IVF-PQ — sub-distances checkpointed once, probe cut is a semi join, LUT broadcast") {
+    val p = plan("v22_ivf_pq_topk")
+    assert(p.contains("ExistingRDD"), "sub-distance checkpoint lost:\n" + p)
+    assert(p.contains("LeftSemi"), "probe filter is not a semi join:\n" + p)
+    assert(count(p, "BroadcastHashJoin") >= 1, "LUT/probe lost broadcast:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "final top-k became a sort:\n" + p)
+  }
+
+  test("m8/t30: per-doc rollups pay one keyed shuffle") {
+    for (q <- Seq("m8_shot_boundaries", "t30_code_switch")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(count(p, "Exchange hashpartitioning") == 1,
+        s"$q grew a second shuffle:\n$p")
+    }
+  }
+
+  test("e36: schema profile is one aggregation — no join, partial phase intact") {
+    val p = plan("e36_props_schema")
+    assert(count(p, "HashAggregate") >= 2, "profile lost partial agg:\n" + p)
+    assert(!p.contains("Join"), "profile grew a join:\n" + p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
