@@ -95,7 +95,8 @@ object Extended12 {
            |""".stripMargin)
     }
     sb.append(
-      s"""SELECT p.node AS item, p.pr AS pr_fixed, coalesce(d.d, 0) AS degree
+      s"""SELECT p.node AS item, CAST(p.pr AS BIGINT) AS pr_fixed,
+         |       coalesce(d.d, 0) AS degree
          |FROM pr$ITERS p LEFT JOIN deg d ON p.node = d.node""".stripMargin)
     sb.toString
   }

@@ -89,10 +89,10 @@ object Extended20 {
     * — evaluated inside the join's stream side, no extra pass. */
   val h11LatePrioritySplit = q("h11_late_priority_split",
     """SELECT l.l_linestatus,
-      |       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS high_line_count,
-      |       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |                THEN 1 ELSE 0 END) AS low_line_count
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
       |WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY

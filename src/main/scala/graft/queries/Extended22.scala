@@ -80,7 +80,8 @@ object Extended22 {
       |  FROM bits q JOIN bits c ON q.i = c.i AND q.vec_id <> c.vec_id
       |  WHERE q.vec_id < 10
       |  GROUP BY 1, 2)
-      |SELECT query_id, neighbor_id, hamming, CAST(rn AS INT) AS rn FROM (
+      |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+      |       CAST(rn AS INT) AS rn FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |                               ORDER BY hamming ASC, neighbor_id ASC) AS rn
       |  FROM ham) WHERE rn <= 5""".stripMargin) { (s, d) =>

@@ -12,6 +12,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return "NULL"
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        # Keep decimals distinct from ints/floats: the driver's gate is
+        # type-sensitive (r2 lesson: uncast DuckDB integer sum() -> HUGEINT ->
+        # decimal128 hashed differently from Spark's BIGINT).
+        return f"DEC:{v}"
     if isinstance(v, float):
         if v != v:
             return "NaN"
