@@ -58,7 +58,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
 
     val probes = Seq("d1_exact_dedup", "d2_minhash_signature", "d6_dup_clusters",
-      "d8_simhash_hamming", "d14_simhash64_hamming", "d11_segment_dedup",
+      "d14_simhash64_hamming", "d11_segment_dedup",
       "t21_mix_weights", "m3_audio_windows", "v12_semdedup",
       "c1_curation_pipeline",
       // round-2 part-27+ additions (documents/embeddings-only readers)

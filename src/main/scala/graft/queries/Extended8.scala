@@ -190,17 +190,18 @@ object Extended8 {
         max("lag_days").cast("long").as("max_lag_days"))
   }
 
-  /** D8 — SimHash near-dup DEGREE via pigeonhole banding: split the
-    * 16-bit signature (d4's) into 4 nibbles — any two signatures within
-    * Hamming distance 3 MUST agree on at least one nibble (pigeonhole),
-    * so candidate generation is a per-band bucket join (never all-pairs),
-    * then the exact popcount filter keeps true near-dups and the output
-    * aggregates to one row per document (neighbor count + closest
-    * distance): the emitted result stays linear in the corpus even when
-    * the pair set is pathologically dense (this synthetic vocab collides
-    * hard). The same shape carries a 64-bit simhash with 16-bit chunks
-    * at 100 TB. */
-  val d8SimhashHamming = q("d8_simhash_hamming",
+  /** D8 — DEMO (16-bit): SimHash near-dup degree via pigeonhole nibble
+    * banding. **Pedagogical fence, not a production path** — a 16-bit
+    * signature gives 4-bit band keys → 16 buckets per band, so bucket
+    * occupancy grows linearly with the corpus and candidate pairs
+    * quadratically REGARDLESS of content (measured 53.8× work at 10×
+    * corpus in BENCH.md). The production form of this exact plan is
+    * [[Extended9.d14Simhash64Hamming]] (64-bit signature, 16-bit band
+    * keys → 65 536 buckets/band, 1.3× at 10×); a guard below refuses
+    * corpora past 10 000 docs so this demo cannot be shipped by
+    * accident. Kept because the nibble pigeonhole (hamming ≤ 3 ⇒ some
+    * nibble agrees) is the clearest statement of the banding idea. */
+  val d8Simhash16Demo = q("d8_simhash16_demo",
     """WITH tok AS (
       |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
       |                                    x -> x <> '')) AS tk
@@ -233,7 +234,14 @@ object Extended8 {
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
       |       CAST(min(hamming) AS INT) AS min_hamming
       |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
+    // Demo fence: 16 buckets/band detonates quadratically on real corpora
+    // (see scaladoc). Use d14_simhash64_hamming beyond toy scale.
+    val corpus = docs.select("doc_id").limit(10001).count()
+    require(corpus <= 10000,
+      s"d8_simhash16_demo is a 16-bit teaching demo capped at 10000 docs " +
+        s"(got >= $corpus); use d14_simhash64_hamming for production corpora")
+    val toks = docs
       .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
     // materialized once: the band self-join otherwise re-runs the whole
     // signature pipeline on both sides (see d14)
@@ -272,5 +280,5 @@ object Extended8 {
 
   val all: Seq[Q] = Seq(a18WeightedStats, a19ModePerGroup, u5SymmetricDiff,
     e27DauWauStickiness, v11CentroidDistances, w13RunningDistinct,
-    e28FulfillmentLag, d8SimhashHamming)
+    e28FulfillmentLag, d8Simhash16Demo)
 }

@@ -370,13 +370,30 @@ object Relational {
   }
 
   /** A8 — approximate sketches (HLL distinct, approx quantiles): the
-    * 100 TB substitutes for exact countDistinct/median. Sketch internals
-    * are engine-specific ⇒ no cross-engine oracle; error bounds vs exact
-    * are asserted in ApproxSpec. */
-  val a8Approx = qNoOracle("a8_approx_sketches") { (s, d) =>
+    * 100 TB substitutes for exact countDistinct/median. Sketch VALUES are
+    * engine-specific, so the hashable output carries the exact answers
+    * plus booleans asserting each sketch landed inside its published
+    * error bound (HLL rsd 5% → 3σ = 15%; approx-percentile accuracy 1000
+    * → rank error 1/1000, checked against the exact 0.49/0.51 quantile
+    * envelope). The oracle recomputes the exact answers and expects every
+    * bound-check true — a hard hash gate on the sketch behavior without
+    * hashing sketch internals. ApproxSpec asserts the tighter 1σ bound. */
+  val a8Approx = q("a8_approx_sketches",
+    """SELECT l_returnflag,
+      |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |       true AS distinct_ok, true AS median_ok
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d).groupBy("l_returnflag").agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_med"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_med"),
+      expr("percentile(l_quantity, 0.49)").as("q_lo"),
+      expr("percentile(l_quantity, 0.51)").as("q_hi"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * lit(0.15)).as("distinct_ok"),
+        (col("approx_med") >= col("q_lo") &&
+          col("approx_med") <= col("q_hi")).as("median_ok"))
   }
 
   /** W6 — the ranking/offset window family over one pass: rank,
