@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * amortizes codec init over a whole batch (the mapInPandas shape, in
   * Scala: mapPartitions over a typed Dataset).
   *
-  * The decode step itself is STUBBED (this container ships no media
-  * codecs): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. The Spark-side contract — schema, batch shape,
-  * partition-level execution, metadata columns — is real and tested;
-  * swapping `decodeStub` for a JNI/FFmpeg call changes nothing upstream.
+  * Image decode is REAL for the JVM's built-in codecs (PNG/BMP/GIF/JPEG
+  * via `javax.imageio`, see [[BinaryOps.decodeImage]] — exercised
+  * end-to-end by the m9_png_roundtrip battery query on genuine encoded
+  * pixels). Video/audio codecs don't ship in this container, so those
+  * payloads fall back to `decodeStub`, a deterministic fake; the
+  * Spark-side contract — schema, batch shape, partition-level execution,
+  * metadata columns — is identical either way, so swapping the stub for
+  * a JNI/FFmpeg call changes nothing upstream.
   */
 object BinaryOps {
 
@@ -41,14 +44,81 @@ object BinaryOps {
     (w, h, feats)
   }
 
+  /** REAL image decode for the formats the JVM ships codecs for (PNG,
+    * BMP, GIF, JPEG via `javax.imageio` — no native deps): returns
+    * width/height and an 8-dim feature vector of genuine pixel statistics
+    * (mean R/G/B, mean luma, and the four quadrant lumas — a tiny but
+    * honest "embedding"). None for payloads that aren't a decodable
+    * image, so callers can fall back to [[decodeStub]] for the synthetic
+    * non-image payloads in the test tables. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.length < 8) return None
+    val png = (payload(0) & 0xFF) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+    val bmp = payload(0) == 'B' && payload(1) == 'M'
+    val gif = payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F'
+    val jpg = (payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8
+    if (!png && !bmp && !gif && !jpg) return None
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        var rs = 0L; var gs = 0L; var bs = 0L
+        val quadLuma = new Array[Long](4)
+        val quadN = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            rs += r; gs += g; bs += b
+            val qi = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quadLuma(qi) += (r + g + b) / 3; quadN(qi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        val feats = Array(
+          rs / n / 255f, gs / n / 255f, bs / n / 255f,
+          (rs + gs + bs) / (3 * n) / 255f,
+          quadLuma(0) / math.max(1L, quadN(0)).toFloat / 255f,
+          quadLuma(1) / math.max(1L, quadN(1)).toFloat / 255f,
+          quadLuma(2) / math.max(1L, quadN(2)).toFloat / 255f,
+          quadLuma(3) / math.max(1L, quadN(3)).toFloat / 255f)
+        (w, h, feats)
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** PNG encode (real `javax.imageio` codec): renders `pixel(x, y)` →
+    * packed 0xRRGGBB into a PNG byte payload. Used to fixture genuine
+    * image columns from deterministic content. */
+  def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Per-partition decode: one "codec" per partition, streaming rows
-    * through it — the batch shape a real decoder needs. */
+    * through it — the batch shape a real decoder needs. Real image
+    * payloads (PNG/BMP/GIF/JPEG) go through the genuine `javax.imageio`
+    * decode; anything else falls back to the deterministic stub. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: init codec once here, close at exhaustion
+      // real impl for exotic codecs: init here, close at exhaustion
       rows.map { r =>
-        val (w, h, f) = decodeStub(r.payload)
+        val (w, h, f) = decodeImage(r.payload).getOrElse(decodeStub(r.payload))
         DecodedRow(r.doc_id, r.payload.length.toLong, w, h, f)
       }
     }

@@ -30,6 +30,23 @@ class BinaryOpsSpec extends SparkSuite {
     assert(again(1L) == out(1L).features.toSeq)
   }
 
+  test("real PNG decode: encode -> decodeImage round-trips dims and pixel stats") {
+    // 4x2 image: left half black, right half white
+    val png = BinaryOps.encodePng(4, 2, (x, _) => if (x < 2) 0x000000 else 0xFFFFFF)
+    val (w, h, feats) = BinaryOps.decodeImage(png).get
+    assert(w == 4 && h == 2)
+    assert(math.abs(feats(0) - 0.5f) < 1e-6) // mean R: half 0, half 255/255
+    assert(math.abs(feats(3) - 0.5f) < 1e-6) // mean luma
+    assert(feats(4) == 0f && feats(5) == 1f) // top-left quad black, top-right white
+    // non-image payloads are rejected, not mis-decoded
+    assert(BinaryOps.decodeImage(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).isEmpty)
+    assert(BinaryOps.decodeImage("BMnotreallyabitmap".getBytes).isEmpty)
+    // decode() routes real images through the codec (not the stub)
+    val media = Seq(BinaryOps.MediaRow(1L, png)).toDS()
+    val out = BinaryOps.decode(media).collect().head
+    assert(out.width == 4 && out.height == 2 && out.n_bytes == png.length.toLong)
+  }
+
   test("resize: aspect-preserving downscale + pooled features") {
     val media = Seq(BinaryOps.MediaRow(1L, Array[Byte](100, 40, 7))).toDS()
     val dec = BinaryOps.decode(media)
