@@ -10,11 +10,22 @@ import org.apache.spark.sql.functions._
   * every probed operator's expensive phase is bounded by corpus size (or
   * dup-graph size), never by corpus². Results recorded in BENCH.md.
   *
-  * Writes only under /tmp; run: `sbt "runMain graft.ScaleProbe [K]"`.
+  * Two modes:
+  *  - `docs` (default): documents/embeddings replicas for the dedup/ANN/
+  *    text families.
+  *  - `tpch`: key-shifted replicas of lineitem/orders/customer/supplier/
+  *    part (nation/region stay fixed — real dims don't grow with facts),
+  *    i.e. sf1-equivalent volume at K=10, for the h-family. Besides
+  *    timing ratios it re-plans every query at K× and flags any
+  *    CartesianProduct / BroadcastNestedLoopJoin — the failure mode the
+  *    10 MB autoBroadcast threshold can cause when dims outgrow it.
+  *
+  * Writes only under /tmp; run: `sbt "runMain graft.ScaleProbe [mode] [K]"`.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val mode = args.headOption.filterNot(_.forall(_.isDigit)).getOrElse("docs")
+    val k = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -25,6 +36,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    if (mode == "tpch") { tpchProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val emb = Tables.embeddings(spark, sfDir)
@@ -82,5 +94,76 @@ object ScaleProbe {
       println(f"| `$name` | $t1%.2f | $tk%.2f | ${tk / t1}%.1f |")
     }
     spark.stop()
+  }
+
+  /** TPC-H-family probe: K key-shifted replicas of the 5 growing tables
+    * (foreign keys shifted consistently so join selectivity per replica
+    * is preserved), fixed nation/region. */
+  private def tpchProbe(spark: SparkSession, sfDir: String, base: String,
+      k: Int): Unit = {
+    def shift(df: DataFrame, keyUnits: Map[String, Long]): DataFrame =
+      (0 until k).map { r =>
+        keyUnits.foldLeft(df) { case (d, (c, unit)) =>
+          d.withColumn(c, col(c) + lit(r * unit))
+        }
+      }.reduce(_.unionByName(_))
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head.getLong(0) + 1
+
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val part = Tables.part(spark, sfDir)
+    val nOrd = maxOf(ord, "o_orderkey"); val nCust = maxOf(cust, "c_custkey")
+    val nSupp = maxOf(supp, "s_suppkey"); val nPart = maxOf(part, "p_partkey")
+
+    shift(li, Map("l_orderkey" -> nOrd, "l_partkey" -> nPart, "l_suppkey" -> nSupp))
+      .write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+    shift(ord, Map("o_orderkey" -> nOrd, "o_custkey" -> nCust))
+      .write.mode("overwrite").parquet(s"$base/orders.parquet")
+    shift(cust, Map("c_custkey" -> nCust))
+      .write.mode("overwrite").parquet(s"$base/customer.parquet")
+    shift(supp, Map("s_suppkey" -> nSupp))
+      .write.mode("overwrite").parquet(s"$base/supplier.parquet")
+    shift(part, Map("p_partkey" -> nPart))
+      .write.mode("overwrite").parquet(s"$base/part.parquet")
+    // real dimensions don't grow with the fact tables
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$base/$t.parquet")
+    }
+
+    val probes = (1 to 22).map(i => s"h$i").flatMap { p =>
+      SparkEntry.queries.keys.find(_.startsWith(p + "_"))
+    }
+
+    def timeIt(dir: String, name: String): Double = {
+      SparkEntry.queries(name)(spark, dir).count() // warmup
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // a BNLJ that exists at BOTH scales is a deliberate one-row scalar
+    // crossJoin(broadcast(...)); only NEW occurrences at Kx are flips
+    def opCounts(dir: String, name: String): Map[String, Int] = {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .map(op => op -> op.r.findAllIn(plan).length).toMap
+    }
+
+    println(f"""| query | 1x s | ${k}x s | ratio (linear = $k) | plan flips at ${k}x |""")
+    println("|---|---|---|---|---|")
+    probes.foreach { name =>
+      val t1 = timeIt(sfDir, name)
+      val tk = timeIt(base, name)
+      val c1 = opCounts(sfDir, name); val ck = opCounts(base, name)
+      val flips = ck.collect { case (op, n) if n > c1(op) => s"$op +${n - c1(op)}" }
+      val flagStr = if (flips.isEmpty) "none" else flips.mkString(", ")
+      println(f"| `$name` | $t1%.2f | $tk%.2f | ${tk / t1}%.1f | $flagStr |")
+    }
   }
 }
