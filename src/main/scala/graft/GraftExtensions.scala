@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.{LongType, StringType}
-import graft.functions.{HexTopBitsPack, SecondsToHms, TitleMainCode, VecDot}
+import graft.functions.{BloomMightContain, HexTopBitsPack, SecondsToHms, TitleMainCode, VecDot}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions callable from SQL.
@@ -52,7 +52,13 @@ object GraftExtensions {
       }),
     ("hex_topbits_pack",
       new ExpressionInfo(classOf[HexTopBitsPack].getName, "hex_topbits_pack"),
-      args => HexTopBitsPack(Cast(one(args, "hex_topbits_pack"), StringType))))
+      args => HexTopBitsPack(Cast(one(args, "hex_topbits_pack"), StringType))),
+    ("bloom_might_contain",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      args => {
+        require(args.length == 2, "bloom_might_contain expects exactly 2 arguments")
+        BloomMightContain(Cast(args(0), LongType), args(1))
+      }))
 
   /** Register on a live session (temp functions only — analyzer rules
     * like FuseTitleCode are fixed at session creation; start the session

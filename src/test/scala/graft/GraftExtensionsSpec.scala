@@ -31,6 +31,19 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getSeq[Long](1).length == 16)
   }
 
+  test("bloom_might_contain from SQL: no false negatives, few false positives") {
+    GraftExtensions.register(spark)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 1000L by 2).foreach(bloom.putLong) // evens only
+    val hex = graft.functions.BloomMightContain.serialize(bloom)
+      .map("%02X".format(_)).mkString
+    val r = spark.sql(
+      s"""SELECT sum(CASE WHEN bloom_might_contain(id, X'$hex') THEN 1 ELSE 0 END)
+         |FROM range(0, 1000)""".stripMargin).head().getLong(0)
+    assert(r >= 500, "false negatives are impossible, every even must hit")
+    assert(r <= 550, s"odd-id false positives out of bound: ${r - 500} of 500")
+  }
+
   test("vec_dot from SQL: codegen expression ≡ HOF form, interpreted ≡ codegen") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -484,6 +484,36 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("j12: bloom probe filters the fact BELOW the join exchange") {
+    val p = plan("j12_bloom_prejoin")
+    val probe = p.indexOf("bloom_might_contain")
+    assert(probe >= 0, "bloom probe missing from plan:\n" + p)
+    // the probe's Filter must sit scan-side: walking DOWN from the probe
+    // we must reach the lineitem scan without crossing another Exchange
+    val below = p.substring(probe)
+    val scanAt = below.indexOf("lineitem.parquet")
+    val exchangeAt = below.indexOf("Exchange")
+    assert(scanAt >= 0, "no lineitem scan below the probe:\n" + p)
+    assert(exchangeAt == -1 || exchangeAt > scanAt,
+      "bloom probe runs above an exchange — fact shuffles unfiltered:\n" + p)
+    // and the probe really prunes: pushed down next to the scan, the
+    // surviving fraction at sf0.001 is ~the dim selectivity, not 100%
+    import org.apache.spark.sql.functions.col
+    val dim = graft.Tables.orders(spark, sf)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice") > 250000)
+    val dimFrac = dim.count().toDouble /
+      graft.Tables.orders(spark, sf).count()
+    val kept = graft.Tables.lineitem(spark, sf)
+      .where(graft.functions.BloomMightContain(col("l_orderkey"),
+        graft.functions.BloomMightContain.serialize(
+          dim.stat.bloomFilter("o_orderkey", 1000, 0.01)))).count()
+    val total = graft.Tables.lineitem(spark, sf).count()
+    // fpp 0.01: surviving fraction ≈ dim selectivity (+1% FPs), not 100%
+    assert(kept <= (dimFrac + 0.05) * total,
+      s"bloom kept $kept of $total (dim frac $dimFrac) — not selective")
+  }
+
   test("e36: schema profile is one aggregation — no join, partial phase intact") {
     val p = plan("e36_props_schema")
     assert(count(p, "HashAggregate") >= 2, "profile lost partial agg:\n" + p)
