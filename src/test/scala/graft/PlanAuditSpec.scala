@@ -514,6 +514,18 @@ class PlanAuditSpec extends SparkSuite {
       s"bloom kept $kept of $total (dim frac $dimFrac) — not selective")
   }
 
+  test("c8: partition filter prunes directories at planning time") {
+    val p = plan("c8_partition_prune")
+    assert(p.contains("PartitionFilters"), "no partition filters:\n" + p)
+    val pf = p.substring(p.indexOf("PartitionFilters"))
+      .takeWhile(_ != ']')
+    assert(pf.contains("event_type"),
+      "event_type filter not applied at partition level:\n" + p)
+    // the data filter must NOT degrade to a post-scan Filter on event_type
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type"),
+      "partition column filtered row-wise instead of pruned:\n" + p)
+  }
+
   test("e36: schema profile is one aggregation — no join, partial phase intact") {
     val p = plan("e36_props_schema")
     assert(count(p, "HashAggregate") >= 2, "profile lost partial agg:\n" + p)
