@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 widening, part 36: the DSv2 connector's server-side sort +
+  * pagination (W3/W5) promoted from spec-only to an oracle-checked
+  * battery entry.
+  */
+object Extended36 {
+
+  /** S9 — DSv2 source-side TopN (W3 order:date + W4/W5 maxResults): a
+    * videos fixture is derived deterministically from `orders` (the
+    * hermetic stand-in for the search API's backing store — one row per
+    * urgent order, published_at made UNIQUE from the orderkey so the sort
+    * is total), then read through the `graft-videos` DSv2 connector with
+    * a pushed channel filter and `ORDER BY published_at DESC LIMIT 25` —
+    * which the connector absorbs as PushedTopN (Catalyst plans no Sort or
+    * Limit of its own; VideoSearchSourceSpec pins that plan shape). The
+    * oracle computes the same top-25 straight from `orders`, so the
+    * connector's filter + sort + pagination contract — not just its plan
+    * — is hash-verified.
+    *
+    * Scale: TopN at the source is the difference between shipping 25 rows
+    * and shipping the channel's full history; pages map to InputPartitions
+    * so an unpushable query still scans in parallel. */
+  val s9Dsv2TopN = q("s9_dsv2_topn",
+    """WITH v AS (
+      |  SELECT 'v' || CAST(o_orderkey AS VARCHAR) AS video_id,
+      |         o_orderpriority AS video_title,
+      |         strftime(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(o_orderkey),
+      |                  '%Y-%m-%dT%H:%M:%SZ') AS published_at,
+      |         'ch' || CAST(o_custkey % 7 AS VARCHAR) AS channel_id
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT video_id, video_title, published_at, channel_id
+      |FROM v WHERE channel_id = 'ch3'
+      |ORDER BY published_at DESC LIMIT 25""".stripMargin) { (s, d) =>
+    val rows = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(
+        concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
+        col("o_orderpriority").as("video_title"),
+        date_format(timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
+        concat(lit("ch"), (col("o_custkey") % 7).cast("string")).as("channel_id"),
+        col("o_orderkey").as("ingest_seq"))
+      .collect() // fixture build: the hermetic "HTTP response" file
+    val sb = new StringBuilder("[")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) sb.append(',')
+      sb.append(s"""{"video_id":"${r.getString(0)}","video_title":"${r.getString(1)}",""")
+        .append(s""""published_at":"${r.getString(2)}","channel_id":"${r.getString(3)}",""")
+        .append(s""""ingest_seq":${r.getLong(4)}}""")
+    }
+    sb.append(']')
+    val fixture = java.nio.file.Files.createTempFile("graft_s9_videos_", ".json")
+    java.nio.file.Files.write(fixture, sb.toString.getBytes("UTF-8"))
+    s.read.format("graft-videos").option("path", fixture.toString).load()
+      .where(col("channel_id") === "ch3")
+      .orderBy(col("published_at").desc)
+      .limit(25)
+      .select("video_id", "video_title", "published_at", "channel_id")
+  }
+
+  val all: Seq[Q] = Seq(s9Dsv2TopN)
+}
