@@ -532,6 +532,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), "profile grew a join:\n" + p)
   }
 
+  test("c9: bucketed co-located join plans NO exchange and NO sort") {
+    val df = SparkEntry.queries("c9_bucketed_join")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("SortMergeJoin"), "bucketed join not SMJ:\n" + p)
+    assert(!p.contains("Exchange"),
+      "bucketed join/agg still shuffles — bucket layout not honored:\n" + p)
+    // bucket sort order satisfies the SMJ requirement: no explicit Sort
+    assert(!p.contains("Sort "), "bucket sortBy not honored, plan re-sorts:\n" + p)
+  }
+
+  test("j13: salted join is shuffled-hash (the shape salting targets)") {
+    val p = plan("j13_salted_skew_join")
+    assert(p.contains("ShuffledHashJoin"), "salted join lost its SHJ shape:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "salted join broadcast — salting mooted:\n" + p)
+  }
+
+  test("t34: BM25 is one scan + broadcast 1-row stats — no explode, no extra shuffle") {
+    val p = plan("t34_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "corpus stats not broadcast:\n" + p)
+    assert(!p.contains("Generate"), "BM25 grew an explode:\n" + p)
+    assert(count(p, "Exchange") <= 1, "BM25 shuffles beyond the 1-row agg:\n" + p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
