@@ -43,4 +43,33 @@ object AsOfJoin {
       .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
         payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * the same key and right.ts >= left.ts (pandas `merge_asof
+    * direction='forward'`; DuckDB `ASOF ... ON l.ts <= r.ts`). Same
+    * union-one-window shape as [[asOf]], with the traversal reversed:
+    * sorting ts DESC and carrying the last right payload seen yields the
+    * nearest FOLLOWING right row. Right rows order before left rows at
+    * equal ts, so an exactly-simultaneous right row matches (`>=`).
+    * Cost is identical to the backward join — one keyed shuffle + one
+    * per-key sort, no range-blowup. Apply a match-window tolerance by
+    * carrying the right ts in `payload` and null-gating downstream. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payload: Seq[String]): DataFrame = {
+    val leftStructType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"),
+      lit(null).cast(leftStructType).as("__l"))
+    val l = left.select(col(key), col(ts), lit(1).as("__side"),
+      lit(null).cast(r.schema("__p").dataType).as("__p"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        payload.map(p => col(s"__asof.$p").as(s"asof_$p")): _*)
+  }
 }

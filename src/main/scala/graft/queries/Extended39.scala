@@ -121,5 +121,46 @@ object Extended39 {
       .toDF("doc_id", "width", "height", "r_sum")
   }
 
-  val all: Seq[Q] = Seq(p12ShardShuffle, m13BinaryfileIngest)
+  /** E38 — FORWARD as-of join with a match tolerance: each click is
+    * paired with the user's next purchase at-or-after it
+    * ([[graft.ops.AsOfJoin.asOfForward]] — the reversed-traversal twin
+    * of e5's backward join, same one-shuffle-one-sort cost), and the
+    * match is null-gated to a 1-hour window — the "did this click
+    * convert within the attribution window" primitive. The oracle is
+    * DuckDB's native forward `ASOF LEFT JOIN (c.ts <= p.ts)` with the
+    * same tolerance gate, so both the direction semantics (earliest
+    * following, ties-at-equal-ts match) and the gate are hash-checked.
+    *
+    * Scale: identical shape to the backward as-of — linear in
+    * |left|+|right|, no range-join blowup, one keyed shuffle. */
+  val e38AsofForward = q("e38_asof_forward",
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      |  WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT event_id AS p_event_id, user_id, ts::TIMESTAMP AS ts, value AS p_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id,
+      |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      |            THEN p.p_event_id END AS next_p_event_id,
+      |       CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      |            THEN p.p_value END AS next_p_value
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"),
+        col("value").as("p_value"))
+    val inWindow =
+      unix_micros(col("asof_ts")) - unix_micros(col("ts")) <= 3600000000L
+    graft.ops.AsOfJoin.asOfForward(clicks, purchases, "user_id", "ts",
+        Seq("p_event_id", "p_value", "ts"))
+      .select(col("event_id"), col("user_id"),
+        when(inWindow, col("asof_p_event_id")).as("next_p_event_id"),
+        when(inWindow, col("asof_p_value")).as("next_p_value"))
+  }
+
+  val all: Seq[Q] = Seq(p12ShardShuffle, m13BinaryfileIngest, e38AsofForward)
 }
