@@ -76,7 +76,9 @@ object ScaleProbe {
       // round-2 part-27+ additions (documents/embeddings-only readers)
       "t29_boilerplate_strip", "t32_ngram_novelty", "d19_incremental_dedup",
       "d20_method_agreement", "m7_patch_dedup", "m8_shot_boundaries",
-      "v22_ivf_pq_topk", "p11_priority_sample")
+      "v22_ivf_pq_topk", "p11_priority_sample",
+      // round-3 additions (documents-only readers)
+      "t34_bm25", "p12_shard_shuffle")
 
     def timeIt(dir: String, name: String): Double = {
       // steady-state: one untimed warmup, then one timed run
@@ -137,7 +139,8 @@ object ScaleProbe {
 
     val probes = (1 to 22).map(i => s"h$i").flatMap { p =>
       SparkEntry.queries.keys.find(_.startsWith(p + "_"))
-    }
+    } ++ Seq( // round-3 layout/skew operators (tpch-table readers)
+      "c9_bucketed_join", "j13_salted_skew_join", "c10_zorder_curve")
 
     def timeIt(dir: String, name: String): Double = {
       SparkEntry.queries(name)(spark, dir).count() // warmup
