@@ -94,18 +94,20 @@ object Extended31 {
     val source =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DebEvent]
     val sinkName = "c4_debounce_" + math.abs(java.util.UUID.randomUUID().hashCode())
-    val query = EventStream.debounce(source.toDS())
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .start()
-    try {
-      val nBatches = 4
-      val per = (rows.length + nBatches - 1) / nBatches
-      rows.grouped(per).foreach { chunk =>
-        source.addData(chunk.toIndexedSeq)
-        query.processAllAvailable() // force one micro-batch per time slice
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val query = EventStream.debounce(source.toDS())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .start()
+      try {
+        val nBatches = 4
+        val per = (rows.length + nBatches - 1) / nBatches
+        rows.grouped(per).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          query.processAllAvailable() // force one micro-batch per time slice
+        }
+      } finally query.stop()
+    }
     s.table(sinkName).select("event_id", "user_id", "event_type")
   }
 

@@ -34,15 +34,17 @@ object Extended34 {
       .toDF("us", "event_id", "user_id", "event_type", "value")
       .withColumn("ts", timestamp_micros(col("us"))))
     val sinkName = "c_stream_" + math.abs(java.util.UUID.randomUUID().hashCode())
-    val query = events.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val per = (rows.length + nBatches - 1) / nBatches
-      rows.grouped(per).foreach { chunk =>
-        source.addData(chunk.toIndexedSeq)
-        query.processAllAvailable()
-      }
-    } finally query.stop()
+    withShufflePartitions(s, 4) {
+      val query = events.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val per = (rows.length + nBatches - 1) / nBatches
+        rows.grouped(per).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    }
     s.table(sinkName)
   }
 
@@ -97,19 +99,21 @@ object Extended34 {
       source.toDF().toDF("us", "event_id", "event_type", "value")
         .withColumn("ts", timestamp_micros(col("us"))))
     val sinkName = "c6_sink_" + math.abs(java.util.UUID.randomUUID().hashCode())
-    val query = events.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val per = (rows.length + 3) / 4
-      rows.grouped(per).foreach { chunk =>
-        source.addData(chunk.toIndexedSeq)
+    withShufflePartitions(s, 4) {
+      val query = events.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val per = (rows.length + 3) / 4
+        rows.grouped(per).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        // end-of-stream drain: a sentinel 10 days past the data pushes the
+        // watermark beyond every real window so append mode flushes them
+        source.addData((maxUs + 10L * 86400 * 1000000, -1L, "__flush", 0.0))
         query.processAllAvailable()
-      }
-      // end-of-stream drain: a sentinel 10 days past the data pushes the
-      // watermark beyond every real window so append mode flushes them
-      source.addData((maxUs + 10L * 86400 * 1000000, -1L, "__flush", 0.0))
-      query.processAllAvailable()
-    } finally query.stop()
+      } finally query.stop()
+    }
     s.table(sinkName)
       .where(col("event_type") =!= "__flush")
       .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),

@@ -56,21 +56,23 @@ object Extended35 {
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[EventStream.SessionEvent]
     val sinkName = "c7_sink_" + math.abs(java.util.UUID.randomUUID().hashCode())
-    val query = EventStream.sessionize(source.toDS())
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val per = (rows.length + 4) / 5
-      rows.grouped(per).foreach { chunk =>
-        source.addData(chunk.toIndexedSeq)
+    withShufflePartitions(s, 4) {
+      val query = EventStream.sessionize(source.toDS())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val per = (rows.length + 4) / 5
+        rows.grouped(per).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        // end-of-stream flush: one sentinel per user closes every open
+        // session; the sentinels' own 1-event sessions stay in state unseen
+        source.addData(users.map(u =>
+          EventStream.SessionEvent(u, -1L, flushUs)).toIndexedSeq)
         query.processAllAvailable()
-      }
-      // end-of-stream flush: one sentinel per user closes every open
-      // session; the sentinels' own 1-event sessions stay in state unseen
-      source.addData(users.map(u =>
-        EventStream.SessionEvent(u, -1L, flushUs)).toIndexedSeq)
-      query.processAllAvailable()
-    } finally query.stop()
+      } finally query.stop()
+    }
     s.table(sinkName)
       .select(col("user_id"), col("session_events").as("n_events"),
         col("last_micros").as("last_us"))

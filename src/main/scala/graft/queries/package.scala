@@ -24,4 +24,17 @@ package object queries {
     * VARCHAR→DECIMAL makes both engines round the same decimal number. */
   def rnd(e: String, k: Int): String =
     s"CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $k) AS DOUBLE)"
+
+  /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
+    * streaming micro-batch replays pay per-partition state-store setup
+    * on EVERY batch, so the tiny-data engine executions in the battery
+    * use a handful of partitions instead of the session's 32 (the conf
+    * is read at streaming-query start; state-store sizing at production
+    * volume belongs to the deployment, not the operator). */
+  def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
 }
