@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
 import org.apache.spark.sql.types.{LongType, StringType}
-import graft.functions.{BloomMightContain, HexTopBitsPack, SecondsToHms, TitleMainCode, VecDot}
+import graft.functions.{BloomMightContain, HexPrefixLong, HexTopBitsPack, SecondsToHms, TitleMainCode, VecDot}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions callable from SQL.
@@ -53,6 +53,18 @@ object GraftExtensions {
     ("hex_topbits_pack",
       new ExpressionInfo(classOf[HexTopBitsPack].getName, "hex_topbits_pack"),
       args => HexTopBitsPack(Cast(one(args, "hex_topbits_pack"), StringType))),
+    ("hex_prefix_long",
+      new ExpressionInfo(classOf[HexPrefixLong].getName, "hex_prefix_long"),
+      args => {
+        require(args.length == 2, "hex_prefix_long expects exactly 2 arguments")
+        val n = args(1) match {
+          case e if e.foldable => Cast(e, org.apache.spark.sql.types.IntegerType)
+            .eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            "hex_prefix_long digit count must be a literal")
+        }
+        HexPrefixLong(Cast(args(0), StringType), n)
+      }),
     ("bloom_might_contain",
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       args => {

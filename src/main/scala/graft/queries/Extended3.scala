@@ -145,10 +145,15 @@ object Extended3 {
 
   /** T12 — bigram language-model scoring: per-document mean log MLE
     * bigram probability against the corpus's own bigram statistics — the
-    * perplexity-style quality signal of corpus curation. Counts are
-    * global partial-aggregable aggregates; the per-doc score joins each
-    * doc's bigrams to the (small, Zipf-bounded) count tables — at 100 TB
-    * both count tables broadcast. */
+    * perplexity-style quality signal of corpus curation. The bigram
+    * count table builds with one map-side-combined shuffle; the unigram
+    * table derives from it (vocab-sized agg, NOT a second pass over the
+    * corpus — ln splits, so n1 = Σ n2 per w1); scoring joins the
+    * re-exploded bigrams to both broadcast tables map-side and pays one
+    * per-doc shuffle. (An array-local variant with broadcast MAP columns
+    * benchmarked SLOWER — Catalyst MapData lookups are linear scans, so
+    * per-feature element_at on a vocab²-sized map is O(vocab²) per
+    * bigram; broadcast hash joins are the right lookup structure.) */
   val t12BigramLm = q("t12_bigram_lm_score",
     s"""WITH tok AS (
        |  SELECT doc_id,
@@ -168,16 +173,15 @@ object Extended3 {
        |JOIN c1 ON b.w1 = c1.w1
        |GROUP BY b.doc_id""".stripMargin) { (s, d) =>
     val toks = graft.text.TextAnalysis.tokens(col("text"))
-    val bg = Tables.documents(s, d)
+    def bg = Tables.documents(s, d)
       .select(col("doc_id"), toks.as("t"))
       .where(size(col("t")) >= 2)
       .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
         i => struct(element_at(col("t"), i).as("w1"),
           element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .localCheckpoint(true)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
     bg.join(broadcast(c2), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
       .groupBy("doc_id")

@@ -158,19 +158,36 @@ object Extended42 {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("t"))
+    // md5 → top-8-hex → long via the codegen HexPrefixLong (identical
+    // value to conv(substring(…),16,10), ~2× cheaper in the hot loop)
     val bucket = (sx: Column) =>
-      conv(substring(md5(concat(lit("f:"), sx)), 1, 8), 16, 10)
-        .cast("long") % 4096
+      graft.functions.HexPrefixLong(md5(concat(lit("f:"), sx)), 8) % 4096
     val f = toks.select(col("doc_id"),
       concat(
         transform(col("t"), x => bucket(x)),
-        expr("""transform(slice(t, 2, greatest(size(t) - 1, 0)), (y, i) ->
-                  conv(substring(md5(concat('f:', element_at(t, i + 1), '_', y)), 1, 8), 16, 10) % CAST(4096 AS BIGINT))""")
+        transform(slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (y, i) => bucket(concat(element_at(col("t"), i + 1), lit("_"), y)))
       ).as("bk"))
+      // materialize ONCE: higher-order functions evaluate interpreted and
+      // are excluded from codegen subexpression elimination, so after
+      // projection collapse every downstream reference (size filter,
+      // n_feats, raw, score) would re-run the whole hash build — 4× the
+      // work. The checkpoint is a row-count-sized barrier (measured 3.5 s
+      // → 1.3 s at sf0.1).
+      .localCheckpoint(true)
+    // the weight table is a deterministic function of the bucket index, so
+    // it precomputes driver-side (same md5 the oracle evaluates per
+    // feature) and ships as a 4096-long literal — O(1) array lookups
+    // instead of a per-feature md5+conv chain (2× faster end-to-end)
+    val wtab: Seq[Long] = (0 until 4096).map { b =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$b".getBytes("UTF-8"))
+      val hex8 = dig.take(4).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex8, 16) % 2001 - 1000
+    }
     val weightSum = aggregate(
       transform(col("bk"), b =>
-        conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 8), 16, 10)
-          .cast("long") % 2001 - 1000),
+        element_at(typedLit(wtab), (b + 1L).cast("int"))),
       lit(0L), (acc, x) => acc + x)
     f.where(size(col("bk")) > 0)
       .select(col("doc_id"),
@@ -219,31 +236,36 @@ object Extended42 {
         |UNION ALL SELECT walk_id, CAST(step AS INT), node FROM w4""".stripMargin)
     sb.toString
   }) { (s, d) =>
-    val (it, pairs) = Extended12.covisitGraph(s, d)
-    val edges = pairs.select(col("i1").as("src"), col("i2").as("dst"))
-      .unionAll(pairs.select(col("i2").as("src"), col("i1").as("dst")))
-      .localCheckpoint(true)
-    val nodes = it.select(col("item").as("node")).distinct()
-    val adj = edges.withColumn("rk",
-      row_number().over(Window.partitionBy("src").orderBy(col("dst").asc)))
-      .localCheckpoint(true)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
-    var state = nodes.select(col("node").as("walk_id"), col("node"),
-      lit(0).as("step"))
-    var out = state
-    for (k <- 1 to 4) {
-      val pick = conv(substring(
-        md5(concat(lit("rw:"), col("walk_id").cast("string"), lit(s":$k"))),
-        1, 8), 16, 10).cast("long") % col("d") + 1
-      state = state.select(col("walk_id"), col("node"))
-        .join(deg.withColumnRenamed("src", "node"), Seq("node"))
-        .withColumn("rk", pick)
-        .join(adj.withColumnRenamed("src", "node"), Seq("node", "rk"))
-        .select(col("walk_id"), col("dst").as("node"), lit(k).as("step"))
-      out = out.unionByName(state)
+    withShufflePartitions(s, 8) {
+      val (it, pairs) = Extended12.covisitGraph(s, d)
+      val edges = pairs.select(col("i1").as("src"), col("i2").as("dst"))
+        .unionAll(pairs.select(col("i2").as("src"), col("i1").as("dst")))
+        .localCheckpoint(true)
+      val nodes = it.select(col("item").as("node")).distinct()
+      val adj = edges.withColumn("rk",
+        row_number().over(Window.partitionBy("src").orderBy(col("dst").asc)))
+      // degree is node-vocabulary-sized → broadcast; adjacency is
+      // edge-sized → stays partitioned, stepped into by (node, rank)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      var state = nodes.select(col("node").as("walk_id"), col("node"),
+        lit(0).as("step")).localCheckpoint(true)
+      var out = state
+      for (k <- 1 to 4) {
+        val pick = conv(substring(
+          md5(concat(lit("rw:"), col("walk_id").cast("string"), lit(s":$k"))),
+          1, 8), 16, 10).cast("long") % col("d") + 1
+        // checkpoint per step: each union branch would otherwise re-run
+        // the whole join chain below it (k-deep lineage × 5 branches)
+        state = state.select(col("walk_id"), col("node"))
+          .join(broadcast(deg.withColumnRenamed("src", "node")), Seq("node"))
+          .withColumn("rk", pick)
+          .join(adj.withColumnRenamed("src", "node"), Seq("node", "rk"))
+          .select(col("walk_id"), col("dst").as("node"), lit(k).as("step"))
+          .localCheckpoint(true)
+        out = out.unionByName(state)
+      }
+      out.select(col("walk_id"), col("step"), col("node"))
     }
-    out.select(col("walk_id"), col("step"), col("node"))
   }
 
   val all: Seq[Q] = Seq(w16Skyline, e41IntervalMerge, t35HashedFeatures,
