@@ -18,11 +18,19 @@ object Extended34 {
     * contents. The driver-side collect exists only because MemoryStream
     * is by construction a driver-side test source — the production path
     * is readStream on files/kafka with the identical downstream plan. */
-  private def replayStream(s: SparkSession, d: String, nBatches: Int)(
+  private def replayStream(s: SparkSession, d: String, nBatches: Int,
+      feedTypes: Seq[String] = Nil)(
       build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, d)
+    // feedTypes narrows the REPLAY to the event types the streaming plan
+    // consumes (its own filters discard the rest row-by-row anyway) —
+    // semantics identical, but the collect, the per-batch scan, and the
+    // watermark bookkeeping all shrink to the relevant sub-stream
+    val base = Tables.events(s, d)
+    val fed = if (feedTypes.isEmpty) base
+      else base.where(col("event_type").isin(feedTypes: _*))
+    val rows = fed
       .select(unix_micros(col("ts")).as("us"), col("event_id"),
         col("user_id"), col("event_type"), col("value"))
       .as[(Long, Long, Long, String, Double)]
@@ -64,7 +72,7 @@ object Extended34 {
       |  ON c.user_id = e.user_id
       | AND c.event_type = 'click' AND e.event_type = 'error'
       | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts""".stripMargin) { (s, d) =>
-    replayStream(s, d, nBatches = 6) { ev =>
+    replayStream(s, d, nBatches = 6, feedTypes = Seq("click", "error")) { ev =>
       graft.streaming.EventStream.clickErrorJoin(
         ev.where(col("event_type") === "click"),
         ev.where(col("event_type") === "error"))
