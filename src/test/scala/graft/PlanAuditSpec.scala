@@ -557,6 +557,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(count(p, "Exchange") <= 1, "BM25 shuffles beyond the 1-row agg:\n" + p)
   }
 
+  test("t12: count tables broadcast back; no shuffled join, ≤3 exchanges") {
+    val p = plan("t12_bigram_lm_score")
+    assert(p.contains("BroadcastHashJoin"), "count tables not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"), "bigram scoring shuffle-joins:\n" + p)
+    assert(count(p, "Exchange") <= 3,
+      "more shuffles than count-build + vocab agg + per-doc agg:\n" + p)
+  }
+
+  test("t35: hashed featurization is join-free and shuffle-free") {
+    val p = plan("t35_hashed_features")
+    assert(!p.contains("Join"), "featurization grew a join:\n" + p)
+    assert(!p.contains("Exchange"), "featurization shuffles:\n" + p)
+    assert(!p.contains("Generate"), "featurization explodes:\n" + p)
+  }
+
+  test("w16: skyline never plans a cartesian; agg keeps its partial phase") {
+    val p = plan("w16_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "skyline degenerated to the quadratic dominance join:\n" + p)
+    assert(count(p, "HashAggregate") >= 2, "per-supplier agg lost partial phase:\n" + p)
+  }
+
+  test("e41: interval islands pay ≤2 keyed shuffles and no join") {
+    val p = plan("e41_interval_merge")
+    assert(!p.contains("Join"), "island merge grew a join:\n" + p)
+    assert(count(p, "Exchange") <= 2,
+      "island merge shuffles beyond window + island agg:\n" + p)
+  }
+
+  test("m14: patch projection is scan-side — no join, no shuffle") {
+    val p = plan("m14_patch_project")
+    assert(!p.contains("Join"), "projection weights joined, not inlined:\n" + p)
+    assert(!p.contains("Exchange"), "patch projection shuffles:\n" + p)
+  }
+
+  test("p14: weighted thinning is one aggregation pass, accept test scan-side") {
+    val p = plan("p14_weighted_thinning")
+    assert(!p.contains("Join"), "thinning grew a join:\n" + p)
+    assert(count(p, "Exchange") <= 1, "thinning shuffles before the audit agg:\n" + p)
+    assert(count(p, "HashAggregate") >= 2, "audit agg lost partial phase:\n" + p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
