@@ -37,6 +37,7 @@ object ScaleProbe {
 
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
     if (mode == "tpch") { tpchProbe(spark, sfDir, base, k); spark.stop(); return }
+    if (mode == "events") { eventsProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val emb = Tables.embeddings(spark, sfDir)
@@ -77,8 +78,10 @@ object ScaleProbe {
       "t29_boilerplate_strip", "t32_ngram_novelty", "d19_incremental_dedup",
       "d20_method_agreement", "m7_patch_dedup", "m8_shot_boundaries",
       "v22_ivf_pq_topk", "p11_priority_sample",
-      // round-3 additions (documents-only readers)
-      "t34_bm25", "p12_shard_shuffle")
+      // round-3 additions (documents/embeddings-only readers)
+      "t34_bm25", "p12_shard_shuffle",
+      "t35_hashed_features", "a25_kmv_union", "p13_quota_sample",
+      "p14_weighted_thinning", "v23_residual_adc", "v24_knn_join")
 
     def timeIt(dir: String, name: String): Double = {
       // steady-state: one untimed warmup, then one timed run
@@ -96,6 +99,44 @@ object ScaleProbe {
       println(f"| `$name` | $t1%.2f | $tk%.2f | ${tk / t1}%.1f |")
     }
     spark.stop()
+  }
+
+  /** Events-family probe: K id-shifted replicas of the events table —
+    * replica users are NEW users with identical temporal patterns, so
+    * per-user operators (interval islands, as-of) see K× independent
+    * series and per-type series (CUSUM) see K× counts in the same number
+    * of groups. The nanos column is read raw (long) and written back as
+    * plain INT64 so Tables.events' div-1000 rebuild keeps working on the
+    * replica dir. */
+  private def eventsProbe(spark: SparkSession, sfDir: String, base: String,
+      k: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val nE = ev.agg(max("event_id")).head.getLong(0) + 1
+    val nU = ev.agg(max("user_id")).head.getLong(0) + 1
+    (0 until k).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r * nE))
+        .withColumn("user_id", col("user_id") + lit(r * nU))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+
+    val probes = Seq("e41_interval_merge", "e42_cusum_changepoint",
+      "g14_random_walks", "e38_asof_forward", "e39_twap")
+
+    def timeIt(dir: String, name: String): Double = {
+      SparkEntry.queries(name)(spark, dir).count() // warmup
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println(f"""| query | 1x s | ${k}x s | ratio (linear = $k) |""")
+    println("|---|---|---|---|")
+    probes.foreach { name =>
+      val t1 = timeIt(sfDir, name)
+      val tk = timeIt(base, name)
+      println(f"| `$name` | $t1%.2f | $tk%.2f | ${tk / t1}%.1f |")
+    }
   }
 
   /** TPC-H-family probe: K key-shifted replicas of the 5 growing tables
@@ -140,7 +181,9 @@ object ScaleProbe {
     val probes = (1 to 22).map(i => s"h$i").flatMap { p =>
       SparkEntry.queries.keys.find(_.startsWith(p + "_"))
     } ++ Seq( // round-3 layout/skew operators (tpch-table readers)
-      "c9_bucketed_join", "j13_salted_skew_join", "c10_zorder_curve")
+      "c9_bucketed_join", "j13_salted_skew_join", "c10_zorder_curve",
+      "w16_skyline", "g15_kcore", "a24_freq_quantiles",
+      "c11_incremental_rollup")
 
     def timeIt(dir: String, name: String): Double = {
       SparkEntry.queries(name)(spark, dir).count() // warmup

@@ -72,8 +72,10 @@ object Extended45 {
 
   /** V24 — k-NN JOIN (every vector → its 3 nearest same-cell neighbors):
     * the batch form of ANN search, where the query set IS the corpus.
-    * Coarse IVF cells (nearest of the 10 seed centroids, v7's
-    * convention) bound the candidate sets, pairs form CELL-LOCALLY, and
+    * Coarse IVF cells bound the candidate sets — the cell COUNT scales
+    * as max(10, √n) with the corpus (the classic n^1.5 kNN-join bound;
+    * a FIXED cell count would quietly degrade to corpus²/ncells, the
+    * mis-sized-index regime) — pairs form CELL-LOCALLY, and
     * a per-query window keeps the top 3 by (distance, neighbor id) —
     * the canonical self-kNN used by SemDeDup-style pruning and graph-
     * index (kNN-graph) construction. The oracle replays cells, pairs,
@@ -89,8 +91,12 @@ object Extended45 {
     def sqSql(x: String, y: String) =
       s"""list_sum(list_transform(generate_series(1, 64),
          |  i -> (CAST($x[CAST(i AS INT)] AS DOUBLE) - CAST($y[CAST(i AS INT)] AS DOUBLE)) ^ 2))""".stripMargin
-    s"""WITH seeds AS (
-       |  SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id <= 10),
+    s"""WITH nc AS (
+       |  SELECT CAST(greatest(10, floor(sqrt(count(*)))) AS BIGINT) AS k
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding AS c FROM embeddings, nc
+       |  WHERE vec_id < nc.k),
        |cells AS (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT e.vec_id, s.cid,
@@ -115,7 +121,9 @@ object Extended45 {
         lit(0.0), (acc, z) => acc + z)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), graft.vec.Similarity.asDouble(col("embedding")).as("v"))
-    val seeds = emb.where(col("vec_id") <= 10)
+    val nc = emb.agg(greatest(lit(10L),
+      floor(sqrt(count(lit(1))))).cast("long").as("k"))
+    val seeds = emb.crossJoin(broadcast(nc)).where(col("vec_id") < col("k"))
       .select(col("vec_id").as("cid"), col("v").as("c"))
     val cells = emb.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("v"), col("cid"), sq(col("v"), col("c")).as("fd"))
