@@ -50,6 +50,7 @@ object Extended47 {
          |SELECT rank, vec_id, ${rnd("d2", 4)} AS d2 FROM ch7""".stripMargin)
     sb.toString
   }) { (s, d) =>
+    withShufflePartitions(s, 8) {
     def sq(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, z) => acc + z)
@@ -72,6 +73,7 @@ object Extended47 {
       chosen = chosen.unionByName(pick).localCheckpoint(true)
     }
     chosen.select(col("rank"), col("vec_id"), round(col("d2"), 4).as("d2"))
+    }
   }
 
   /** G16 — personalized PageRank by FORWARD PUSH (Andersen–Chung–Lang
@@ -121,6 +123,7 @@ object Extended47 {
         |WHERE p.p > 0 OR coalesce(r.r, 0) > 0""".stripMargin)
     sb.toString
   }) { (s, d) =>
+    withShufflePartitions(s, 8) {
     val S = 1000000000000L
     val (_, pairs) = Extended12.covisitGraph(s, d)
     val edges = pairs.select(col("i1").as("src"), col("i2").as("dst"))
@@ -150,6 +153,7 @@ object Extended47 {
       .select(col("p.node").as("node"), col("p.p").as("score"),
         coalesce(col("r.r"), lit(0L)).as("residual"),
         coalesce(col("d"), lit(0L)).as("degree"))
+    }
   }
 
   /** E43 — Holt double-exponential smoothing (level + trend) over
