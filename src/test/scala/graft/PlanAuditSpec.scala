@@ -599,6 +599,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(count(p, "HashAggregate") >= 2, "audit agg lost partial phase:\n" + p)
   }
 
+  test("v24: kNN join pairs form cell-locally — keyed join, no cartesian") {
+    val p = plan("v24_knn_join")
+    assert(!p.contains("CartesianProduct"),
+      "kNN join degenerated to all-pairs:\n" + p)
+    // the candidate-pair join must be an equi-join ON THE CELL KEY (the
+    // only BNLJs are the broadcast scalar/seed cross joins, one per side)
+    assert(p.contains("SortMergeJoin [cell") || p.contains("ShuffledHashJoin [cell") ||
+      p.contains("BroadcastHashJoin [cell"),
+      "pair join not keyed by cell:\n" + p)
+    assert(count(p, "BroadcastNestedLoopJoin") <= 4,
+      "more nested loops than the four broadcast scalar/seed joins:\n" + p)
+  }
+
+  test("t36: span corruption is join-free after the checkpoint barrier") {
+    val p = plan("t36_span_corruption")
+    assert(!p.contains("Join"), "objective builder grew a join:\n" + p)
+    assert(!p.contains("Exchange"), "objective builder shuffles:\n" + p)
+  }
+
+  test("w17: per-source cap runs partitioned; global rank sees survivors only") {
+    val df = SparkEntry.queries("w17_diversified_topk")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    // two Window operators: the partitioned source cap, then the global rank
+    assert(count(p, "Window") >= 2, "cap/global window pair collapsed:\n" + p)
+    assert(!p.contains("Join"), "diversified top-k grew a join:\n" + p)
+  }
+
+  test("c13: table diff is one full-outer join, never a cartesian") {
+    val p = plan("c13_table_diff")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin"),
+      "diff lost its keyed join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
