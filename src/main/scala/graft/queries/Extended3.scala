@@ -148,12 +148,16 @@ object Extended3 {
     * perplexity-style quality signal of corpus curation. The bigram
     * count table builds with one map-side-combined shuffle; the unigram
     * table derives from it (vocab-sized agg, NOT a second pass over the
-    * corpus — ln splits, so n1 = Σ n2 per w1); scoring joins the
-    * re-exploded bigrams to both broadcast tables map-side and pays one
-    * per-doc shuffle. (An array-local variant with broadcast MAP columns
-    * benchmarked SLOWER — Catalyst MapData lookups are linear scans, so
-    * per-feature element_at on a vocab²-sized map is O(vocab²) per
-    * bigram; broadcast hash joins are the right lookup structure.) */
+    * corpus — ln splits, so n1 = Σ n2 per w1); scoring shuffle-joins the
+    * re-exploded bigrams to both count tables on their natural keys and
+    * pays one per-doc shuffle. NO broadcast hints: the bigram vocabulary
+    * GROWS WITH THE CORPUS, so broadcasting it is a driver-OOM at scale
+    * (r3 driver bench measured 14 s at local[32] with the hint vs <2 s
+    * without); the (w1,w2) shuffle of bg is shared between the c2
+    * aggregation and the join via ReusedExchange, and AQE still picks a
+    * broadcast join at runtime when the counts happen to be small. (An
+    * array-local variant with broadcast MAP columns benchmarked SLOWER —
+    * Catalyst MapData lookups are linear scans.) */
   val t12BigramLm = q("t12_bigram_lm_score",
     s"""WITH tok AS (
        |  SELECT doc_id,
@@ -182,8 +186,8 @@ object Extended3 {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
     val c1 = c2.groupBy("w1").agg(sum("n2").as("n1"))
-    bg.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
+    bg.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("n2").cast("double") / col("n1"))), 4)

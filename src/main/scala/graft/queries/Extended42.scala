@@ -95,9 +95,9 @@ object Extended42 {
       |  FROM iv),
       |isl AS (
       |  SELECT user_id, s, e,
-      |         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |         CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
       |           OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC
-      |                 ROWS UNBOUNDED PRECEDING) AS island
+      |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       |  FROM m)
       |SELECT user_id, island, min(s) AS start_us, max(e) AS end_us,
       |       CAST(count(*) AS BIGINT) AS n_events

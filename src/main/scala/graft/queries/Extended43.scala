@@ -98,7 +98,7 @@ object Extended43 {
       |                      ROWS UNBOUNDED PRECEDING) AS cum,
       |         sum(c) OVER (PARTITION BY flag) AS n
       |  FROM f)
-      |SELECT flag, max(n) AS n,
+      |SELECT flag, CAST(max(n) AS BIGINT) AS n,
       |       min(CASE WHEN cum * 4 >= n THEN v END) AS p25,
       |       min(CASE WHEN cum * 2 >= n THEN v END) AS p50,
       |       min(CASE WHEN cum * 4 >= 3 * n THEN v END) AS p75

@@ -52,9 +52,14 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWS_ONLY({len(s_rows)})"
             continue
         try:
-            cur = con.execute(oracle[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # Fetch via arrow, NOT fetchall(): fetchall() unboxes DuckDB
+            # HUGEINT to Python int, hiding the type the driver's hash
+            # sees (r3 lesson: uncast window sum() -> HUGEINT -> driver
+            # red while fetchall-based local sweep stayed green). Arrow
+            # exports HUGEINT as decimal128, which canon() marks DEC:.
+            dtbl = con.execute(oracle[name]).fetch_arrow_table()
+            d_cols = dtbl.column_names
+            d_rows = [tuple(row[c] for c in d_cols) for row in dtbl.to_pylist()]
         except Exception as e:
             results[name] = "ORACLE_SQL_ERROR: " + str(e).split("\n")[0][:200]
             continue
