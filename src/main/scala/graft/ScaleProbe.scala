@@ -38,6 +38,7 @@ object ScaleProbe {
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
     if (mode == "tpch") { tpchProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "events") { eventsProbe(spark, sfDir, base, k); spark.stop(); return }
+    if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val emb = Tables.embeddings(spark, sfDir)
@@ -99,6 +100,41 @@ object ScaleProbe {
       println(f"| `$name` | $t1%.2f | $tk%.2f | ${tk / t1}%.1f |")
     }
     spark.stop()
+  }
+
+  /** Adversarial collision-density probe for the LSH hot-bucket cap:
+    * replicate documents K× with id shifts but NO text perturbation, so
+    * every LSH bucket gets K× hotter (the degenerate-content failure
+    * mode — boilerplate, empty pages — where bucket size grows with the
+    * corpus instead of staying flat). Uncapped candidate volume then
+    * grows ~K² (Σ|bucket|²); with `maxBucket` the volume must stay FLAT
+    * (bucket count is constant, each bounded at the cap). This is the
+    * measured evidence that `NearDup.lshCandidatesFromSigs`'s cap turns
+    * the quadratic blowup into a constant — recorded in BENCH.md. */
+  private def densifyProbe(spark: SparkSession, sfDir: String, k: Int): Unit = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val dense = (0 until k).map(r =>
+        docs.withColumn("doc_id", col("doc_id") + lit(r * nDocs)))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+
+    def run(d: DataFrame, cap: Int): (Long, Double) = {
+      def once(): Long =
+        text.NearDup.lshCandidates(d, "doc_id", col("text"), 3, 8, 8, cap).count()
+      once() // warmup
+      val t0 = System.nanoTime()
+      val n = once()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(s"| corpus | cap | candidate pairs | s |")
+    println("|---|---|---|---|")
+    for ((label, d) <- Seq("1x" -> docs, s"${k}x" -> dense);
+         cap <- Seq(Int.MaxValue, 5)) {
+      val (n, t) = run(d, cap)
+      val capStr = if (cap == Int.MaxValue) "none" else cap.toString
+      println(f"| $label | $capStr | $n%d | $t%.2f |")
+    }
   }
 
   /** Events-family probe: K id-shifted replicas of the events table —

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for training-data curation: exact dedup,
@@ -69,23 +70,48 @@ object NearDup {
     * table against itself executes the whole minhash pipeline twice and
     * shuffles both sides; collecting ids per (band, bucket) computes
     * signatures once, and pair generation happens inside each bucket with
-    * no further shuffle. Output volume is identical (Σ|bucket|²/2 either
-    * way — at 100 TB a hot bucket needs a size cap or salting upstream;
-    * bucket width is controlled by the band count, not by this operator). */
+    * no further shuffle. Output volume is Σ|bucket|²/2 — quadratic in the
+    * HOT bucket, so at 100 TB pass `maxBucket` to bound it (below). */
   def lshCandidates(df: DataFrame, id: String, text: Column,
-      n: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
-    lshCandidatesFromSigs(withMinhashSignature(df, id, text, n, k), id, k, bands)
+      n: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshCandidatesFromSigs(withMinhashSignature(df, id, text, n, k), id, k,
+      bands, maxBucket)
 
   /** Candidate pairs from an ALREADY-COMPUTED signature table — lets a
     * caller that also needs the signatures themselves (e.g. estimated
-    * Jaccard) materialize the minhash pipeline once and fan out. */
+    * Jaccard) materialize the minhash pipeline once and fan out.
+    *
+    * `maxBucket` is the hot-bucket cap: each (band, bucket) keeps at most
+    * `maxBucket` members, chosen by a DETERMINISTIC md5 rank of
+    * (band, id) — unbiased w.r.t. id order, reproducible across
+    * runs/engines, and band-dependent so each band samples a DIFFERENT
+    * subset of an oversized cluster (union coverage across bands) — so an
+    * adversarial collision cluster of size m contributes
+    * O(bands · maxBucket²) candidate pairs instead of O(bands · m²). The
+    * cap is applied BEFORE collect_list via a row_number window on the
+    * same (band, h) hash partitioning the bucket groupBy needs — Catalyst
+    * reuses the exchange (one shuffle either way), and no bucket array
+    * ever materializes beyond the cap, so a 10M-member degenerate bucket
+    * (empty docs, boilerplate) costs bounded memory, not an OOM. Recall
+    * note: a true near-dup CLUSTER that outgrows the cap still dedups —
+    * pair coverage within the truncated membership is complete, and
+    * transitive clustering (d6) closes the rest — while unrelated docs
+    * sharing a degenerate bucket were noise candidates anyway. */
   def lshCandidatesFromSigs(sigs: DataFrame, id: String, k: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     val banded = sigs.select(col(id) +: bandHashes(k, bands): _*)
     val long = banded.select(col(id), explode(array(
       (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("h"))): _*
     )).as("bh")).select(col(id), col("bh.band"), col("bh.h"))
-    val buckets = long.groupBy("band", "h")
+    val capped =
+      if (maxBucket == Int.MaxValue) long
+      else long.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("band"), col("h"))
+            .orderBy(md5(concat(col("band").cast("string"), lit(":cap:"),
+              col(id).cast("string"))), col(id))))
+        .where(col("__rk") <= maxBucket).drop("__rk")
+    val buckets = capped.groupBy("band", "h")
       .agg(array_sort(collect_list(col(id))).as("ids"))
       .where(size(col("ids")) > 1)
     // all (earlier, later) pairs within the sorted bucket → id_a < id_b

@@ -49,6 +49,31 @@ class NearDupSpec extends SparkSuite {
     j.get((1L, 2L)).foreach(v => assert(v > 0 && v < 1))
   }
 
+  test("hot-bucket cap bounds adversarial candidate volume deterministically") {
+    // 40 identical docs: one degenerate bucket per band, uncapped pairs =
+    // C(40,2) = 780 × full band agreement
+    val hot = (0L until 40L).map(i => (i, "same text repeated in every doc here"))
+      .toDF("doc_id", "text")
+    val uncapped = NearDup.lshCandidates(hot, "doc_id", col("text"), 3, 8, 8)
+    assert(uncapped.count() == 780)
+    val capped = NearDup.lshCandidates(hot, "doc_id", col("text"), 3, 8, 8,
+      maxBucket = 5)
+    // per band at most C(5,2)=10 pairs; 8 bands sample different 5-subsets
+    // so the distinct-pair union is ≤ 80 — quadratic in the CAP, not the
+    // bucket
+    val n = capped.count()
+    assert(n <= 80 && n >= 10, s"capped pair count $n outside [10, 80]")
+    // deterministic: same selection on re-run
+    assert(capped.collect().toSet ==
+      NearDup.lshCandidates(hot, "doc_id", col("text"), 3, 8, 8, 5).collect().toSet)
+    // non-colliding docs are untouched by the cap
+    val mixed = hot.unionByName(docs.where(col("doc_id").isin(1L, 4L))
+      .withColumn("doc_id", col("doc_id") + 1000L))
+    val cm = NearDup.lshCandidates(mixed, "doc_id", col("text"), 3, 8, 8, 5)
+      .where(col("id_a") >= 1000L).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cm.contains((1001L, 1004L)))
+  }
+
   test("simhash: equal for identical docs, closer for near-dups") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val toks = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tk"))
