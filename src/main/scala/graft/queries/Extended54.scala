@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
 import graft.text.NearDup
 
@@ -66,5 +68,111 @@ object Extended54 {
       maxBucket = 5)
   }
 
-  val all: Seq[Q] = Seq(d22BucketCap)
+  private val drainOracle =
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+      |         c_mktsegment, CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+      |         CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+      |         'REFETCHED' AS c_mktsegment, CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+      |         CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_nationkey < 10),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |SELECT c_custkey, c_name, c_mktsegment, c_nationkey, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1""".stripMargin
+
+  /** C15 — the reference's SCHEDULED INCREMENTAL identity (Airflow fires
+    * the same DAG twice a day, each run ingesting only what arrived since
+    * the last: dags/Dashboard-pipeline.py:26, dataingestion1.py:118-121)
+    * executed by the streaming engine: a `Trigger.AvailableNow` file
+    * stream over an "incoming" directory drains to staging via
+    * foreachBatch, then the K6→W2→K7 warehouse drain runs — twice, with
+    * new files landing between the runs. The CHECKPOINT is what's under
+    * test: epoch 2 restarts the stream from the same checkpoint and must
+    * process only the files epoch 1 hadn't committed — the incremental
+    * contract the reference gets from its "fetch since last run" logic.
+    * The final warehouse is hash-checked against the batch two-epoch
+    * oracle (c3's shape), so discovery, checkpoint replay-exclusion, and
+    * the keyed last-wins merge must all line up.
+    *
+    * Scale: AvailableNow is the production shape for scheduled
+    * incremental ingestion — file discovery is listing-cost, each run
+    * processes only the delta, state lives in the checkpoint, and the
+    * same code deploys unchanged as a continuous `readStream` (the
+    * trigger is config, not architecture). */
+  val c15AvailableNow = q("c15_availablenow_epochs", drainOracle) { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft_c15_").toString
+    val incoming = s"$base/incoming"; val staging = s"$base/staging"
+    val warehouse = s"$base/warehouse"; val ckpt = s"$base/ckpt"
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+
+    def runEpoch(loadSeq: Long): Unit = {
+      val stream = s.readStream.schema(cust.schema).parquet(incoming)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(staging)
+        }
+        .start()
+      stream.awaitTermination()
+      graft.sinks.Warehouse.drain(s, staging, warehouse, "c_custkey", loadSeq)
+    }
+
+    cust.write.mode("append").parquet(incoming) // epoch-1 files land
+    runEpoch(1L)
+    cust.where(col("c_nationkey") < 10) // epoch-2 delta arrives
+      .withColumn("c_mktsegment", lit("REFETCHED"))
+      .write.mode("append").parquet(incoming)
+    runEpoch(2L)
+    s.read.parquet(warehouse)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "load_seq")
+  }
+
+  /** C16 — atomic warehouse commit + crash recovery as a battery entry:
+    * epoch 1 drains through [[graft.sinks.AtomicWarehouse]] (per-epoch
+    * delta dir + manifest-rename commit); epoch 2 CRASHES after its data
+    * dir is written but before the manifest rename — the reader-visible
+    * snapshot provably still equals epoch 1 (asserted in-query) because
+    * an uncommitted epoch is invisible by construction, not because a
+    * dedup pass cleaned it up. Recovery is re-running the same drain;
+    * the result hash-checks against the batch two-epoch oracle. This is
+    * the transactionality the reference's BigQuery sink provides
+    * server-side (ingestdatainbigquery.py:49-99), modeled with the one
+    * atomic primitive parquet-over-filesystem has: single-file rename.
+    *
+    * Scale: commit cost is O(epoch delta) + one rename regardless of
+    * warehouse size — the full-rewrite dedup moves from every write to
+    * the read-side merge (W2's window, one key shuffle), where compaction
+    * amortizes it. */
+  val c16AtomicRecovery = q("c16_atomic_recovery", drainOracle) { (s, d) =>
+    import graft.sinks.{AtomicWarehouse, Warehouse}
+    val base = java.nio.file.Files.createTempDirectory("graft_c16_").toString
+    val staging = s"$base/staging"; val warehouse = s"$base/warehouse"
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    cust.write.mode("overwrite").parquet(staging)
+    AtomicWarehouse.drain(s, staging, warehouse, 1L)
+
+    val delta = cust.where(col("c_nationkey") < 10)
+      .withColumn("c_mktsegment", lit("REFETCHED"))
+    delta.write.mode("overwrite").parquet(staging)
+    // crash injection: epoch-2 data lands, manifest rename never happens
+    Warehouse.allString(Warehouse.sanitizeColumns(s.read.parquet(staging)))
+      .withColumn("load_seq", lit(2L))
+      .write.mode("overwrite").parquet(s"$warehouse/epoch_2")
+    val visible = AtomicWarehouse.read(s, warehouse, "c_custkey")
+    require(visible.agg(max("load_seq")).head.getLong(0) == 1L,
+      "uncommitted epoch leaked into a reader snapshot")
+    // recovery: the same drain, re-run
+    AtomicWarehouse.drain(s, staging, warehouse, 2L)
+    AtomicWarehouse.read(s, warehouse, "c_custkey")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey", "load_seq")
+  }
+
+  val all: Seq[Q] = Seq(d22BucketCap, c15AvailableNow, c16AtomicRecovery)
 }
