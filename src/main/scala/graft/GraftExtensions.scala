@@ -58,8 +58,11 @@ object GraftExtensions {
       args => {
         require(args.length == 2, "hex_prefix_long expects exactly 2 arguments")
         val n = args(1) match {
-          case e if e.foldable => Cast(e, org.apache.spark.sql.types.IntegerType)
-            .eval().asInstanceOf[Int]
+          case e if e.foldable =>
+            val v = Cast(e, org.apache.spark.sql.types.IntegerType).eval()
+            if (v == null) throw new IllegalArgumentException(
+              "hex_prefix_long digit count must be a non-null integer literal")
+            v.asInstanceOf[Int]
           case _ => throw new IllegalArgumentException(
             "hex_prefix_long digit count must be a literal")
         }

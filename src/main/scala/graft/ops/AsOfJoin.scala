@@ -34,8 +34,13 @@ object AsOfJoin {
     val l = left.select(col(key), col(ts), lit(1).as("__side"),
       lit(null).cast(r.schema("__p").dataType).as("__p"),
       struct(left.columns.map(col): _*).as("__l"))
+    // tertiary __p sort: when several right rows share (key, ts) the
+    // carried payload is otherwise partitioning-dependent; ordering by
+    // the payload struct itself makes the survivor the MAX payload —
+    // deterministic across runs and engines (left rows all have null __p,
+    // which is a no-op among them)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(col(ts).asc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
@@ -63,8 +68,11 @@ object AsOfJoin {
     val l = left.select(col(key), col(ts), lit(1).as("__side"),
       lit(null).cast(r.schema("__p").dataType).as("__p"),
       struct(left.columns.map(col): _*).as("__l"))
+    // tertiary __p sort, same reason as the backward join: among equal-ts
+    // right rows `last` carries whichever sorts LAST, so __p ASC makes the
+    // MAX payload the deterministic survivor here too
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).desc, col("__side").asc)
+      .orderBy(col(ts).desc, col("__side").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

@@ -97,18 +97,22 @@ object Extended50 {
       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS k FROM c),
       |ep AS (SELECT CAST(u.e AS BIGINT) AS epoch FROM range(0, 5) u(e))
       |SELECT epoch, source, n,
-      |       CAST(((4 - epoch) * n * 1000000000000) // (4 * nn)
-      |          + (epoch * 1000000000000) // (4 * k) AS BIGINT) AS w_ppt,
-      |       CAST((n * 1000000000000) // nn AS BIGINT) AS natural_ppt
+      |       CAST(((4 - epoch) * CAST(n AS HUGEINT) * 1000000000000) // (4 * nn)
+      |          + (epoch * CAST(1000000000000 AS HUGEINT)) // (4 * k) AS BIGINT) AS w_ppt,
+      |       CAST((CAST(n AS HUGEINT) * 1000000000000) // nn AS BIGINT) AS natural_ppt
       |FROM c, tot, ep""".stripMargin) { (s, d) =>
     val c = Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n"))
     val tot = c.agg(sum("n").cast("long").as("nn"), count(lit(1)).as("k"))
     val ep = s.range(0, 5).select(col("id").as("epoch"))
+    // the n·10¹² product runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    // in BIGINT it wraps silently at ~9.2M docs per source in Spark while
+    // DuckDB raises — wide integers keep both engines exact to ~10²⁵
+    // docs, far past any physical corpus, with identical results
     c.crossJoin(broadcast(tot)).crossJoin(broadcast(ep))
       .select(col("epoch"), col("source"), col("n"),
-        (expr("((4 - epoch) * n * 1000000000000L) div (4 * nn)") +
-          expr("(epoch * 1000000000000L) div (4 * k)")).as("w_ppt"),
-        expr("(n * 1000000000000L) div nn").as("natural_ppt"))
+        (expr("((4 - epoch) * CAST(n AS DECIMAL(38,0)) * 1000000000000) div (4 * nn)") +
+          expr("(epoch * CAST(1000000000000 AS DECIMAL(38,0))) div (4 * k)")).as("w_ppt"),
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000000000) div nn").as("natural_ppt"))
   }
 
   val all: Seq[Q] = Seq(v26KmeansppInit, p17MixtureSchedule)

@@ -236,11 +236,17 @@ object Extended8 {
       |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     // Demo fence: 16 buckets/band detonates quadratically on real corpora
-    // (see scaladoc). Use d14_simhash64_hamming beyond toy scale.
-    val corpus = docs.select("doc_id").limit(10001).count()
-    require(corpus <= 10000,
-      s"d8_simhash16_demo is a 16-bit teaching demo capped at 10000 docs " +
-        s"(got >= $corpus); use d14_simhash64_hamming for production corpora")
+    // (see scaladoc). Use d14_simhash64_hamming beyond toy scale. The
+    // guard is LAZY — an assert_true over a limit-bounded count, cross-
+    // joined onto the result — so plan-only consumers (explain, plan
+    // audits) construct the DataFrame without triggering a job; the
+    // fence fires on first execution.
+    val guard = docs.select("doc_id").limit(10001)
+      .agg(count(lit(1)).as("__n"))
+      .select(assert_true(col("__n") <= 10000,
+        lit("d8_simhash16_demo is a 16-bit teaching demo capped at 10000 " +
+          "docs; use d14_simhash64_hamming for production corpora"))
+        .as("__guard"))
     val toks = docs
       .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
     // materialized once: the band self-join otherwise re-runs the whole
@@ -276,6 +282,7 @@ object Extended8 {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_neighbors"),
         min("hamming").cast("int").as("min_hamming"))
+      .crossJoin(broadcast(guard)).drop("__guard")
   }
 
   val all: Seq[Q] = Seq(a18WeightedStats, a19ModePerGroup, u5SymmetricDiff,

@@ -48,6 +48,64 @@ class VideoSearchSource extends TableProvider with DataSourceRegister {
 final case class VideoRow(videoId: String, title: String, publishedAt: String,
     channelId: String, ingestSeq: Long)
 
+/** The errors a real API client retries: HTTP 5xx / quota / socket — as
+  * opposed to terminal ones (bad request, auth) that must fail the task. */
+final class TransientApiError(msg: String) extends RuntimeException(msg)
+
+/** Bounded retry with capped exponential backoff — the engine artifact
+  * for the reference's sleep-and-refetch loop (ref: Python-pipeline/
+  * dataprocessing.py:99-102 sleeps a fixed 100 s on quota errors and
+  * refetches; Airflow adds `retries=1, retry_delay=5min` on top,
+  * dags/Dashboard-pipeline.py:13-16). Living in the PARTITION READER —
+  * executor-side, per page request — a transient failure costs one page
+  * re-fetch, not a task (or whole-job) restart, and a persistent outage
+  * surfaces as a normal task failure after `maxAttempts` so Spark's own
+  * task-retry/alerting machinery takes over (the orchestration layer the
+  * reference leaves to Airflow).
+  *
+  * Deterministic by design: attempts and delays are a pure function of
+  * the attempt index (no jitter), so retried reads are reproducible —
+  * jitter is the right production default but would make the fixture
+  * tests timing-dependent; it belongs in config, not the algorithm. */
+final case class RetryPolicy(maxAttempts: Int, backoffBaseMs: Long,
+    backoffCapMs: Long) {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+
+  /** Delay before retry #`attempt` (0-based): base · 2^attempt, capped. */
+  def delayMs(attempt: Int): Long =
+    math.min(backoffCapMs, backoffBaseMs << math.min(attempt, 30))
+
+  def run[T](what: String)(f: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: TransientApiError =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new java.io.IOException(
+              s"$what failed after $maxAttempts attempts: ${e.getMessage}", e)
+          Thread.sleep(delayMs(attempt - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+object RetryPolicy {
+  val Default: RetryPolicy = RetryPolicy(4, 200L, 5000L)
+
+  /** Read `retryMaxAttempts` / `retryBackoffMs` / `retryBackoffCapMs` +
+    * the fault-injection knob `simulateTransientFailures` (first n page
+    * fetches throw — the hermetic stand-in for a flaky endpoint). */
+  def fromOptions(o: CaseInsensitiveStringMap): (RetryPolicy, Int) = (
+    RetryPolicy(
+      o.getInt("retryMaxAttempts", Default.maxAttempts),
+      o.getLong("retryBackoffMs", Default.backoffBaseMs),
+      o.getLong("retryBackoffCapMs", Default.backoffCapMs)),
+    o.getInt("simulateTransientFailures", 0))
+}
+
 object VideoCatalog {
   /** Driver-side fixture load (the "HTTP call"). */
   def load(path: String): Seq[VideoRow] = {
@@ -71,11 +129,14 @@ class VideoTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = Schemas.videoRaw
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VideoScanBuilder(path)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (retry, simFailures) = RetryPolicy.fromOptions(options)
+    new VideoScanBuilder(path, retry, simFailures)
+  }
 }
 
-class VideoScanBuilder(path: String) extends ScanBuilder
+class VideoScanBuilder(path: String, retry: RetryPolicy, simFailures: Int)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
@@ -166,12 +227,15 @@ class VideoScanBuilder(path: String) extends ScanBuilder
   override def isPartiallyPushed(): Boolean = false
 
   override def build(): Scan =
-    new VideoScan(path, pushed, required, limit, topNDesc, agg)
+    new VideoScan(path, pushed, required, limit, topNDesc, agg, retry,
+      simFailures)
 }
 
 class VideoScan(path: String, pushed: Array[Filter], required: StructType,
     limit: Option[Int], topNDesc: Boolean,
-    agg: Option[(Seq[String], Seq[String])] = None) extends Scan with Batch {
+    agg: Option[(Seq[String], Seq[String])] = None,
+    retry: RetryPolicy = RetryPolicy.Default,
+    simFailures: Int = 0) extends Scan with Batch {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
   private val pageSize = 50 // maxResults=50, dataingestion1.py:78
 
@@ -236,7 +300,8 @@ class VideoScan(path: String, pushed: Array[Filter], required: StructType,
       rows.grouped(pageSize).map(p => VideoPage(p.toArray): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    if (agg.isDefined) new VideoAggReaderFactory else new VideoReaderFactory(required)
+    if (agg.isDefined) new VideoAggReaderFactory
+    else new VideoReaderFactory(required, retry, simFailures)
 }
 
 final case class VideoAggPage(rows: Array[Array[Any]]) extends InputPartition
@@ -255,10 +320,27 @@ class VideoAggReaderFactory extends PartitionReaderFactory {
 
 final case class VideoPage(rows: Array[VideoRow]) extends InputPartition
 
-class VideoReaderFactory(required: StructType) extends PartitionReaderFactory {
+class VideoReaderFactory(required: StructType,
+    retry: RetryPolicy = RetryPolicy.Default,
+    simFailures: Int = 0) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[VideoPage]
     new PartitionReader[InternalRow] {
+      // the page "fetch" — in production the per-page HTTP GET (the
+      // partition would carry a pageToken instead of rows) — is the
+      // retryable unit: executor-side, so a 503 costs one page re-fetch
+      // under the bounded-backoff policy, never a task restart. The
+      // fault injector throws on the first `simFailures` attempts.
+      private var failuresLeft = simFailures
+      private var fetched: Array[VideoRow] = _
+      private def fetchPage(): Array[VideoRow] =
+        retry.run(s"graft-videos page fetch (${page.rows.length} rows)") {
+          if (failuresLeft > 0) {
+            failuresLeft -= 1
+            throw new TransientApiError("simulated HTTP 503")
+          }
+          page.rows
+        }
       private var i = -1
       private val getters: Array[VideoRow => Any] = required.fieldNames.map {
         case "video_id" => (r: VideoRow) => UTF8String.fromString(r.videoId)
@@ -268,9 +350,12 @@ class VideoReaderFactory(required: StructType) extends PartitionReaderFactory {
         case "ingest_seq" => (r: VideoRow) => r.ingestSeq
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
-      override def next(): Boolean = { i += 1; i < page.rows.length }
+      override def next(): Boolean = {
+        if (fetched == null) fetched = fetchPage()
+        i += 1; i < fetched.length
+      }
       override def get(): InternalRow =
-        new GenericInternalRow(getters.map(_(page.rows(i))))
+        new GenericInternalRow(getters.map(_(fetched(i))))
       override def close(): Unit = ()
     }
   }

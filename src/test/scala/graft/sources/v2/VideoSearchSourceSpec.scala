@@ -104,6 +104,37 @@ class VideoSearchSourceSpec extends SparkSuite {
     assert(a.collect().map(_.toSeq).toSet == want)
   }
 
+  test("transient page-fetch failures are retried to a complete result") {
+    val flaky = spark.read.format("graft-videos")
+      .option("path", fixture("videos_epoch1.json"))
+      .option("simulateTransientFailures", "2") // first 2 fetch attempts 503
+      .option("retryMaxAttempts", "4")
+      .option("retryBackoffMs", "1")
+      .load()
+    // retries happen inside the partition reader: full, exact rows come
+    // back with no task restart and no dropped/duplicated page
+    assert(flaky.collect().map(_.toSeq).toSet ==
+      viaJson.collect().map(_.toSeq).toSet)
+  }
+
+  test("a persistent outage exhausts the policy into a terminal failure") {
+    val dead = spark.read.format("graft-videos")
+      .option("path", fixture("videos_epoch1.json"))
+      .option("simulateTransientFailures", "99")
+      .option("retryMaxAttempts", "3")
+      .option("retryBackoffMs", "1")
+      .load()
+    val e = intercept[Exception] { dead.collect() }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(messages.contains("failed after 3 attempts"), messages)
+  }
+
+  test("backoff is exponential and capped") {
+    val p = RetryPolicy(maxAttempts = 5, backoffBaseMs = 100L, backoffCapMs = 500L)
+    assert((0 to 3).map(p.delayMs) == Seq(100L, 200L, 400L, 500L))
+  }
+
   test("a sort the API does not offer is NOT pushed; Spark sorts") {
     val other = viaSource.orderBy(col("video_title").desc).limit(2)
     val planDesc = other.queryExecution.executedPlan.toString
