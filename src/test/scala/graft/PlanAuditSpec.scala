@@ -634,6 +634,39 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("c17: fact scan carries a dynamic partition pruning subquery") {
+    // executedPlan, not sparkPlan: DPP subqueries are injected as
+    // planning-time subqueries visible in the executed plan tree
+    val p = SparkEntry.queries("c17_dynamic_partition_pruning")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), "no DPP on the fact scan:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("runtime bloom filter prunes a selective fact-fact join") {
+    // thresholds dropped so the tiny test tables qualify; semantics (and
+    // the battery hash gate) are unchanged by the runtime filter — this
+    // pins that the engine KEEPS Spark's runtime-filter path available
+    // (at 100 TB the default 10 GB application-side threshold activates
+    // it on exactly the scans that matter)
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sf)
+        .where(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter") ||
+        p.contains("might_contain"),
+        "no runtime bloom filter injected:\n" + p)
+      assert(j.count() > 0)
+    }
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

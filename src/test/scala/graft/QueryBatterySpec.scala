@@ -20,4 +20,11 @@ class QueryBatterySpec extends SparkSuite {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("queries iterate in declaration order (stable bench slots)") {
+    // hash-map iteration order changes with SIZE, which reshuffled the
+    // battery execution order every round and made per-query driver
+    // timings incomparable; the ListMap pins declaration order
+    assert(SparkEntry.queries.keys.toSeq == SparkEntry.allQueries.map(_.name))
+  }
 }
