@@ -115,5 +115,52 @@ object Extended55 {
         "b0", "b1", "b2", "b3")
   }
 
-  val all: Seq[Q] = Seq(c17DynamicPruning, m17ColorHistogram)
+  /** C18 — time travel on the atomic warehouse: after two committed
+    * epochs, read BOTH historical snapshots — version 1 (epoch 1 only)
+    * and version 2 (last-wins merge of both) — from the same directory.
+    * The log-structured layout ([[graft.sinks.AtomicWarehouse]]) gives
+    * this for free: version manifests are immutable once renamed into
+    * place and data dirs are never rewritten, so any past snapshot is
+    * just "union the epochs that manifest listed". The oracle replays
+    * both snapshots relationally (epoch-1-only ∪ merged), pinning that
+    * time travel returns exactly the as-of state, not an approximation.
+    *
+    * Scale: a snapshot read costs the same as a current read (scan +
+    * one key-shuffle merge); history costs zero extra storage beyond
+    * the epochs already kept — retention = deleting old manifests. */
+  val c18TimeTravel = q("c18_time_travel",
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+      |         c_mktsegment, CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS c_custkey,
+      |         'REFETCHED' AS c_mktsegment, CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_nationkey < 10),
+      |merged AS (
+      |  SELECT c_custkey, c_mktsegment, load_seq FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                                 ORDER BY load_seq DESC) AS rn
+      |    FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)) WHERE rn = 1)
+      |SELECT CAST(1 AS BIGINT) AS snap_ver, * FROM e1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS snap_ver, * FROM merged""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val base = java.nio.file.Files.createTempDirectory("graft_c18_").toString
+    val staging = s"$base/staging"; val warehouse = s"$base/warehouse"
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    cust.write.mode("overwrite").parquet(staging)
+    AtomicWarehouse.drain(s, staging, warehouse, 1L)
+    Tables.customer(s, d).where(col("c_nationkey") < 10)
+      .select(col("c_custkey"), lit("REFETCHED").as("c_mktsegment"))
+      .write.mode("overwrite").parquet(staging)
+    AtomicWarehouse.drain(s, staging, warehouse, 2L)
+    val v1 = AtomicWarehouse.readVersion(s, warehouse, "c_custkey", 1L)
+    val v2 = AtomicWarehouse.readVersion(s, warehouse, "c_custkey", 2L)
+    v1.withColumn("snap_ver", lit(1L))
+      .unionByName(v2.withColumn("snap_ver", lit(2L)))
+      .select("snap_ver", "c_custkey", "c_mktsegment", "load_seq")
+  }
+
+  val all: Seq[Q] = Seq(c17DynamicPruning, m17ColorHistogram, c18TimeTravel)
 }

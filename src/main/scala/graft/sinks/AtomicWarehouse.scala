@@ -56,8 +56,15 @@ object AtomicWarehouse {
   }
 
   /** Committed epoch dir names, in commit order. */
-  def committedEpochs(spark: SparkSession, dir: String): Seq[String] = {
-    val v = currentVersion(spark, dir)
+  def committedEpochs(spark: SparkSession, dir: String): Seq[String] =
+    committedEpochsAt(spark, dir, currentVersion(spark, dir))
+
+  /** Epoch list as of a PAST manifest version — the time-travel read.
+    * Version manifests are immutable once renamed into place, so any
+    * historical snapshot stays reconstructable until a retention pass
+    * deletes old manifests; data dirs are never rewritten, so no copy is
+    * needed (the log-structured layout gives time travel for free). */
+  def committedEpochsAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
     if (v == 0L) Seq.empty
     else {
       val p = new Path(s"${manifestDir(dir)}/v$v.json")
@@ -72,9 +79,14 @@ object AtomicWarehouse {
 
   /** Snapshot read: union of committed epochs + keyed last-wins merge
     * (W2). Uncommitted epoch dirs are invisible by construction. */
-  def read(spark: SparkSession, dir: String, key: String): DataFrame = {
-    val epochs = committedEpochs(spark, dir)
-    require(epochs.nonEmpty, s"empty warehouse at $dir")
+  def read(spark: SparkSession, dir: String, key: String): DataFrame =
+    readVersion(spark, dir, key, currentVersion(spark, dir))
+
+  /** Time-travel read: the warehouse exactly as of manifest `version`. */
+  def readVersion(spark: SparkSession, dir: String, key: String,
+      version: Long): DataFrame = {
+    val epochs = committedEpochsAt(spark, dir, version)
+    require(epochs.nonEmpty, s"no committed epochs at $dir v$version")
     val union = epochs.map(e => spark.read.parquet(s"$dir/$e"))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)

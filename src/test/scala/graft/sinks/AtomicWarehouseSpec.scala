@@ -65,6 +65,21 @@ class AtomicWarehouseSpec extends SparkSuite {
     assert(spark.read.parquet(staging).count() == 0)
   }
 
+  test("time travel: every historical version stays readable as-of") {
+    val base = tmp("aw_tt")
+    val staging = s"$base/staging"; val wh = s"$base/wh"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(staging)
+    AtomicWarehouse.drain(spark, staging, wh, 1L)
+    Seq((2L, "b2")).toDF("k", "v").write.mode("overwrite").parquet(staging)
+    AtomicWarehouse.drain(spark, staging, wh, 2L)
+    def snapAt(v: Long) = AtomicWarehouse.readVersion(spark, wh, "k", v)
+      .select(col("k").cast("long"), col("v"), col("load_seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(snapAt(1L) == Set((1L, "a", 1L), (2L, "b", 1L)))
+    assert(snapAt(2L) == Set((1L, "a", 1L), (2L, "b2", 2L)))
+    assert(snapAt(2L) == snapshot(wh)) // current == latest version
+  }
+
   test("committed epochs are immutable under empty-staging replay") {
     val base = tmp("aw_replay")
     val staging = s"$base/staging"; val wh = s"$base/wh"
