@@ -19,7 +19,8 @@ object Extended34 {
     * is by construction a driver-side test source — the production path
     * is readStream on files/kafka with the identical downstream plan. */
   private def replayStream(s: SparkSession, d: String, nBatches: Int,
-      feedTypes: Seq[String] = Nil)(
+      feedTypes: Seq[String] = Nil, shufflePartitions: Int = 4,
+      noDataBatches: Boolean = true)(
       build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -42,7 +43,16 @@ object Extended34 {
       .toDF("us", "event_id", "user_id", "event_type", "value")
       .withColumn("ts", timestamp_micros(col("us"))))
     val sinkName = "c_stream_" + math.abs(java.util.UUID.randomUUID().hashCode())
-    withShufflePartitions(s, 4) {
+    // noDataBatches=false halves the micro-batch count for queries whose
+    // OUTPUT doesn't depend on watermark-triggered emission (stream-stream
+    // inner joins emit on arrival; the watermark only bounds state, and a
+    // later watermark advance only retains MORE state — results
+    // identical). Queries that flush on watermark (append-mode window
+    // aggs) must keep the no-data batches.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndOld = s.conf.getOption(ndKey)
+    s.conf.set(ndKey, noDataBatches.toString)
+    try withShufflePartitions(s, shufflePartitions) {
       val query = events.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
@@ -52,6 +62,9 @@ object Extended34 {
           query.processAllAvailable()
         }
       } finally query.stop()
+    } finally ndOld match {
+      case Some(v) => s.conf.set(ndKey, v)
+      case None => s.conf.unset(ndKey)
     }
     s.table(sinkName)
   }
@@ -72,7 +85,8 @@ object Extended34 {
       |  ON c.user_id = e.user_id
       | AND c.event_type = 'click' AND e.event_type = 'error'
       | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts""".stripMargin) { (s, d) =>
-    replayStream(s, d, nBatches = 6, feedTypes = Seq("click", "error")) { ev =>
+    replayStream(s, d, nBatches = 6, feedTypes = Seq("click", "error"),
+      shufflePartitions = 2, noDataBatches = false) { ev =>
       graft.streaming.EventStream.clickErrorJoin(
         ev.where(col("event_type") === "click"),
         ev.where(col("event_type") === "error"))
