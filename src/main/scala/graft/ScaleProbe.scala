@@ -82,7 +82,9 @@ object ScaleProbe {
       // round-3 additions (documents/embeddings-only readers)
       "t34_bm25", "p12_shard_shuffle",
       "t35_hashed_features", "a25_kmv_union", "p13_quota_sample",
-      "p14_weighted_thinning", "v23_residual_adc", "v24_knn_join")
+      "p14_weighted_thinning", "v23_residual_adc", "v24_knn_join",
+      // round-4 additions (documents-only readers)
+      "d22_lsh_bucket_cap", "t37_dsir_importance")
 
     def timeIt(dir: String, name: String): Double = {
       // steady-state: one untimed warmup, then one timed run
