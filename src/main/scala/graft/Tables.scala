@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -21,12 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and rebuild a µs timestamp with
-    * exact integer division (identical to DuckDB's ns→µs cast). */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations. Spark's vectorized
+    * reader rejects NANOS outright, so nanosAsLong surfaces that case as a
+    * raw long we rebuild into a µs timestamp with exact integer division
+    * (identical to DuckDB's ns→µs cast); a MICROS file arrives as a native
+    * timestamp and passes through untouched. Branching on the observed
+    * schema keeps every query source-format agnostic. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock == the same instant under the UTC session tz the
+        // whole harness runs in (the DuckDB oracle reads the identical
+        // naive value), so the cast is value-preserving and restores the
+        // TIMESTAMP type every downstream unix_micros/window expects.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
