@@ -143,9 +143,11 @@ object ScaleProbe {
     * replica users are NEW users with identical temporal patterns, so
     * per-user operators (interval islands, as-of) see K× independent
     * series and per-type series (CUSUM) see K× counts in the same number
-    * of groups. The nanos column is read raw (long) and written back as
-    * plain INT64 so Tables.events' div-1000 rebuild keeps working on the
-    * replica dir. */
+    * of groups. The ts column round-trips whichever format the source
+    * testdata shipped in: INT64 nanos is read raw (long, under
+    * nanosAsLong) and written back as plain INT64 for Tables.events'
+    * div-1000 rebuild, while TIMESTAMP_NTZ testdata replicates as NTZ and
+    * is handled by Tables.events' schema branch on read. */
   private def eventsProbe(spark: SparkSession, sfDir: String, base: String,
       k: Int): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

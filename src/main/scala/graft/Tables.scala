@@ -41,7 +41,12 @@ object Tables {
         // TIMESTAMP type every downstream unix_micros/window expects.
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — known generator " +
+          "formats are INT64 nanos (read as long under nanosAsLong), " +
+          "TIMESTAMP_NTZ, and TIMESTAMP(MICROS); teach Tables.events the " +
+          "new format instead of letting it fail downstream")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

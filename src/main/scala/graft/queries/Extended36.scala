@@ -9,6 +9,39 @@ import graft.Tables
   */
 object Extended36 {
 
+  /** Fixture directory per canonical sf dir, so warmup + timed runs (and
+    * repeated battery executions in one JVM) build it exactly once. The
+    * build itself is executor-side (`df.write.json` → JSONL part files);
+    * the driver never materializes the corpus — the earlier per-execution
+    * `collect()` + StringBuilder was the one O(corpus) driver hotspot in
+    * the battery and regressed s9 10× in the round-4 tail. */
+  private[queries] val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[queries] def videosFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    fixtureCache.computeIfAbsent(
+      new java.io.File(d).getCanonicalPath,
+      _ => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_s9_videos_")
+        dir.toFile.deleteOnExit()
+        Tables.orders(s, d)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(
+            concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
+            col("o_orderpriority").as("video_title"),
+            date_format(
+              timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
+              "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
+            concat(lit("ch"), (col("o_custkey") % 7).cast("string"))
+              .as("channel_id"),
+            col("o_orderkey").as("ingest_seq"))
+          .coalesce(1) // one page-ordered "response" file; write is still executor-side
+          .write.mode("overwrite").json(dir.toString)
+        dir.toString
+      })
+
   /** S9 — DSv2 source-side TopN (W3 order:date + W4/W5 maxResults): a
     * videos fixture is derived deterministically from `orders` (the
     * hermetic stand-in for the search API's backing store — one row per
@@ -35,27 +68,8 @@ object Extended36 {
       |SELECT video_id, video_title, published_at, channel_id
       |FROM v WHERE channel_id = 'ch3'
       |ORDER BY published_at DESC LIMIT 25""".stripMargin) { (s, d) =>
-    val rows = Tables.orders(s, d)
-      .where(col("o_orderpriority") === "1-URGENT")
-      .select(
-        concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
-        col("o_orderpriority").as("video_title"),
-        date_format(timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
-        concat(lit("ch"), (col("o_custkey") % 7).cast("string")).as("channel_id"),
-        col("o_orderkey").as("ingest_seq"))
-      .collect() // fixture build: the hermetic "HTTP response" file
-    val sb = new StringBuilder("[")
-    rows.zipWithIndex.foreach { case (r, i) =>
-      if (i > 0) sb.append(',')
-      sb.append(s"""{"video_id":"${r.getString(0)}","video_title":"${r.getString(1)}",""")
-        .append(s""""published_at":"${r.getString(2)}","channel_id":"${r.getString(3)}",""")
-        .append(s""""ingest_seq":${r.getLong(4)}}""")
-    }
-    sb.append(']')
-    val fixture = java.nio.file.Files.createTempFile("graft_s9_videos_", ".json")
-    java.nio.file.Files.write(fixture, sb.toString.getBytes("UTF-8"))
-    s.read.format("graft-videos").option("path", fixture.toString).load()
+    val fixture = videosFixture(s, d)
+    s.read.format("graft-videos").option("path", fixture).load()
       .where(col("channel_id") === "ch3")
       .orderBy(col("published_at").desc)
       .limit(25)

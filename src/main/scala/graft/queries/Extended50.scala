@@ -101,13 +101,22 @@ object Extended50 {
       |          + (epoch * CAST(1000000000000 AS HUGEINT)) // (4 * k) AS BIGINT) AS w_ppt,
       |       CAST((CAST(n AS HUGEINT) * 1000000000000) // nn AS BIGINT) AS natural_ppt
       |FROM c, tot, ep""".stripMargin) { (s, d) =>
-    val c = Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n"))
+    scheduleFromCounts(s,
+      Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n")))
+  }
+
+  /** The p17 schedule off a `(source, n)` counts frame — factored out so
+    * MixtureScheduleSpec can drive it with synthetic multi-billion-doc
+    * counts (where BIGINT would wrap) and check exactness against BigInt.
+    *
+    * The n·10¹² product runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    * in BIGINT it wraps silently at ~9.2M docs per source in Spark while
+    * DuckDB raises — wide integers keep both engines exact to ~10²⁵
+    * docs, far past any physical corpus, with identical results. */
+  def scheduleFromCounts(s: org.apache.spark.sql.SparkSession,
+      c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = c.agg(sum("n").cast("long").as("nn"), count(lit(1)).as("k"))
     val ep = s.range(0, 5).select(col("id").as("epoch"))
-    // the n·10¹² product runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
-    // in BIGINT it wraps silently at ~9.2M docs per source in Spark while
-    // DuckDB raises — wide integers keep both engines exact to ~10²⁵
-    // docs, far past any physical corpus, with identical results
     c.crossJoin(broadcast(tot)).crossJoin(broadcast(ep))
       .select(col("epoch"), col("source"), col("n"),
         (expr("((4 - epoch) * CAST(n AS DECIMAL(38,0)) * 1000000000000) div (4 * nn)") +

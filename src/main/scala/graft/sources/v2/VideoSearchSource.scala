@@ -107,18 +107,33 @@ object RetryPolicy {
 }
 
 object VideoCatalog {
-  /** Driver-side fixture load (the "HTTP call"). */
+  /** Driver-side fixture load (the "HTTP call"). Accepts either a single
+    * JSON-array file (hand-written spec fixtures) or a DIRECTORY of
+    * JSON-Lines part files as produced executor-side by
+    * `df.write.json(dir)` — the battery builds its corpus-sized fixtures
+    * the latter way so no O(corpus) `collect()` ever reaches the driver. */
   def load(path: String): Seq[VideoRow] = {
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory)
+        f.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+      else Seq(f)
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(new java.io.File(path))
     val out = ArrayBuffer.empty[VideoRow]
-    root.forEach { n =>
+    def add(n: com.fasterxml.jackson.databind.JsonNode): Unit =
       out += VideoRow(
         n.path("video_id").asText(null),
         n.path("video_title").asText(null),
         n.path("published_at").asText(null),
         n.path("channel_id").asText(null),
         n.path("ingest_seq").asLong(0L))
+    files.foreach { file =>
+      val src = new String(
+        java.nio.file.Files.readAllBytes(file.toPath), "UTF-8").trim
+      if (src.isEmpty) ()
+      else if (src.startsWith("[")) mapper.readTree(src).forEach(add(_))
+      else src.linesIterator.map(_.trim).filter(_.nonEmpty)
+        .foreach(l => add(mapper.readTree(l)))
     }
     out.toSeq
   }

@@ -53,4 +53,36 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got(3L) == None)
     assert(got(4L) == None)
   }
+
+  test("duplicate right timestamps resolve deterministically to the max payload") {
+    // several right rows share (key, ts): without the tertiary __p sort the
+    // survivor depends on shuffle arrival order. The contract is the MAX
+    // payload struct wins, in both directions, regardless of partitioning.
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00"))
+    ).toDF("id", "user_id", "ts")
+    for (seed <- 0 until 4) {
+      // shuffle right-side input order and partitioning per iteration
+      val rows = new scala.util.Random(seed).shuffle(Seq(
+        ("u1", ts("2024-01-01 09:30:00"), 100.0),
+        ("u1", ts("2024-01-01 09:30:00"), 150.0),
+        ("u1", ts("2024-01-01 09:30:00"), 50.0),
+        ("u1", ts("2024-01-01 11:00:00"), 300.0),
+        ("u1", ts("2024-01-01 11:00:00"), 200.0)))
+      val right = rows.toDF("user_id", "ts", "price")
+        .repartition(1 + seed % 3)
+      val back = AsOfJoin.asOf(left, right, "user_id", "ts", Seq("price"))
+        .collect().map(r => r.getLong(0) ->
+          r.getDouble(r.fieldIndex("asof_price"))).toMap
+      assert(back(1L) == 150.0, s"seed=$seed: backward tie must carry max payload")
+      assert(back(2L) == 300.0, s"seed=$seed")
+      val fwd = AsOfJoin.asOfForward(left, right, "user_id", "ts", Seq("price"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(r.fieldIndex("asof_price"))) None
+           else Some(r.getDouble(r.fieldIndex("asof_price"))))).toMap
+      assert(fwd(1L) == Some(300.0), s"seed=$seed: forward tie must carry max payload")
+      assert(fwd(2L) == None, s"seed=$seed: no right row at/after 12:00")
+    }
+  }
 }

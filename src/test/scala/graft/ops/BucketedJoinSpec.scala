@@ -50,4 +50,26 @@ class BucketedJoinSpec extends SparkSuite {
     assert(plan2.contains("Exchange") || plan2.contains("Broadcast"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("c9 battery entry reuses fixed tables: metastore and disk stay flat across runs") {
+    val d = "/root/testdata/sf0.01" // sf0.001 has no urgent %97 orders at all
+    def c9Tables() = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_c9")).collect().map(_.name).sorted.toSeq
+    def diskEntries() = {
+      val base = new java.io.File(sys.props("java.io.tmpdir") + "/graft_c9_tables")
+      if (!base.exists()) Seq.empty
+      else base.listFiles().map(_.getName).sorted.toSeq
+    }
+    val q = graft.SparkEntry.queries("c9_bucketed_join")
+    val first = q(spark, d).collect().length
+    val (tabs1, disk1) = (c9Tables(), diskEntries())
+    val second = q(spark, d).collect().length
+    val (tabs2, disk2) = (c9Tables(), diskEntries())
+    assert(first == second && first > 0)
+    assert(tabs1 == Seq("graft_c9_l", "graft_c9_o"),
+      s"expected exactly the two fixed tables, got $tabs1")
+    assert(tabs2 == tabs1, s"metastore grew across runs: $tabs1 -> $tabs2")
+    assert(disk1 == disk2 && disk1.toSet == Set("l", "o"),
+      s"temp dir grew across runs: $disk1 -> $disk2")
+  }
 }
