@@ -94,30 +94,125 @@ object AtomicWarehouse {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Publish `tmp` as `dst` iff `dst` does not exist — the CAS primitive
+    * under the manifest commit. Two branches, both public-semantics:
+    *
+    *  - `file://`: POSIX hard-link (`link(2)`) fails atomically with
+    *    EEXIST when the destination exists — a true kernel-level CAS,
+    *    which Hadoop's local rename is NOT (java `renameTo` maps to
+    *    `rename(2)`, which silently clobbers, so two racing local writers
+    *    would both "succeed" and one manifest would vanish);
+    *  - everything else (HDFS/ABFS/...): `FileSystem.rename`, whose
+    *    contract fails when the destination exists (on HDFS this is a
+    *    namenode-atomic check — the same primitive Delta/Iceberg commit
+    *    on).
+    *
+    * Returns false on a lost race; `tmp` is removed either way. */
+  private def casPublish(f: org.apache.hadoop.fs.FileSystem, tmp: Path,
+      dst: Path): Boolean = {
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(dst) && f.rename(tmp, dst)
+    if (f.getScheme == "file" || !won) f.delete(tmp, false)
+    won
+  }
+
+  /** Move the staged epoch DIRECTORY to its final name iff absent.
+    * `FileSystem.rename` is the wrong primitive here: when the
+    * destination dir already exists, the local implementation falls back
+    * to copying the source INTO it (nesting a stage dir inside the epoch)
+    * and HDFS renames into it likewise — so both branches use an API
+    * whose exists-check refuses instead: `java.nio.Files.move` without
+    * REPLACE_EXISTING locally, `FileContext.rename` (Rename.NONE
+    * semantics) elsewhere. Returns false on a lost race. */
+  private def publishDir(f: org.apache.hadoop.fs.FileSystem, stage: Path,
+      dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(stage.toUri.getPath),
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException => false
+      }
+    } else {
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, f.getConf)
+          .rename(stage, dst) // no Rename.OVERWRITE: fails if dst exists
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+
+  private val MaxCommitAttempts = 16
+
   /** Stage `df` as epoch `seq` and commit it atomically. Overwriting the
     * epoch dir first makes a re-run of a crashed commit converge; the
-    * rename is the commit point. Committing an already-committed epoch is
-    * a no-op (idempotent replay, the reference's re-load case). */
+    * manifest publish is the commit point. Committing an already-committed
+    * epoch is a no-op (idempotent replay, the reference's re-load case).
+    *
+    * CONCURRENT writers are fenced: each attempt re-reads the latest
+    * manifest, appends this epoch, and publishes version N+1 via a
+    * no-clobber CAS ([[casPublish]]). A writer that loses the race retries
+    * against the winner's manifest — so simultaneous drains of DIFFERENT
+    * epochs serialize into a linear manifest chain with both epochs
+    * listed (the tolerance the reference's warehouse gets from BigQuery's
+    * server-side load jobs, ref: Python-pipeline/ingestdatainbigquery.py:
+    * 49-76), and simultaneous replays of the SAME epoch converge to one
+    * listing (the loser observes the epoch already committed and no-ops).
+    * Persistent contention past [[MaxCommitAttempts]] fails loudly rather
+    * than spinning. */
   def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
       seq: Long): Unit = {
     val epoch = s"epoch_$seq"
-    val existing = committedEpochs(spark, dir)
-    if (!existing.contains(epoch)) {
-      // a committed epoch is immutable — only uncommitted (crashed or new)
-      // epoch dirs are (re)written, so replaying a completed drain whose
-      // truncate already emptied the staging can never clobber the data
-      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$epoch")
-      val next = currentVersion(spark, dir) + 1
-      val f = fs(spark, dir)
-      f.mkdirs(new Path(manifestDir(dir)))
-      val tmp = new Path(s"${manifestDir(dir)}/.tmp_v$next")
+    if (committedEpochs(spark, dir).contains(epoch)) return
+    val f = fs(spark, dir)
+    // a committed epoch is immutable — only uncommitted (crashed or new)
+    // epochs are (re)written, so replaying a completed drain whose
+    // truncate already emptied the staging can never clobber the data.
+    // The data itself is STAGED to a unique dir and renamed into place:
+    // concurrent same-epoch replays then never write the same path (the
+    // overwrite-in-place they'd otherwise race on), and whichever rename
+    // lands first wins — same seq means same logical content by the
+    // replay contract, so the loser just adopts the winner's dir.
+    val stage = new Path(s"$dir/.stage_${epoch}_${java.util.UUID.randomUUID}")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val epochPath = new Path(s"$dir/$epoch")
+    if (f.exists(epochPath) && !committedEpochs(spark, dir).contains(epoch))
+      f.delete(epochPath, true) // crashed earlier attempt: stale, invisible
+    if (!publishDir(f, stage, epochPath)) {
+      // lost the dir race to a concurrent same-epoch writer
+      f.delete(stage, true)
+      if (!f.exists(epochPath))
+        throw new java.io.IOException(
+          s"failed to publish $epochPath and no concurrent writer did either")
+    }
+    f.mkdirs(new Path(manifestDir(dir)))
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val v = currentVersion(spark, dir)
+      val existing = committedEpochsAt(spark, dir, v)
+      if (existing.contains(epoch)) return // a concurrent replay won
+      val next = v + 1
+      val tmp = new Path(
+        s"${manifestDir(dir)}/.tmp_v${next}_${java.util.UUID.randomUUID}")
       val out = f.create(tmp, true)
       try out.write((existing :+ epoch).mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      if (!f.rename(tmp, new Path(s"${manifestDir(dir)}/v$next.json")))
-        throw new java.io.IOException(
-          s"manifest commit race at $dir v$next — concurrent writer?")
+      if (casPublish(f, tmp, new Path(s"${manifestDir(dir)}/v$next.json")))
+        return
+      attempt += 1
     }
+    throw new java.io.IOException(
+      s"manifest commit at $dir lost $MaxCommitAttempts consecutive races " +
+        s"for epoch $epoch — concurrent-writer storm or a stuck manifest dir")
   }
 
   /** Full drain epoch against the atomic warehouse: sanitize/all-string

@@ -80,6 +80,71 @@ class AtomicWarehouseSpec extends SparkSuite {
     assert(snapAt(2L) == snapshot(wh)) // current == latest version
   }
 
+  test("two concurrent writers serialize into one linear manifest chain") {
+    val wh = tmp("aw_race") + "/wh"
+    val rounds = 6
+    // barrier-aligned rounds: in each, both writers commit a DIFFERENT
+    // epoch at the same instant, maximizing manifest-version collisions
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(offset: Long): Thread = {
+      val t = new Thread(() => {
+        try {
+          for (r <- 0 until rounds) {
+            val seq = offset + r * 2
+            val df = Seq((seq, s"w$offset-r$r")).toDF("k", "v")
+              .withColumn("load_seq", lit(seq))
+            barrier.await()
+            AtomicWarehouse.commitEpoch(spark, wh, df, seq)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    val ws = Seq(writer(1L), writer(2L))
+    ws.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+
+    // the surviving manifest chain must be LINEAR: one version per commit,
+    // each version = its predecessor + exactly one new epoch
+    val v = AtomicWarehouse.currentVersion(spark, wh)
+    assert(v == rounds * 2L, s"expected ${rounds * 2} versions, got $v")
+    var prev = Seq.empty[String]
+    for (i <- 1L to v) {
+      val at = AtomicWarehouse.committedEpochsAt(spark, wh, i)
+      assert(at.size == prev.size + 1 && at.startsWith(prev),
+        s"manifest chain not linear at v$i: $prev -> $at")
+      prev = at
+    }
+    assert(prev.toSet ==
+      (0 until rounds).flatMap(r => Seq(s"epoch_${1 + r * 2}", s"epoch_${2 + r * 2}")).toSet,
+      "a committed epoch went missing from the final manifest")
+    // and every committed row is visible in the snapshot read
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == rounds * 2L)
+  }
+
+  test("concurrent replays of the SAME epoch converge to one manifest entry") {
+    val wh = tmp("aw_samepoch") + "/wh"
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ws = (0 until 2).map { _ =>
+      val t = new Thread(() => {
+        try {
+          val df = Seq((1L, "same")).toDF("k", "v").withColumn("load_seq", lit(7L))
+          barrier.await()
+          AtomicWarehouse.commitEpoch(spark, wh, df, 7L)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    ws.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    val v = AtomicWarehouse.currentVersion(spark, wh)
+    assert(v == 1L, s"same-epoch replay must commit exactly once, got v$v")
+    assert(AtomicWarehouse.committedEpochs(spark, wh) == Seq("epoch_7"))
+    assert(snapshot(wh) == Set((1L, "same", 7L)))
+  }
+
   test("committed epochs are immutable under empty-staging replay") {
     val base = tmp("aw_replay")
     val staging = s"$base/staging"; val wh = s"$base/wh"
