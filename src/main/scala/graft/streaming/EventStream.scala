@@ -27,10 +27,16 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** W1 streaming — keyed keep-last dedup state: the staging sheet's
-    * merge-upsert as dropDuplicatesWithinWatermark on the key. */
-  def dedupStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "4 days")
+  /** W1 streaming — keyed keep-first dedup state on the ENGINE's native
+    * operator: `dropDuplicatesWithinWatermark` keeps each key's first
+    * arrival and drops later duplicates for as long as the key's state
+    * lives (until the watermark passes its event time + `delay`). The
+    * production default matches the reference's 4-day settling lag; the
+    * battery replay (c20) passes a delay longer than the replayed span so
+    * no state ever expires and the semantics are exactly batch keep-first
+    * — the form its oracle states. */
+  def dedupStream(events: DataFrame, delay: String = "4 days"): DataFrame =
+    events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(Seq("user_id"))
 
   case class SessionEvent(user_id: Long, event_id: Long, tsMicros: Long)
