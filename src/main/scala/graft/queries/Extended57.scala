@@ -75,5 +75,173 @@ object Extended57 {
     s.table(sinkName).select("event_id", "user_id", "event_type")
   }
 
-  val all: Seq[Q] = Seq(c20StreamDedupWatermark)
+  /** C21 — epoch COMPACTION on the atomic warehouse: three drained epochs
+    * are folded into one pre-merged dir ([[graft.sinks.AtomicWarehouse
+    * .compact]]), then a post-compaction drain lands on top — and the
+    * snapshot read must be indistinguishable from never having compacted
+    * (the oracle replays all four epochs' keep-last merge directly).
+    * Surviving rows keep their original load_seq through the fold, which
+    * is exactly why later drains still win the merge.
+    *
+    * Scale: compaction is the maintenance pass that keeps read planning
+    * O(1) in drain count — the fold rewrites only LIVE rows (dead
+    * versions drop out), and everything before it stays time-travelable
+    * until a retention vacuum. */
+  val c21AtomicCompaction = q("c21_atomic_compaction",
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         c_mktsegment, CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'REFETCHED' AS c_mktsegment, CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_nationkey < 10),
+      |e3 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'POST' AS c_mktsegment, CAST(3 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_nationkey >= 20),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+      |SELECT c_custkey, c_name, c_mktsegment, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = java.nio.file.Files.createTempDirectory("graft_c21_").toString + "/wh"
+    val cust = Tables.customer(s, d)
+    def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame): Unit =
+      AtomicWarehouse.commitEpoch(s, wh,
+        dfv.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_mktsegment"), lit(seq).as("load_seq")), seq)
+    ep(1L, cust)
+    ep(2L, cust.where(col("c_nationkey") < 10)
+      .withColumn("c_mktsegment", lit("REFETCHED")))
+    AtomicWarehouse.compact(s, wh, "c_custkey")
+    ep(3L, cust.where(col("c_nationkey") >= 20)
+      .withColumn("c_mktsegment", lit("POST")))
+    AtomicWarehouse.read(s, wh, "c_custkey")
+      .select("c_custkey", "c_name", "c_mktsegment", "load_seq")
+  }
+
+  /** C22 — stream-stream LEFT OUTER interval join on the ENGINE: every
+    * error row emits, null-padded when no same-user click precedes it
+    * within 10 minutes ([[graft.streaming.EventStream.clickErrorLeftJoin]]).
+    * This is the harder join contract than c5's inner form: an unmatched
+    * error may only emit once the click-side watermark proves no matching
+    * click can still arrive, so the result depends on watermark-driven
+    * STATE EVICTION, not just retention. The replay appends two
+    * successively-later flush sentinels (user_id −1, filtered back out):
+    * the first advances the watermark past all real data, the second
+    * gives the engine the batch in which that watermark evicts-and-emits
+    * the remaining unmatched errors — the end-of-stream drain for outer
+    * joins. Oracle: the batch LEFT JOIN with the same interval.
+    *
+    * Scale: state on each side is bounded by the interval + watermark
+    * delay exactly as in c5; outer emission adds no state, only the
+    * eviction-time null-pad. */
+  val c22StreamLeftOuterJoin = q("c22_stream_left_outer_join",
+    """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = e.user_id
+      | AND c.ts::TIMESTAMP >= e.ts::TIMESTAMP - INTERVAL 10 MINUTE
+      | AND c.ts::TIMESTAMP < e.ts::TIMESTAMP""".stripMargin) { (s, d) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, d)
+      .where(col("event_type").isin("click", "error"))
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .sortBy(r => (r._1, r._2))
+    val maxUs = rows.last._1
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long, String)]
+    val ev = source.toDF().toDF("us", "event_id", "user_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val joined = graft.streaming.EventStream.clickErrorLeftJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "error"))
+    val sinkName = "c22_louter_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndOld = s.conf.getOption(ndKey)
+    s.conf.set(ndKey, "false") // flush is driven by the explicit sentinels
+    try withShufflePartitions(s, 2) {
+      val query = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val nBatches = 4
+        val per = (rows.length + nBatches - 1) / nBatches
+        rows.grouped(per).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        for (day <- 1L to 2L) {
+          val us = maxUs + day * 86400L * 1000000
+          source.addData(Seq((us, -1L, -1L, "click"), (us, -1L, -1L, "error")))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+    } finally ndOld match {
+      case Some(v) => s.conf.set(ndKey, v)
+      case None => s.conf.unset(ndKey)
+    }
+    s.table(sinkName).where(col("user_id") >= 0)
+      .select("error_id", "click_id", "user_id")
+  }
+
+  /** C23 — EPOCH SKIPPING on the atomic warehouse's range read: each
+    * committed epoch's manifest entry carries min/max stats of the merge
+    * key, and `readRange` opens only epochs whose range intersects the
+    * query's — the Parquet zone-map idea lifted to the epoch level, where
+    * it prunes the scan, the union AND the merge shuffle (sound exactly
+    * because the stats column is the merge key; see the readRange
+    * scaladoc). Here the HOT epoch (top of the key space) is disjoint
+    * from the queried bottom decile, so it is never opened; the oracle
+    * replays all three epochs unpruned and filters — results must match
+    * bit-for-bit. AtomicWarehouseSpec pins that the disjoint epoch is
+    * genuinely absent from the scan list.
+    *
+    * Scale: at 100 TB with key-partitioned drains this is the difference
+    * between a range lookup touching one epoch and re-merging the whole
+    * warehouse. */
+  val c23EpochRangeSkipping = q("c23_epoch_range_skipping",
+    """WITH mx AS (SELECT CAST(max(c_custkey) AS BIGINT) AS m FROM customer),
+      |e1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         c_mktsegment, CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'LOW' AS c_mktsegment, CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer, mx WHERE c_custkey <= m // 10),
+      |e3 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'HOT' AS c_mktsegment, CAST(3 AS BIGINT) AS load_seq
+      |  FROM customer, mx
+      |  WHERE c_custkey BETWEEN (m * 6) // 10 AND (m * 8) // 10),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+      |SELECT c_custkey, c_name, c_mktsegment, load_seq FROM (
+      |  SELECT u.*, row_number() OVER (PARTITION BY c_custkey
+      |                                 ORDER BY load_seq DESC) AS rn
+      |  FROM u), mx WHERE rn = 1 AND c_custkey BETWEEN 1 AND m // 10""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = java.nio.file.Files.createTempDirectory("graft_c23_").toString + "/wh"
+    val cust = Tables.customer(s, d)
+    val m = cust.agg(max(col("c_custkey").cast("long"))).head.getLong(0)
+    def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame, seg: Option[String]): Unit =
+      AtomicWarehouse.commitEpoch(s, wh,
+        dfv.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          seg.map(lit(_)).getOrElse(col("c_mktsegment")).as("c_mktsegment"),
+          lit(seq).as("load_seq")),
+        seq, statsKey = Some("c_custkey"))
+    ep(1L, cust, None)
+    ep(2L, cust.where(col("c_custkey") <= m / 10), Some("LOW"))
+    ep(3L, cust.where(col("c_custkey").between(m * 6 / 10, m * 8 / 10)), Some("HOT"))
+    AtomicWarehouse.readRange(s, wh, "c_custkey", 1L, m / 10)
+      .select("c_custkey", "c_name", "c_mktsegment", "load_seq")
+  }
+
+  val all: Seq[Q] = Seq(c20StreamDedupWatermark, c21AtomicCompaction,
+    c22StreamLeftOuterJoin, c23EpochRangeSkipping)
 }

@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   *  - the read path unions the committed epochs and applies the keyed
   *    last-wins merge (W2's exact window) — the same one-shuffle dedup
   *    the reference re-runs after every load, paid on read instead of
-  *    rewriting the warehouse on every write. `Warehouse.compact` folds
-  *    old epochs when the manifest grows long (epoch count, not data
-  *    size, is the read-planning cost).
+  *    rewriting the warehouse on every write. [[compact]] folds committed
+  *    epochs into one pre-merged dir when the manifest grows long (epoch
+  *    count, not data size, is the read-planning cost), [[vacuum]] is the
+  *    retention pass that finally destroys unreferenced history, and
+  *    manifest entries carry optional min/max key stats so [[readRange]]
+  *    can skip whole epochs (zone maps at the epoch level).
   *
   * Scale: commit cost is O(delta) + one tiny rename regardless of
   * warehouse size (the K6 append path rewrote nothing either, but its
@@ -59,21 +62,46 @@ object AtomicWarehouse {
   def committedEpochs(spark: SparkSession, dir: String): Seq[String] =
     committedEpochsAt(spark, dir, currentVersion(spark, dir))
 
+  /** One committed data dir in a manifest: its name plus optional
+    * min/max KEY statistics (the per-epoch zone map that lets the range
+    * read skip whole epochs — the file-skipping idea of Parquet row-group
+    * stats lifted to the epoch level, where it prunes I/O *and* merge
+    * input). Serialized as `name` or `name\tmin\tmax` — one line per
+    * entry, backwards-compatible with stat-less manifests. */
+  final case class EpochEntry(name: String, stats: Option[(Long, Long)]) {
+    def line: String = stats match {
+      case Some((mn, mx)) => s"$name\t$mn\t$mx"
+      case None => name
+    }
+  }
+
+  private object EpochEntry {
+    def parse(l: String): EpochEntry = l.split('\t') match {
+      case Array(n, mn, mx) => EpochEntry(n, Some((mn.toLong, mx.toLong)))
+      case Array(n) => EpochEntry(n, None)
+      case _ => throw new IllegalStateException(s"bad manifest line: $l")
+    }
+  }
+
   /** Epoch list as of a PAST manifest version — the time-travel read.
     * Version manifests are immutable once renamed into place, so any
     * historical snapshot stays reconstructable until a retention pass
     * deletes old manifests; data dirs are never rewritten, so no copy is
     * needed (the log-structured layout gives time travel for free). */
-  def committedEpochsAt(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+  def committedEpochsAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
+    committedEntriesAt(spark, dir, v).map(_.name)
+
+  /** Manifest entries (names + optional key stats) as of version `v`. */
+  def committedEntriesAt(spark: SparkSession, dir: String,
+      v: Long): Seq[EpochEntry] = {
     if (v == 0L) Seq.empty
     else {
       val p = new Path(s"${manifestDir(dir)}/v$v.json")
       val in = fs(spark, dir).open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      // manifest body: one epoch dir name per line (a json array without
-      // a parser dependency — names are [A-Za-z0-9_]+)
-      body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      body.linesIterator.map(_.trim).filter(_.nonEmpty)
+        .map(EpochEntry.parse).toSeq
     }
   }
 
@@ -170,50 +198,170 @@ object AtomicWarehouse {
     * Persistent contention past [[MaxCommitAttempts]] fails loudly rather
     * than spinning. */
   def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
-      seq: Long): Unit = {
+      seq: Long, statsKey: Option[String] = None): Unit = {
     val epoch = s"epoch_$seq"
     if (committedEpochs(spark, dir).contains(epoch)) return
-    val f = fs(spark, dir)
-    // a committed epoch is immutable — only uncommitted (crashed or new)
-    // epochs are (re)written, so replaying a completed drain whose
-    // truncate already emptied the staging can never clobber the data.
-    // The data itself is STAGED to a unique dir and renamed into place:
-    // concurrent same-epoch replays then never write the same path (the
-    // overwrite-in-place they'd otherwise race on), and whichever rename
-    // lands first wins — same seq means same logical content by the
-    // replay contract, so the loser just adopts the winner's dir.
-    val stage = new Path(s"$dir/.stage_${epoch}_${java.util.UUID.randomUUID}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val epochPath = new Path(s"$dir/$epoch")
-    if (f.exists(epochPath) && !committedEpochs(spark, dir).contains(epoch))
-      f.delete(epochPath, true) // crashed earlier attempt: stale, invisible
-    if (!publishDir(f, stage, epochPath)) {
-      // lost the dir race to a concurrent same-epoch writer
-      f.delete(stage, true)
-      if (!f.exists(epochPath))
-        throw new java.io.IOException(
-          s"failed to publish $epochPath and no concurrent writer did either")
+    publishData(spark, dir, df, epoch)
+    val stats = statsKey.flatMap(k => keyStats(spark, s"$dir/$epoch", k))
+    commitManifest(spark, dir, s"epoch $epoch") { entries =>
+      if (entries.exists(_.name == epoch)) None // a concurrent replay won
+      else Some(entries :+ EpochEntry(epoch, stats))
     }
+  }
+
+  /** Min/max of `key` (as long) over a published data dir — the zone-map
+    * stats embedded in its manifest entry. None for an empty epoch. */
+  private def keyStats(spark: SparkSession, path: String,
+      key: String): Option[(Long, Long)] = {
+    val r = spark.read.parquet(path)
+      .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  }
+
+  /** Write `df` to a unique hidden stage dir and move it to `$dir/$name`
+    * with a fail-if-exists publish. Concurrent same-name writers never
+    * touch the same path; whichever publish lands first wins and the
+    * loser adopts it (same name means same logical content by the replay
+    * contract). A dangling dir from a CRASHED commit (exists but is in no
+    * manifest) is deleted and replaced. */
+  private def publishData(spark: SparkSession, dir: String, df: DataFrame,
+      name: String): Unit = {
+    val f = fs(spark, dir)
+    val stage = new Path(s"$dir/.stage_${name}_${java.util.UUID.randomUUID}")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val dst = new Path(s"$dir/$name")
+    if (f.exists(dst) && !committedEpochs(spark, dir).contains(name))
+      f.delete(dst, true) // crashed earlier attempt: stale, invisible
+    if (!publishDir(f, stage, dst)) {
+      // lost the dir race to a concurrent same-name writer
+      f.delete(stage, true)
+      if (!f.exists(dst))
+        throw new java.io.IOException(
+          s"failed to publish $dst and no concurrent writer did either")
+    }
+  }
+
+  /** The manifest CAS loop shared by epoch commits and compaction: each
+    * attempt re-reads the latest entries, asks `compute` for the next
+    * manifest (None = nothing left to do), and publishes it as version
+    * N+1 via [[casPublish]]; a lost race retries against the winner's
+    * manifest. Persistent contention past [[MaxCommitAttempts]] fails
+    * loudly rather than spinning. */
+  private def commitManifest(spark: SparkSession, dir: String, what: String)(
+      compute: Seq[EpochEntry] => Option[Seq[EpochEntry]]): Unit = {
+    val f = fs(spark, dir)
     f.mkdirs(new Path(manifestDir(dir)))
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val v = currentVersion(spark, dir)
-      val existing = committedEpochsAt(spark, dir, v)
-      if (existing.contains(epoch)) return // a concurrent replay won
-      val next = v + 1
-      val tmp = new Path(
-        s"${manifestDir(dir)}/.tmp_v${next}_${java.util.UUID.randomUUID}")
-      val out = f.create(tmp, true)
-      try out.write((existing :+ epoch).mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      if (casPublish(f, tmp, new Path(s"${manifestDir(dir)}/v$next.json")))
-        return
+      compute(committedEntriesAt(spark, dir, v)) match {
+        case None => return
+        case Some(entries) =>
+          val next = v + 1
+          val tmp = new Path(
+            s"${manifestDir(dir)}/.tmp_v${next}_${java.util.UUID.randomUUID}")
+          val out = f.create(tmp, true)
+          try out.write(entries.map(_.line).mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          if (casPublish(f, tmp, new Path(s"${manifestDir(dir)}/v$next.json")))
+            return
+      }
       attempt += 1
     }
     throw new java.io.IOException(
       s"manifest commit at $dir lost $MaxCommitAttempts consecutive races " +
-        s"for epoch $epoch — concurrent-writer storm or a stuck manifest dir")
+        s"for $what — concurrent-writer storm or a stuck manifest dir")
   }
+
+  /** Fold every epoch committed as of now into ONE pre-merged dir. The
+    * snapshot keeps each surviving row's original `load_seq`, so drains
+    * that land after (or even DURING) the compaction still win the keyed
+    * merge exactly as before — compaction changes read cost, never
+    * results. Epochs committed concurrently with the fold are carried
+    * over unfolded (the CAS loop re-reads them each attempt); replaying
+    * an identical compaction no-ops. Old manifests still reference the
+    * old epoch dirs, so time travel keeps working until [[vacuum]].
+    *
+    * Scale: this is the maintenance pass that keeps read planning O(1) in
+    * drain count — the union stays a handful of dirs no matter how many
+    * epochs ever landed, and the fold itself is one merge + one write of
+    * the LIVE rows only (dead versions drop out). */
+  def compact(spark: SparkSession, dir: String, key: String,
+      statsKey: Option[String] = None): Unit = {
+    val baseV = currentVersion(spark, dir)
+    if (baseV == 0L) return
+    val base = committedEntriesAt(spark, dir, baseV)
+    if (base.size <= 1) return // nothing to fold
+    val name = s"compact_v$baseV"
+    publishData(spark, dir, readVersion(spark, dir, key, baseV), name)
+    val stats = statsKey.flatMap(k => keyStats(spark, s"$dir/$name", k))
+    commitManifest(spark, dir, s"compaction $name") { entries =>
+      if (entries.exists(_.name == name)) None // identical fold already won
+      else if (!entries.map(_.name).startsWith(base.map(_.name)))
+        throw new java.io.IOException(
+          s"concurrent compaction at $dir: manifest no longer extends v$baseV")
+      else Some(EpochEntry(name, stats) +: entries.drop(base.size))
+    }
+  }
+
+  /** Retention pass: keep the latest `retainVersions` manifests, delete
+    * older ones, then delete every data dir no retained manifest
+    * references. This is the ONLY operation that destroys history — until
+    * it runs, every version stays time-travelable. Returns (manifests,
+    * data dirs) deleted. Single-maintainer by contract (like any
+    * vacuum); concurrent DRAINS are safe — they only add new dirs and
+    * newer manifests, which retention never touches. */
+  def vacuum(spark: SparkSession, dir: String,
+      retainVersions: Int): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val f = fs(spark, dir)
+    val cur = currentVersion(spark, dir)
+    val minKeep = math.max(1L, cur - retainVersions + 1)
+    val referenced = (minKeep to cur)
+      .flatMap(v => committedEpochsAt(spark, dir, v)).toSet
+    val droppedManifests = (1L until minKeep).count { v =>
+      f.delete(new Path(s"${manifestDir(dir)}/v$v.json"), false)
+    }
+    val droppedDirs = f.listStatus(new Path(dir))
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n != "_manifest" && !n.startsWith(".") && !referenced.contains(n)
+      }
+      .count(p => f.delete(p, true))
+    (droppedManifests, droppedDirs)
+  }
+
+  /** Range read with EPOCH SKIPPING: epochs whose manifest [min,max] key
+    * stats don't intersect [lo,hi] are never opened — pruning the scan,
+    * the union, and the merge shuffle in one stroke. Sound precisely
+    * because the stats column IS the merge key: any epoch holding a
+    * version of an in-range key covers that key in its stats, so every
+    * epoch that could change an in-range winner is scanned (filter-then-
+    * merge == merge-then-filter on the merge key — NOT true for other
+    * columns, which is why the API ties stats and merge to one column).
+    * Stat-less entries are scanned conservatively. */
+  def readRange(spark: SparkSession, dir: String, key: String, lo: Long,
+      hi: Long): DataFrame = {
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+    require(entries.nonEmpty, s"no committed epochs at $dir")
+    val scanned = scanListForRange(entries, lo, hi)
+    // an empty scan list still needs a schema: read (0 rows of) one epoch
+    val union = (if (scanned.isEmpty)
+        Seq(spark.read.parquet(s"$dir/${entries.head.name}").limit(0))
+      else scanned.map(e => spark.read.parquet(s"$dir/${e.name}")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
+    union.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .where(col(key).cast("long").between(lo, hi))
+  }
+
+  /** The epochs [[readRange]] would open for [lo,hi] — exposed so tests
+    * can pin that disjoint epochs are genuinely skipped. */
+  def scanListForRange(entries: Seq[EpochEntry], lo: Long,
+      hi: Long): Seq[EpochEntry] =
+    entries.filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
 
   /** Full drain epoch against the atomic warehouse: sanitize/all-string
     * staging (F19/F20) → atomic epoch commit → staging truncate (K7).

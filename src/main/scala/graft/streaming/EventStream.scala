@@ -184,6 +184,29 @@ object EventStream {
       .select(col("error_id"), col("click_id"), col("user_id"))
   }
 
+  /** E7 streaming, LEFT OUTER form — every error emits, null-padded when
+    * no same-user click precedes it within 10 minutes. Outer interval
+    * joins are the harder engine contract: matched rows emit on arrival,
+    * but an UNMATCHED left row can only emit once the right-side
+    * watermark has passed its interval bound (proving no matching click
+    * can still arrive) — so results depend on watermark-driven state
+    * eviction, not just state retention. Both sides watermarked; state
+    * stays bounded exactly as in [[clickErrorJoin]]. */
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val e = errors.select(col("event_id").as("error_id"),
+      col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    e.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") < col("e_ts"),
+      "leftOuter")
+      .select(col("error_id"), col("click_id"), col("user_id"))
+  }
+
   /** §3.3 drain — the staging→warehouse epoch as a foreachBatch sink:
     * checkpointed offsets give exactly-once per epoch; the idempotent
     * re-dedup (W2) is kept anyway for reference parity. */

@@ -145,6 +145,88 @@ class AtomicWarehouseSpec extends SparkSuite {
     assert(snapshot(wh) == Set((1L, "same", 7L)))
   }
 
+  test("compaction folds epochs, preserves results and later drains") {
+    val wh = tmp("aw_compact") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "v").withColumn("load_seq", lit(seq)), seq)
+    ep(1L, Seq((1L, "a"), (2L, "b")))
+    ep(2L, Seq((2L, "b2"), (3L, "c")))
+    ep(3L, Seq((3L, "c3")))
+    val before = snapshot(wh)
+    AtomicWarehouse.compact(spark, wh, "k")
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 4L)
+    assert(AtomicWarehouse.committedEpochs(spark, wh) == Seq("compact_v3"))
+    assert(snapshot(wh) == before, "compaction changed the snapshot")
+    // time travel to a pre-compaction version still resolves (vacuum has
+    // not run, so the old epoch dirs and manifests are intact)
+    assert(AtomicWarehouse.readVersion(spark, wh, "k", 2L).count() == 3)
+    // a drain AFTER compaction still wins the merge over folded rows
+    ep(5L, Seq((1L, "a5")))
+    assert(snapshot(wh) ==
+      Set((1L, "a5", 5L), (2L, "b2", 2L), (3L, "c3", 3L)))
+    // compacting again (now over [compact_v3, epoch_5]) folds anew and
+    // still changes nothing observable
+    val v = AtomicWarehouse.currentVersion(spark, wh)
+    AtomicWarehouse.compact(spark, wh, "k")
+    assert(AtomicWarehouse.currentVersion(spark, wh) == v + 1)
+    assert(snapshot(wh) ==
+      Set((1L, "a5", 5L), (2L, "b2", 2L), (3L, "c3", 3L)))
+  }
+
+  test("vacuum destroys only unreferenced history") {
+    val wh = tmp("aw_vacuum") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "v").withColumn("load_seq", lit(seq)), seq)
+    ep(1L, Seq((1L, "a")))
+    ep(2L, Seq((2L, "b")))
+    AtomicWarehouse.compact(spark, wh, "k") // v3 -> [compact_v2]
+    ep(4L, Seq((3L, "c")))
+    val before = snapshot(wh)
+    val (manifests, dirs) = AtomicWarehouse.vacuum(spark, wh, retainVersions = 2)
+    assert(manifests == 2, s"expected v1,v2 deleted, got $manifests")
+    assert(dirs == 2, s"expected epoch_1, epoch_2 deleted, got $dirs")
+    assert(snapshot(wh) == before, "vacuum changed the current snapshot")
+    assert(AtomicWarehouse.readVersion(spark, wh, "k", 4L).count() == 3)
+    intercept[Exception] { // pre-retention history is genuinely gone
+      AtomicWarehouse.readVersion(spark, wh, "k", 1L).count()
+    }
+    // idempotent: a second vacuum finds nothing more to delete
+    assert(AtomicWarehouse.vacuum(spark, wh, retainVersions = 2) == ((0, 0)))
+  }
+
+  test("range read skips epochs whose key stats are disjoint") {
+    val wh = tmp("aw_skip") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "v").withColumn("load_seq", lit(seq)), seq,
+        statsKey = Some("k"))
+    ep(1L, (1L to 100L).map(k => k -> s"base$k"))
+    ep(2L, (1L to 10L).map(k => k -> s"low$k"))
+    ep(3L, (60L to 80L).map(k => k -> s"hot$k"))
+    val entries = AtomicWarehouse.committedEntriesAt(spark, wh,
+      AtomicWarehouse.currentVersion(spark, wh))
+    assert(entries.flatMap(_.stats) ==
+      Seq((1L, 100L), (1L, 10L), (60L, 80L)))
+    // [1,10] intersects epochs 1+2 only: the HOT epoch must not be opened
+    assert(AtomicWarehouse.scanListForRange(entries, 1L, 10L).map(_.name) ==
+      Seq("epoch_1", "epoch_2"))
+    // fully disjoint range: nothing scanned, empty result with schema
+    assert(AtomicWarehouse.scanListForRange(entries, 200L, 300L).isEmpty)
+    assert(AtomicWarehouse.readRange(spark, wh, "k", 200L, 300L).count() == 0)
+    // and pruned results equal the unpruned read filtered to the range
+    val pruned = AtomicWarehouse.readRange(spark, wh, "k", 1L, 10L)
+      .select(col("k").cast("long"), col("v"), col("load_seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val full = AtomicWarehouse.read(spark, wh, "k")
+      .where(col("k").between(1, 10))
+      .select(col("k").cast("long"), col("v"), col("load_seq"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(pruned == full && pruned.size == 10)
+    assert(pruned.forall { case (_, v, seq) => v.startsWith("low") && seq == 2L })
+  }
+
   test("committed epochs are immutable under empty-staging replay") {
     val base = tmp("aw_replay")
     val staging = s"$base/staging"; val wh = s"$base/wh"
