@@ -242,6 +242,46 @@ object Extended57 {
       .select("c_custkey", "c_name", "c_mktsegment", "load_seq")
   }
 
+  /** C24 — ADDITIVE SCHEMA EVOLUTION across warehouse epochs: the second
+    * drain carries a column the first never had (the reference's sheet
+    * grows columns over time — K5's header-ensure is exactly this), and
+    * the snapshot read surfaces it as null for rows whose winning version
+    * predates the column. No epoch is ever rewritten: evolution is purely
+    * a read-side unionByName(allowMissingColumns) over immutable dirs.
+    *
+    * Scale: widening a 100 TB warehouse costs nothing at write time and
+    * one null-fill projection at read time — the alternative (rewrite
+    * every historical epoch) is the full-warehouse I/O the log-structured
+    * layout exists to avoid. */
+  val c24EpochSchemaEvolution = q("c24_epoch_schema_evolution",
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         CAST(NULL AS VARCHAR) AS c_mktsegment,
+      |         CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         c_mktsegment, CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_nationkey < 10),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |SELECT c_custkey, c_name, c_mktsegment, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = java.nio.file.Files.createTempDirectory("graft_c24_").toString + "/wh"
+    val cust = Tables.customer(s, d)
+    AtomicWarehouse.commitEpoch(s, wh,
+      cust.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        lit(1L).as("load_seq")), 1L)
+    AtomicWarehouse.commitEpoch(s, wh,
+      cust.where(col("c_nationkey") < 10)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_mktsegment"), lit(2L).as("load_seq")), 2L)
+    AtomicWarehouse.read(s, wh, "c_custkey")
+      .select("c_custkey", "c_name", "c_mktsegment", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(c20StreamDedupWatermark, c21AtomicCompaction,
-    c22StreamLeftOuterJoin, c23EpochRangeSkipping)
+    c22StreamLeftOuterJoin, c23EpochRangeSkipping, c24EpochSchemaEvolution)
 }

@@ -110,13 +110,17 @@ object AtomicWarehouse {
   def read(spark: SparkSession, dir: String, key: String): DataFrame =
     readVersion(spark, dir, key, currentVersion(spark, dir))
 
-  /** Time-travel read: the warehouse exactly as of manifest `version`. */
+  /** Time-travel read: the warehouse exactly as of manifest `version`.
+    * Epoch schemas may EVOLVE additively across drains (the reference's
+    * sheet grows columns over time, K5's header-ensure): columns missing
+    * from an older epoch surface as nulls, so old epochs never need a
+    * rewrite when the schema widens. */
   def readVersion(spark: SparkSession, dir: String, key: String,
       version: Long): DataFrame = {
     val epochs = committedEpochsAt(spark, dir, version)
     require(epochs.nonEmpty, s"no committed epochs at $dir v$version")
     val union = epochs.map(e => spark.read.parquet(s"$dir/$e"))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
     union.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
@@ -350,7 +354,7 @@ object AtomicWarehouse {
     val union = (if (scanned.isEmpty)
         Seq(spark.read.parquet(s"$dir/${entries.head.name}").limit(0))
       else scanned.map(e => spark.read.parquet(s"$dir/${e.name}")))
-      .reduce(_.unionByName(_))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
     union.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
