@@ -39,6 +39,7 @@ object ScaleProbe {
     if (mode == "tpch") { tpchProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "events") { eventsProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
+    if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val emb = Tables.embeddings(spark, sfDir)
@@ -113,6 +114,59 @@ object ScaleProbe {
     * (bucket count is constant, each bounded at the cap). This is the
     * measured evidence that `NearDup.lshCandidatesFromSigs`'s cap turns
     * the quadratic blowup into a constant — recorded in BENCH.md. */
+  /** Warehouse-layout probe: K drains of key-DISJOINT customer slices
+    * (replica r owns keys (r·N, (r+1)·N]) land as K stats-bearing epochs,
+    * then we measure what the manifest features buy at scale:
+    *
+    *  - snapshot `read` (unions + merges all K epochs) vs `readRange`
+    *    over ONE slice's key span (opens 1 epoch out of K via the
+    *    min/max stats) — the epoch-skipping payoff, with the scan-list
+    *    size printed alongside wall time;
+    *  - `compact` cost and the post-compaction snapshot read — the
+    *    read-planning payoff of folding a long manifest.
+    *
+    * At 100 TB the same numbers govern: range reads touch O(slice), not
+    * O(warehouse); compaction is a one-time merge that returns reads to
+    * single-dir cost. */
+  private def warehouseProbe(spark: SparkSession, sfDir: String, base: String,
+      k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    val wh = s"$base/wh"
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+    val n = cust.agg(max("c_custkey")).head.getLong(0) + 1 // keys are 0-based
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tLoad) = timeIt {
+      (0 until k).foreach { r =>
+        AtomicWarehouse.commitEpoch(spark, wh,
+          cust.withColumn("c_custkey", col("c_custkey") + lit(r * n))
+            .withColumn("load_seq", lit(r + 1L)),
+          r + 1L, statsKey = Some("c_custkey"))
+      }
+    }
+    val entries = AtomicWarehouse.committedEntriesAt(spark, wh,
+      AtomicWarehouse.currentVersion(spark, wh))
+    val mid = k / 2
+    val (lo, hi) = (mid * n, (mid + 1) * n - 1)
+    val scanned = AtomicWarehouse.scanListForRange(entries, lo, hi).size
+    val (full, tFull) = timeIt(AtomicWarehouse.read(spark, wh, "c_custkey").count())
+    val (ranged, tRange) = timeIt(
+      AtomicWarehouse.readRange(spark, wh, "c_custkey", lo, hi).count())
+    val (_, tCompact) = timeIt(AtomicWarehouse.compact(spark, wh, "c_custkey",
+      statsKey = Some("c_custkey")))
+    val (full2, tFull2) = timeIt(AtomicWarehouse.read(spark, wh, "c_custkey").count())
+    println(s"| epochs | load s | full read ($full rows) s | " +
+      s"range read ($ranged rows, $scanned/$k epochs opened) s | " +
+      s"compact s | post-compact read ($full2 rows) s |")
+    println("|---|---|---|---|---|---|")
+    println(f"| $k | $tLoad%.2f | $tFull%.2f | $tRange%.2f | $tCompact%.2f | $tFull2%.2f |")
+    require(full == full2 && full == k * cust.count(),
+      "compaction or replication changed row counts")
+  }
+
   private def densifyProbe(spark: SparkSession, sfDir: String, k: Int): Unit = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
