@@ -282,6 +282,153 @@ object Extended57 {
       .select("c_custkey", "c_name", "c_mktsegment", "load_seq")
   }
 
+  /** C25 — sessionization closed by ENGINE EVENT-TIME TIMERS
+    * ([[graft.streaming.EventStream.sessionizeTimers]]): c7 flushes the
+    * trailing sessions with per-user sentinel EVENTS; here each open
+    * session instead registers a timer at (last event + 30 min) and the
+    * engine fires the `hasTimedOut` callback once the watermark passes it
+    * — the production mechanism for "session ends after N quiet minutes"
+    * (no future event required). One far-future row for a dummy user
+    * pushes the watermark at end-of-stream; every REAL user's trailing
+    * session then emits through the timer path, so the battery covers
+    * timer registration, watermark-driven firing, and the timed-out
+    * branch — none of which c7's sentinel replay exercises. Oracle: the
+    * identical declarative lag/cumsum sessionization.
+    *
+    * Scale: state stays one open session per user; timers add one
+    * timestamp per key to the state store. */
+  val c25StreamSessionTimers = q("c25_stream_session_timers",
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS tus,
+      |         lag(epoch_us(ts::TIMESTAMP)) OVER (
+      |           PARTITION BY user_id ORDER BY ts::TIMESTAMP ASC, event_id ASC) AS prev
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, tus,
+      |         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_start
+      |  FROM seq),
+      |sess AS (
+      |  SELECT user_id, tus,
+      |         sum(is_start) OVER (PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(max(tus) AS BIGINT) AS last_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.EventStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .sortBy(r => (r._3, r._2))
+    val flushUs = rows.map(_._3).max + 10L * 86400 * 1000000
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Long)]
+    val stream = source.toDF().toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .as[EventStream.TimedEvent]
+    val sinkName = "c25_sink_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndOld = s.conf.getOption(ndKey)
+    s.conf.set(ndKey, "true") // the timeout sweep runs in the post-watermark batch
+    try withShufflePartitions(s, 4) {
+      val query = EventStream.sessionizeTimers(stream)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val per = (rows.length + 4) / 5
+        rows.grouped(per).foreach { chunk =>
+          source.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        // one dummy-user row pushes the watermark past every real
+        // session's timer; the engine then fires hasTimedOut for each
+        source.addData(Seq((-1L, -1L, flushUs)))
+        query.processAllAvailable()
+      } finally query.stop()
+    } finally ndOld match {
+      case Some(v) => s.conf.set(ndKey, v)
+      case None => s.conf.unset(ndKey)
+    }
+    s.table(sinkName).where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_events").as("n_events"),
+        col("last_micros").as("last_us"))
+  }
+
+  /** C26 — CHECKPOINT RESTART RECOVERY end-to-end: the watermarked window
+    * aggregate runs against a checkpoint, is STOPPED cold mid-stream, and
+    * a NEW query object resumes from the same checkpoint to finish the
+    * replay — offsets, watermark, and window state must all recover for
+    * the final warehouse to hash-match the batch GROUP BY. Emission goes
+    * through the exactly-once foreachBatch sink (batchId-keyed immutable
+    * epochs, c19's pattern), so the batch Spark re-runs around the stop
+    * point commits exactly once. This is the engine contract every
+    * production streaming job leans on and no other battery entry
+    * executes: recovery is from the CHECKPOINT, not live driver state.
+    *
+    * Scale: checkpoint size tracks state (open windows), not history;
+    * restart cost is state-store reload. */
+  val c26StreamRestartRecovery = q("c26_stream_restart_recovery",
+    s"""SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       event_type, CAST(count(*) AS BIGINT) AS n,
+       |       ${rnd("sum(value)", 2)} AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.sinks.AtomicWarehouse
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_c26_").toString
+    val warehouse = s"$base/warehouse"
+    val checkpoint = s"$base/checkpoint"
+    val rows = Tables.events(s, d)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .collect()
+      .sortBy(r => (r._1, r._2))
+    val maxUs = rows.last._1
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    def startQuery() = graft.streaming.EventStream.windowedAgg(
+        source.toDF().toDF("us", "event_id", "event_type", "value")
+          .withColumn("ts", timestamp_micros(col("us"))))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // append mode emits each (window, type) exactly once across the
+        // whole run — the merge key exists to satisfy the warehouse read
+        AtomicWarehouse.commitEpoch(s, warehouse,
+          batch.withColumn("k", concat(col("window_start").cast("string"),
+              lit("|"), col("event_type")))
+            .withColumn("load_seq", lit(id)), id)
+      }
+      .start()
+    val chunks = rows.grouped((rows.length + 3) / 4).toSeq
+    withShufflePartitions(s, 4) {
+      val q1 = startQuery()
+      try {
+        chunks.take(2).foreach { c =>
+          source.addData(c.toIndexedSeq); q1.processAllAvailable()
+        }
+      } finally q1.stop() // the cold stop: driver-side query state is gone
+      val q2 = startQuery() // recovery happens from the checkpoint alone
+      try {
+        chunks.drop(2).foreach { c =>
+          source.addData(c.toIndexedSeq); q2.processAllAvailable()
+        }
+        source.addData(Seq((maxUs + 10L * 86400 * 1000000, -1L, "__flush", 0.0)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    AtomicWarehouse.read(s, warehouse, "k")
+      .where(col("event_type") =!= "__flush")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), round(col("total_value"), 2).as("total_value"))
+  }
+
   val all: Seq[Q] = Seq(c20StreamDedupWatermark, c21AtomicCompaction,
-    c22StreamLeftOuterJoin, c23EpochRangeSkipping, c24EpochSchemaEvolution)
+    c22StreamLeftOuterJoin, c23EpochRangeSkipping, c24EpochSchemaEvolution,
+    c25StreamSessionTimers, c26StreamRestartRecovery)
 }

@@ -72,6 +72,61 @@ object EventStream {
       }
   }
 
+  case class TimedEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp)
+
+  /** E2 streaming, TIMER form — gap sessionization where the trailing
+    * session closes by an ENGINE EVENT-TIME TIMER instead of a data-driven
+    * sentinel: each batch re-registers the open session's timeout at
+    * (last event + gap), and when the watermark passes it the engine
+    * invokes the callback with `hasTimedOut` — the production mechanism
+    * for "session ends after N quiet minutes" (no future event needed).
+    * Data-driven gap closes within a batch emit exactly as in
+    * [[sessionize]]; only the trailing-session flush moves from sentinel
+    * rows to timers. State per user stays one open session. */
+  def sessionizeTimers(events: Dataset[TimedEvent],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000
+    events.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionEvent], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[TimedEvent], state: GroupState[List[SessionEvent]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: the open session is over
+            val open = state.getOption.getOrElse(Nil) // latest-first
+            state.remove()
+            open match {
+              case latest :: _ =>
+                Iterator.single(SessionOut(user, open.size.toLong, latest.tsMicros))
+              case Nil => Iterator.empty
+            }
+          } else {
+            val prior = state.getOption.getOrElse(Nil)
+            val incoming = rows.map(e => SessionEvent(e.user_id, e.event_id,
+              e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000)).toList
+            val all = (prior ++ incoming).sortBy(e => (e.tsMicros, e.event_id))
+            val sessions = all.foldLeft(List.empty[List[SessionEvent]]) {
+              case (acc, e) => acc match {
+                case cur :: rest if e.tsMicros - cur.head.tsMicros <= gapMicros =>
+                  (e :: cur) :: rest
+                case _ => List(e) :: acc
+              }
+            }
+            sessions match {
+              case open :: closed =>
+                state.update(open) // latest-first; next batch re-sorts anyway
+                // sorted feed => last event + gap is always > the watermark
+                state.setTimeoutTimestamp(
+                  open.head.tsMicros / 1000 + gapMinutes * 60L * 1000)
+                closed.reverseIterator.map(s =>
+                  SessionOut(user, s.size.toLong, s.head.tsMicros))
+              case Nil => Iterator.empty
+            }
+          }
+      }
+  }
+
   case class DebEvent(user_id: Long, event_type: String, event_id: Long,
     tsMicros: Long)
 
