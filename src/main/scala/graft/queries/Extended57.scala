@@ -428,7 +428,45 @@ object Extended57 {
         col("event_type"), col("n"), round(col("total_value"), 2).as("total_value"))
   }
 
+  /** S11 — DSv2 WRITE path with the two-phase commit protocol: video
+    * rows derived from orders are written THROUGH the `graft-videos`
+    * connector (each task stages a hidden JSONL temp, the job commit
+    * renames them visible; abort leaves the destination untouched —
+    * [[graft.sources.v2.VideoWriteBuilder]]) and read back through the
+    * same connector's scan. The oracle derives the rows directly from
+    * orders, so the hash pins the serialize→commit→load round-trip; the
+    * abort/no-torn-append behavior is pinned by VideoSinkSpec. This is
+    * the engine artifact for the reference's append-to-sheet path
+    * (dataingestion1.py:185-204), which has no crash story at all.
+    *
+    * Scale: tasks write independently and the job commit is one rename
+    * per task file — the same O(tasks) driver cost as any cloud-storage
+    * commit protocol; a production impl swaps file I/O for the batch
+    * append API and keeps the protocol. */
+  val s11Dsv2Write = q("s11_dsv2_write",
+    """SELECT 'v' || CAST(o_orderkey AS VARCHAR) AS video_id,
+      |       o_orderpriority AS video_title,
+      |       strftime(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(o_orderkey),
+      |                '%Y-%m-%dT%H:%M:%SZ') AS published_at,
+      |       'ch' || CAST(o_custkey % 7 AS VARCHAR) AS channel_id
+      |FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin) { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_s11_").toString + "/videos"
+    Tables.orders(s, d)
+      .where(col("o_orderpriority") === "2-HIGH")
+      .select(
+        concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
+        col("o_orderpriority").as("video_title"),
+        date_format(timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
+        concat(lit("ch"), (col("o_custkey") % 7).cast("string")).as("channel_id"),
+        col("o_orderkey").as("ingest_seq"))
+      .repartition(3) // several tasks => several staged temps => real job commit
+      .write.format("graft-videos").option("path", dir).mode("append").save()
+    s.read.format("graft-videos").option("path", dir).load()
+      .select("video_id", "video_title", "published_at", "channel_id")
+  }
+
   val all: Seq[Q] = Seq(c20StreamDedupWatermark, c21AtomicCompaction,
     c22StreamLeftOuterJoin, c23EpochRangeSkipping, c24EpochSchemaEvolution,
-    c25StreamSessionTimers, c26StreamRestartRecovery)
+    c25StreamSessionTimers, c26StreamRestartRecovery, s11Dsv2Write)
 }

@@ -139,15 +139,21 @@ object VideoCatalog {
   }
 }
 
-class VideoTable(path: String) extends Table with SupportsRead {
+class VideoTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-videos($path)"
   override def schema(): StructType = Schemas.videoRaw
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (retry, simFailures) = RetryPolicy.fromOptions(options)
     new VideoScanBuilder(path, retry, simFailures)
   }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new VideoWriteBuilder(path, info.schema())
 }
 
 class VideoScanBuilder(path: String, retry: RetryPolicy, simFailures: Int)
