@@ -466,7 +466,51 @@ object Extended57 {
       .select("video_id", "video_title", "published_at", "channel_id")
   }
 
+  /** C27 — CHECK-constraint violation report, the gate under
+    * [[graft.sinks.Constraints.drainChecked]] (refusal semantics pinned
+    * in ConstraintsSpec; here the REPORT itself is hash-checked): a
+    * staging batch with two kinds of injected corruption — an unknown
+    * segment and nulled names — is audited against three declared
+    * constraints in ONE aggregate pass. SQL CHECK semantics: a row
+    * violates iff the predicate is FALSE (UNKNOWN passes), identical
+    * `coalesce(NOT pred, false)` form on both engines.
+    *
+    * Scale: k conditional sums fold into a single 1-row aggregate —
+    * the audit costs one scan of the staging delta, never touches the
+    * warehouse, and the report is O(k). */
+  val c27DrainConstraints = q("c27_drain_constraints",
+    """WITH staged AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_nationkey = 5 THEN NULL ELSE c_name END AS c_name,
+      |         CASE WHEN c_nationkey < 3 THEN 'INVALID' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer)
+      |SELECT v.constraint_name, v.n_violations FROM (
+      |  SELECT 'custkey_nonneg' AS constraint_name,
+      |         CAST(sum(CASE WHEN coalesce(NOT (c_custkey >= 0), false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |  FROM staged
+      |  UNION ALL
+      |  SELECT 'name_nonnull',
+      |         CAST(sum(CASE WHEN coalesce(NOT (c_name IS NOT NULL), false) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM staged
+      |  UNION ALL
+      |  SELECT 'segment_known',
+      |         CAST(sum(CASE WHEN coalesce(NOT (c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')), false) THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM staged) v""".stripMargin) { (s, d) =>
+    val staged = Tables.customer(s, d).select(
+      col("c_custkey"),
+      when(col("c_nationkey") === 5, lit(null: String)).otherwise(col("c_name"))
+        .as("c_name"),
+      when(col("c_nationkey") < 3, lit("INVALID")).otherwise(col("c_mktsegment"))
+        .as("c_mktsegment"))
+    graft.sinks.Constraints.violationReport(staged, Seq(
+      "custkey_nonneg" -> "c_custkey >= 0",
+      "name_nonnull" -> "c_name IS NOT NULL",
+      "segment_known" ->
+        "c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY')"))
+  }
+
   val all: Seq[Q] = Seq(c20StreamDedupWatermark, c21AtomicCompaction,
     c22StreamLeftOuterJoin, c23EpochRangeSkipping, c24EpochSchemaEvolution,
-    c25StreamSessionTimers, c26StreamRestartRecovery, s11Dsv2Write)
+    c25StreamSessionTimers, c26StreamRestartRecovery, s11Dsv2Write,
+    c27DrainConstraints)
 }

@@ -1,0 +1,45 @@
+package graft.sinks
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class ConstraintsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("violating drain is refused before anything is staged") {
+    val base = tmp("cons_refuse")
+    val staging = s"$base/staging"; val wh = s"$base/wh"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(staging)
+    Constraints.drainChecked(spark, staging, wh, 1L, Seq("k_pos" -> "k > 0"))
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 1L)
+    // epoch 2 carries a violation: k = -7
+    Seq((3L, "c"), (-7L, "bad")).toDF("k", "v")
+      .write.mode("overwrite").parquet(staging)
+    val e = intercept[ConstraintViolationException] {
+      Constraints.drainChecked(spark, staging, wh, 2L, Seq("k_pos" -> "k > 0"))
+    }
+    assert(e.getMessage.contains("k_pos=1"))
+    // nothing moved: no new version, no epoch dir, staging NOT truncated
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 1L)
+    assert(!new java.io.File(s"$wh/epoch_2").exists())
+    assert(spark.read.parquet(staging).count() == 2)
+    // fixing the batch lets the same drain proceed
+    Seq((3L, "c"), (7L, "good")).toDF("k", "v")
+      .write.mode("overwrite").parquet(staging)
+    Constraints.drainChecked(spark, staging, wh, 2L, Seq("k_pos" -> "k > 0"))
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 2L)
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == 4)
+  }
+
+  test("UNKNOWN passes, FALSE violates (SQL CHECK semantics)") {
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (-1L, "z"))
+      .toDF("k", "v")
+    val report = Constraints.violationReport(df, Seq("k_pos" -> "k > 0"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // null k => UNKNOWN => passes; only k = -1 violates
+    assert(report == Map("k_pos" -> 1L))
+  }
+}
