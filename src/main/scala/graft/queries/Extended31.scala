@@ -42,7 +42,7 @@ object Extended31 {
       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
       |                               ORDER BY load_seq DESC) AS rn
       |  FROM u) WHERE rn = 1""".stripMargin) { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_c3_").toString
+    val base = freshScratch("c3")
     val staging = s"$base/staging"
     val warehouse = s"$base/warehouse"
     val cust = Tables.customer(s, d)
@@ -93,7 +93,7 @@ object Extended31 {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val source =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DebEvent]
-    val sinkName = "c4_debounce_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c4_debounce_")
     withShufflePartitions(s, 4) {
       val query = EventStream.debounce(source.toDS())
         .writeStream.format("memory").queryName(sinkName)

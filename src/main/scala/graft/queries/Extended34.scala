@@ -42,7 +42,7 @@ object Extended34 {
     val events = build(source.toDF()
       .toDF("us", "event_id", "user_id", "event_type", "value")
       .withColumn("ts", timestamp_micros(col("us"))))
-    val sinkName = "c_stream_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c_stream_")
     // noDataBatches=false halves the micro-batch count for queries whose
     // OUTPUT doesn't depend on watermark-triggered emission (stream-stream
     // inner joins emit on arrival; the watermark only bounds state, and a
@@ -120,7 +120,7 @@ object Extended34 {
     val events = graft.streaming.EventStream.windowedAgg(
       source.toDF().toDF("us", "event_id", "event_type", "value")
         .withColumn("ts", timestamp_micros(col("us"))))
-    val sinkName = "c6_sink_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c6_sink_")
     withShufflePartitions(s, 4) {
       val query = events.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()

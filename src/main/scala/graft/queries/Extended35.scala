@@ -55,7 +55,7 @@ object Extended35 {
     val flushUs = rows.last.tsMicros + 86400L * 1000000
     val source = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[EventStream.SessionEvent]
-    val sinkName = "c7_sink_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c7_sink_")
     withShufflePartitions(s, 4) {
       val query = EventStream.sessionize(source.toDS())
         .writeStream.format("memory").queryName(sinkName)
@@ -94,7 +94,7 @@ object Extended35 {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin) { (s, d) =>
-    val wh = java.nio.file.Files.createTempDirectory("graft_c8_wh_").toString
+    val wh = freshScratch("c8_wh")
     graft.sinks.Warehouse.appendPartitioned(
       Tables.events(s, d).select("event_id", "user_id", "ts", "event_type"),
       wh, Seq("event_type"))

@@ -84,7 +84,8 @@ object Extended39 {
       |FROM px GROUP BY 1, 2, 3""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.BinaryOps
-    val dir = java.nio.file.Files.createTempDirectory("graft_m13_png_")
+    val dir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(freshScratch("m13_png")))
     Tables.documents(s, d).select(col("doc_id")).as[Long]
       .filter(_ < 40L).collect().foreach { id =>
         val w = (8 + id % 8).toInt

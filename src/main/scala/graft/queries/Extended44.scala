@@ -17,7 +17,12 @@ object Extended44 {
     * the oracle) with an all-integer accumulator [S, maxS, nAlarms,
     * firstAlarmDay], so the fold is exact in both engines. ref and slack
     * derive from the series itself (integer div), keeping the detector
-    * scale-free.
+    * scale-free. first_alarm_day is the 1-BASED ordinal into the sorted
+    * daily series on both engines — Spark's `transform` lambda index is
+    * 0-based, DuckDB's `list_transform` index is 1-based, so the Spark
+    * side adds 1 explicitly (a divergence only visible when an alarm
+    * fires at all: larger SFs have proportionally smaller daily noise and
+    * may never alarm, which is why this needs a small-SF sweep to catch).
     *
     * Shape at scale: one groupBy to day granularity (map-side combined),
     * one to type; the fold is per-type array-local — state per type is
@@ -65,7 +70,7 @@ object Extended44 {
         expr("(total div ndays) div 10").as("slack"))
       .withColumn("f", expr(
         """aggregate(
-          |  transform(cs, (x, i) -> array(x, CAST(i AS BIGINT), 0L, 0L)),
+          |  transform(cs, (x, i) -> array(x, CAST(i AS BIGINT) + 1L, 0L, 0L)),
           |  array(0L, 0L, 0L, 0L),
           |  (acc, e) -> array(
           |    greatest(acc[0] + e[0] - ref - slack, 0L),

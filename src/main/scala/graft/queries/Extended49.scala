@@ -26,7 +26,7 @@ object Extended49 {
        |       CAST(count(*) AS BIGINT) AS n,
        |       ${rnd("sum(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END)", 2)} AS total_value
        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
-    val wh = java.nio.file.Files.createTempDirectory("graft_c14_wh_").toString
+    val wh = freshScratch("c14_wh")
     val ev = Tables.events(s, d)
       .select("event_id", "user_id", "value", "event_type")
     ev.write.partitionBy("event_type").mode("overwrite").parquet(wh)
@@ -69,7 +69,7 @@ object Extended49 {
       |       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
       |       CAST(sum(CASE WHEN NOT corrupt THEN n_chars ELSE 0 END) AS BIGINT) AS chars_good
       |FROM g GROUP BY 1""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_s10_").toString
+    val dir = freshScratch("s10")
     // deterministic JSON-lines landing: every 7th record truncated
     // mid-value — the prefix (doc_id, source) survives inside the raw
     // line, which is exactly what quarantine triage relies on

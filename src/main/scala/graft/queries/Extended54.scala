@@ -105,7 +105,7 @@ object Extended54 {
     * same code deploys unchanged as a continuous `readStream` (the
     * trigger is config, not architecture). */
   val c15AvailableNow = q("c15_availablenow_epochs", drainOracle) { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_c15_").toString
+    val base = freshScratch("c15")
     val incoming = s"$base/incoming"; val staging = s"$base/staging"
     val warehouse = s"$base/warehouse"; val ckpt = s"$base/ckpt"
     val cust = Tables.customer(s, d)
@@ -151,7 +151,7 @@ object Extended54 {
     * amortizes it. */
   val c16AtomicRecovery = q("c16_atomic_recovery", drainOracle) { (s, d) =>
     import graft.sinks.{AtomicWarehouse, Warehouse}
-    val base = java.nio.file.Files.createTempDirectory("graft_c16_").toString
+    val base = freshScratch("c16")
     val staging = s"$base/staging"; val warehouse = s"$base/warehouse"
     val cust = Tables.customer(s, d)
       .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")

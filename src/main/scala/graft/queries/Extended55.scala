@@ -35,7 +35,7 @@ object Extended55 {
       |FROM events e JOIN dim d ON e.event_type = d.event_type
       |WHERE d.category = 'conversion'
       |GROUP BY 1, 2""".stripMargin) { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_c17_").toString
+    val base = freshScratch("c17")
     val ev = Tables.events(s, d).select("event_id", "user_id", "ts", "event_type")
     graft.sinks.Warehouse.appendPartitioned(ev, s"$base/fact", Seq("event_type"))
     // the dim lives in its own parquet table (a real star layout): its
@@ -146,7 +146,7 @@ object Extended55 {
       |UNION ALL
       |SELECT CAST(2 AS BIGINT) AS snap_ver, * FROM merged""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
-    val base = java.nio.file.Files.createTempDirectory("graft_c18_").toString
+    val base = freshScratch("c18")
     val staging = s"$base/staging"; val warehouse = s"$base/warehouse"
     val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
     cust.write.mode("overwrite").parquet(staging)

@@ -113,7 +113,7 @@ object Extended56 {
     import s.implicits._
     import graft.sinks.AtomicWarehouse
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft_c19_").toString
+    val base = freshScratch("c19")
     val warehouse = s"$base/warehouse"
     val rows = Tables.events(s, d)
       .select(unix_micros(col("ts")).as("us"), col("event_id"),

@@ -56,7 +56,7 @@ object Extended57 {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val source =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DebEvent]
-    val sinkName = "c20_dedup_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c20_dedup_")
     withShufflePartitions(s, 4) {
       val stream = source.toDS()
         .withColumn("ts", timestamp_micros(col("tsMicros")))
@@ -106,7 +106,7 @@ object Extended57 {
       |                               ORDER BY load_seq DESC) AS rn
       |  FROM u) WHERE rn = 1""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
-    val wh = java.nio.file.Files.createTempDirectory("graft_c21_").toString + "/wh"
+    val wh = freshScratch("c21") + "/wh"
     val cust = Tables.customer(s, d)
     def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame): Unit =
       AtomicWarehouse.commitEpoch(s, wh,
@@ -162,7 +162,7 @@ object Extended57 {
     val joined = graft.streaming.EventStream.clickErrorLeftJoin(
       ev.where(col("event_type") === "click"),
       ev.where(col("event_type") === "error"))
-    val sinkName = "c22_louter_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c22_louter_")
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndOld = s.conf.getOption(ndKey)
     s.conf.set(ndKey, "false") // flush is driven by the explicit sentinels
@@ -226,7 +226,7 @@ object Extended57 {
       |                                 ORDER BY load_seq DESC) AS rn
       |  FROM u), mx WHERE rn = 1 AND c_custkey BETWEEN 1 AND m // 10""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
-    val wh = java.nio.file.Files.createTempDirectory("graft_c23_").toString + "/wh"
+    val wh = freshScratch("c23") + "/wh"
     val cust = Tables.customer(s, d)
     val m = cust.agg(max(col("c_custkey").cast("long"))).head.getLong(0)
     def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame, seg: Option[String]): Unit =
@@ -269,7 +269,7 @@ object Extended57 {
       |                               ORDER BY load_seq DESC) AS rn
       |  FROM u) WHERE rn = 1""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
-    val wh = java.nio.file.Files.createTempDirectory("graft_c24_").toString + "/wh"
+    val wh = freshScratch("c24") + "/wh"
     val cust = Tables.customer(s, d)
     AtomicWarehouse.commitEpoch(s, wh,
       cust.select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
@@ -329,7 +329,7 @@ object Extended57 {
     val stream = source.toDF().toDF("user_id", "event_id", "us")
       .withColumn("ts", timestamp_micros(col("us")))
       .as[EventStream.TimedEvent]
-    val sinkName = "c25_sink_" + math.abs(java.util.UUID.randomUUID().hashCode())
+    val sinkName = memorySinkName(s, "c25_sink_")
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndOld = s.conf.getOption(ndKey)
     s.conf.set(ndKey, "true") // the timeout sweep runs in the post-watermark batch
@@ -378,7 +378,7 @@ object Extended57 {
     import s.implicits._
     import graft.sinks.AtomicWarehouse
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft_c26_").toString
+    val base = freshScratch("c26")
     val warehouse = s"$base/warehouse"
     val checkpoint = s"$base/checkpoint"
     val rows = Tables.events(s, d)
@@ -450,7 +450,7 @@ object Extended57 {
       |                '%Y-%m-%dT%H:%M:%SZ') AS published_at,
       |       'ch' || CAST(o_custkey % 7 AS VARCHAR) AS channel_id
       |FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin) { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_s11_").toString + "/videos"
+    val dir = freshScratch("s11") + "/videos"
     Tables.orders(s, d)
       .where(col("o_orderpriority") === "2-HIGH")
       .select(

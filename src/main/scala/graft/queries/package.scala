@@ -25,6 +25,37 @@ package object queries {
   def rnd(e: String, k: Int): String =
     s"CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $k) AS DOUBLE)"
 
+  /** FIXED per-query scratch dir under java.io.tmpdir, wiped at the start
+    * of every execution: repeated battery/bench runs (each query runs
+    * warmup + timed, every round re-runs the battery) reuse one path
+    * instead of accumulating uniquely-named temp dirs — the disk-growth
+    * pattern c9 was called out for in round 4. Streaming checkpoints under
+    * the returned path are safe because the wipe precedes every run, so no
+    * stale offset/state recovery can leak across executions. The dir is
+    * NOT created: every consumer writes through Spark writers (which
+    * mkdirs) or creates the subdirs it needs. */
+  def freshScratch(tag: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"), s"graft_$tag")
+    if (p.exists()) org.apache.commons.io.FileUtils.deleteDirectory(p)
+    p.toString
+  }
+
+  /** Memory-sink name for a streaming replay. The suffix stays unique (a
+    * crashed earlier run can leave an ACTIVE query holding the name, and
+    * queryName collisions with a live query are an error), but any
+    * finished sink from a PREVIOUS execution of the same query is dropped
+    * first — each memory sink pins its full output in driver memory plus
+    * a temp-view catalog entry, the same per-run accumulation pattern
+    * `freshScratch` kills on disk. Safe under the battery's sequential
+    * discipline: a query's previous result is fully consumed before the
+    * query runs again. */
+  def memorySinkName(s: SparkSession, prefix: String): String = {
+    s.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith(prefix))
+      .foreach(t => s.catalog.dropTempView(t.name))
+    prefix + math.abs(java.util.UUID.randomUUID().hashCode())
+  }
+
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * streaming micro-batch replays pay per-partition state-store setup
     * on EVERY batch, so the tiny-data engine executions in the battery
