@@ -18,7 +18,7 @@ object Extended34 {
     * contents. The driver-side collect exists only because MemoryStream
     * is by construction a driver-side test source — the production path
     * is readStream on files/kafka with the identical downstream plan. */
-  private def replayStream(s: SparkSession, d: String, nBatches: Int,
+  private[queries] def replayStream(s: SparkSession, d: String, nBatches: Int,
       feedTypes: Seq[String] = Nil, shufflePartitions: Int = 4,
       noDataBatches: Boolean = true)(
       build: DataFrame => DataFrame): DataFrame = {
