@@ -18,27 +18,35 @@ object Extended36 {
   private[queries] val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** FIXED fixture path per sf dir (not a fresh temp dir per JVM:
+    * `deleteOnExit` never removes a non-empty directory, so the old
+    * per-JVM dirs accumulated in tmpdir forever — the disk-growth pattern
+    * `freshScratch` exists to kill). The fixture is pure function of the
+    * sf dir, so a COMPLETE dir (Spark's `_SUCCESS` marker present) is
+    * reused across JVMs — repeated battery runs now skip the build
+    * entirely; an incomplete leftover is rebuilt via overwrite. */
   private[queries] def videosFixture(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     fixtureCache.computeIfAbsent(
       new java.io.File(d).getCanonicalPath,
-      _ => {
-        val dir =
-          java.nio.file.Files.createTempDirectory("graft_s9_videos_")
-        dir.toFile.deleteOnExit()
-        Tables.orders(s, d)
-          .where(col("o_orderpriority") === "1-URGENT")
-          .select(
-            concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
-            col("o_orderpriority").as("video_title"),
-            date_format(
-              timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
-              "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
-            concat(lit("ch"), (col("o_custkey") % 7).cast("string"))
-              .as("channel_id"),
-            col("o_orderkey").as("ingest_seq"))
-          .coalesce(1) // one page-ordered "response" file; write is still executor-side
-          .write.mode("overwrite").json(dir.toString)
+      canon => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_s9_videos_" + canon.replaceAll("[^A-Za-z0-9]", "_"))
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          Tables.orders(s, d)
+            .where(col("o_orderpriority") === "1-URGENT")
+            .select(
+              concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
+              col("o_orderpriority").as("video_title"),
+              date_format(
+                timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
+              concat(lit("ch"), (col("o_custkey") % 7).cast("string"))
+                .as("channel_id"),
+              col("o_orderkey").as("ingest_seq"))
+            .coalesce(1) // one page-ordered "response" file; write is still executor-side
+            .write.mode("overwrite").json(dir.toString)
+        }
         dir.toString
       })
 

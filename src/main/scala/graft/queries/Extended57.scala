@@ -334,7 +334,11 @@ object Extended57 {
     val ndOld = s.conf.getOption(ndKey)
     s.conf.set(ndKey, "true") // the timeout sweep runs in the post-watermark batch
     try withShufflePartitions(s, 4) {
-      val query = EventStream.sessionizeTimers(stream)
+      // delay 0 is sound ONLY because the replay feeds globally ts-sorted
+      // chunks (no event ever arrives below the watermark); a real source
+      // sets the delay to its out-of-orderness — see sessionizeTimers doc
+      val query = EventStream.sessionizeTimers(stream,
+        watermarkDelay = "0 seconds")
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {

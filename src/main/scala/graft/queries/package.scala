@@ -53,7 +53,9 @@ package object queries {
     s.catalog.listTables().collect()
       .filter(t => t.isTemporary && t.name.startsWith(prefix))
       .foreach(t => s.catalog.dropTempView(t.name))
-    prefix + math.abs(java.util.UUID.randomUUID().hashCode())
+    // & Int.MaxValue, not math.abs: abs(Int.MinValue) is Int.MinValue,
+    // which would put a '-' in the table identifier
+    prefix + (java.util.UUID.randomUUID().hashCode() & Int.MaxValue)
   }
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —

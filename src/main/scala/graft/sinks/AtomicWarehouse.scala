@@ -225,17 +225,26 @@ object AtomicWarehouse {
   /** Write `df` to a unique hidden stage dir and move it to `$dir/$name`
     * with a fail-if-exists publish. Concurrent same-name writers never
     * touch the same path; whichever publish lands first wins and the
-    * loser adopts it (same name means same logical content by the replay
-    * contract). A dangling dir from a CRASHED commit (exists but is in no
-    * manifest) is deleted and replaced. */
+    * loser ADOPTS it (same name means same logical content by the replay
+    * contract). A visible dst is never deleted when it looks complete —
+    * the write lands in a hidden stage and moves into place with ONE
+    * atomic dir rename, so any complete-looking `$dir/$name` is a full
+    * publish, possibly a concurrent writer's whose manifest commit is
+    * about to land; deleting it (the pre-round-5 behavior) could strand a
+    * just-committed manifest pointing at nothing. Only a dst MISSING its
+    * `_SUCCESS` marker (e.g. a crashed vacuum's partial recursive delete)
+    * is replaced. */
   private def publishData(spark: SparkSession, dir: String, df: DataFrame,
       name: String): Unit = {
     val f = fs(spark, dir)
     val stage = new Path(s"$dir/.stage_${name}_${java.util.UUID.randomUUID}")
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val dst = new Path(s"$dir/$name")
-    if (f.exists(dst) && !committedEpochs(spark, dir).contains(name))
-      f.delete(dst, true) // crashed earlier attempt: stale, invisible
+    def complete = f.exists(new Path(dst, "_SUCCESS"))
+    if (f.exists(dst)) {
+      if (complete) { f.delete(stage, true); return } // adopt
+      f.delete(dst, true) // torn leftover (crashed delete): replace
+    }
     if (!publishDir(f, stage, dst)) {
       // lost the dir race to a concurrent same-name writer
       f.delete(stage, true)
@@ -312,11 +321,17 @@ object AtomicWarehouse {
     * older ones, then delete every data dir no retained manifest
     * references. This is the ONLY operation that destroys history — until
     * it runs, every version stays time-travelable. Returns (manifests,
-    * data dirs) deleted. Single-maintainer by contract (like any
-    * vacuum); concurrent DRAINS are safe — they only add new dirs and
-    * newer manifests, which retention never touches. */
-  def vacuum(spark: SparkSession, dir: String,
-      retainVersions: Int): (Int, Int) = {
+    * data dirs) deleted. Single-maintainer by contract (like any vacuum).
+    *
+    * Concurrent DRAINS are protected by the `graceMs` age gate: a drain
+    * publishes its (visible) epoch dir BEFORE its manifest commit lands,
+    * so an unreferenced-right-now dir may be an in-flight commit, not
+    * garbage. Dirs younger than `graceMs` are skipped — the same
+    * modification-time guard Iceberg's remove-orphan-files ships with and
+    * for the same reason. Pass 0 only where no drain can be in flight
+    * (tests, single-process batteries). */
+  def vacuum(spark: SparkSession, dir: String, retainVersions: Int,
+      graceMs: Long = 60L * 60 * 1000): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")
     val f = fs(spark, dir)
     val cur = currentVersion(spark, dir)
@@ -326,13 +341,15 @@ object AtomicWarehouse {
     val droppedManifests = (1L until minKeep).count { v =>
       f.delete(new Path(s"${manifestDir(dir)}/v$v.json"), false)
     }
+    val cutoff = System.currentTimeMillis() - graceMs
     val droppedDirs = f.listStatus(new Path(dir))
-      .filter(_.isDirectory).map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n != "_manifest" && !n.startsWith(".") && !referenced.contains(n)
+      .filter(_.isDirectory)
+      .filter { st =>
+        val n = st.getPath.getName
+        n != "_manifest" && !n.startsWith(".") && !referenced.contains(n) &&
+          st.getModificationTime <= cutoff
       }
-      .count(p => f.delete(p, true))
+      .count(st => f.delete(st.getPath, true))
     (droppedManifests, droppedDirs)
   }
 
@@ -350,9 +367,12 @@ object AtomicWarehouse {
     val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
     require(entries.nonEmpty, s"no committed epochs at $dir")
     val scanned = scanListForRange(entries, lo, hi)
-    // an empty scan list still needs a schema: read (0 rows of) one epoch
+    // an empty scan list still needs a schema — the SAME evolved schema a
+    // non-empty scan would produce, so read 0 rows of EVERY epoch (footer
+    // reads only; one epoch alone could predate an additive widening and
+    // make the result schema depend on whether anything matched)
     val union = (if (scanned.isEmpty)
-        Seq(spark.read.parquet(s"$dir/${entries.head.name}").limit(0))
+        entries.map(e => spark.read.parquet(s"$dir/${e.name}").limit(0))
       else scanned.map(e => spark.read.parquet(s"$dir/${e.name}")))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)

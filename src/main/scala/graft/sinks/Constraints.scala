@@ -17,17 +17,24 @@ object Constraints {
 
   /** Per-constraint violation counts over `df`, computed in ONE aggregate
     * pass (k conditional sums folded into a single 1-row agg, then
-    * unpivoted) — the report stays O(k) however large the staging is. */
+    * unpivoted) — the report stays O(k) however large the staging is.
+    * Constraint NAMES are data, never SQL: aggregates alias to positional
+    * `__c<i>` and names enter only as literals in the unpivot structs, so
+    * quotes/backticks/spaces/duplicates in a name can't break parsing
+    * (the PREDICATES are SQL by contract — that's the API). */
   def violationReport(df: DataFrame,
       checks: Seq[(String, String)]): DataFrame = {
     require(checks.nonEmpty, "no constraints declared")
-    val aggs = checks.map { case (name, pred) =>
-      sum(when(coalesce(!expr(pred), lit(false)), 1L).otherwise(0L)).as(name)
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(!expr(pred), lit(false)), 1L).otherwise(0L)).as(s"__c$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val pairs = checks.map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
-    one.selectExpr(
-      s"stack(${checks.size}, $pairs) AS (constraint_name, n_violations)")
+    val kv = explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("constraint_name"),
+        col(s"__c$i").as("n_violations"))
+    }: _*))
+    one.select(kv.as("kv")).select(col("kv.constraint_name"),
+      col("kv.n_violations"))
   }
 
   /** [[AtomicWarehouse.drain]] gated on `checks`: any violation aborts

@@ -15,10 +15,16 @@ import org.apache.spark.sql.types.StructType
   *    attempts write distinct temps and only the committed attempt's
   *    file survives;
   *  - the JOB commit (driver, after every task committed) renames the
-  *    temps to visible `part-NNNNN.json` files in one pass; `abort()`
-  *    deletes any temps, so a failed job leaves the destination exactly
-  *    as it was — no torn appends, which is the property the reference's
-  *    scripts lack entirely (a crashed append leaves half a sheet).
+  *    temps to visible `part-<job>-NNNNN.json` files; the job token makes
+  *    the names unique, so CONCURRENT append jobs never clobber each
+  *    other's parts. `abort()` deletes any temps, so a FAILED job leaves
+  *    the destination exactly as it was. The residual window is a driver
+  *    crash mid-way through the commit loop itself, which can leave a
+  *    prefix of one job's parts visible — the same window Hadoop's
+  *    FileOutputCommitter job commit has; closing it takes a manifest
+  *    (see [[graft.sinks.AtomicWarehouse]] for that design). Still
+  *    strictly better than the reference's scripts, where a crashed
+  *    append leaves half a sheet AND a retry duplicates rows.
   *
   * The JSONL part-file layout is exactly what [[VideoCatalog.load]]
   * already reads, so a directory written here round-trips through the
@@ -48,12 +54,14 @@ class VideoBatchWrite(path: String, schema: StructType, truncate: Boolean)
       val old = dir.toFile.listFiles()
       if (old != null) old.filter(_.getName.startsWith("part-")).foreach(_.delete())
     }
-    val existing = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-      .count(_.getName.startsWith("part-"))
+    // job-unique part names: a racy count of existing files would let two
+    // concurrent append jobs pick the same part number and the second
+    // ATOMIC_MOVE (rename(2)) would silently replace the first job's file
+    val job = java.util.UUID.randomUUID.toString.take(8)
     messages.zipWithIndex.foreach { case (m, i) =>
       val tmp = java.nio.file.Paths.get(m.asInstanceOf[VideoCommitMessage].tempFile)
       java.nio.file.Files.move(tmp,
-        dir.resolve(f"part-${existing + i}%05d.json"),
+        dir.resolve(f"part-$job%s-$i%05d.json"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
@@ -87,9 +95,21 @@ class VideoDataWriter(path: String, schema: StructType, partitionId: Int,
     java.nio.charset.StandardCharsets.UTF_8)
   private val fieldIdx = schema.fieldNames.zipWithIndex.toMap
 
+  // RFC 8259-complete string escape: backslash, quote, and every control
+  // char below 0x20 — a raw newline/tab in a title would otherwise split
+  // the JSONL record across physical lines and break the line-oriented
+  // reader ([[VideoCatalog.load]]) on the dangling fragment
   private def jsonStr(s: String): String =
     if (s == null) "null"
-    else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   override def write(row: InternalRow): Unit = {
     def str(name: String): String = fieldIdx.get(name) match {

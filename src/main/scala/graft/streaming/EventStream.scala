@@ -82,12 +82,22 @@ object EventStream {
     * for "session ends after N quiet minutes" (no future event needed).
     * Data-driven gap closes within a batch emit exactly as in
     * [[sessionize]]; only the trailing-session flush moves from sentinel
-    * rows to timers. State per user stays one open session. */
+    * rows to timers. State per user stays one open session.
+    *
+    * `watermarkDelay` bounds tolerated cross-key DISORDER: any event
+    * whose ts falls below the watermark is dropped as late by the engine
+    * before this operator sees it, so a production deployment must set
+    * the delay to its source's out-of-orderness (the same contract as
+    * [[dedupStream]]'s delay). The battery replay feeds globally
+    * ts-sorted chunks, which is the one feed a 0-second delay is sound
+    * for — it passes "0 seconds" EXPLICITLY rather than relying on a
+    * default that would silently drop data on a real source. */
   def sessionizeTimers(events: Dataset[TimedEvent],
-      gapMinutes: Int = 30): Dataset[SessionOut] = {
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000
-    events.withWatermark("ts", "0 seconds")
+    events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionEvent], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

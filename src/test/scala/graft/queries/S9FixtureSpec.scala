@@ -28,6 +28,15 @@ class S9FixtureSpec extends SparkSuite {
       .map(f => f.getName -> f.lastModified()).toMap
     assert(after == before, "fixture was rebuilt on the second run")
 
+    // a FRESH JVM (simulated by clearing the in-memory memo) must adopt
+    // the complete on-disk fixture instead of rebuilding — the fixed path
+    // + _SUCCESS gate is what stops per-JVM dirs accumulating in tmpdir
+    Extended36.fixtureCache.clear()
+    q(spark, d).collect()
+    val afterClear = dir.listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(afterClear == before, "fixture was rebuilt by a fresh JVM")
+
     // correctness: top-25 by published_at desc within channel ch3
     assert(first.length == second.length && first.length <= 25 && first.nonEmpty)
     val pubs = first.map(_.getString(first.head.fieldIndex("published_at")))

@@ -42,9 +42,17 @@ class AtomicWarehouseSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$wh/epoch_2")
     // readers see ONLY epoch 1 — never a half-appended epoch 2
     assert(snapshot(wh) == Set((1L, "a", 1L)))
-    // recovery = run the same drain again: converges and commits
+    // recovery = run the same drain again: converges and commits. The
+    // published-but-uncommitted dir is ADOPTED, not deleted-and-rewritten
+    // (same name = same logical content; deleting could strand a racing
+    // writer's manifest commit) — its files must survive untouched.
+    val files = new java.io.File(s"$wh/epoch_2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
     AtomicWarehouse.drain(spark, staging, wh, 2L)
     assert(snapshot(wh) == Set((1L, "a2", 2L), (2L, "b", 2L)))
+    val after = new java.io.File(s"$wh/epoch_2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == files, "complete uncommitted epoch dir was rewritten")
   }
 
   test("crash between manifest commit and truncate: replay is a no-op merge") {
@@ -184,8 +192,16 @@ class AtomicWarehouseSpec extends SparkSuite {
     AtomicWarehouse.compact(spark, wh, "k") // v3 -> [compact_v2]
     ep(4L, Seq((3L, "c")))
     val before = snapshot(wh)
-    val (manifests, dirs) = AtomicWarehouse.vacuum(spark, wh, retainVersions = 2)
-    assert(manifests == 2, s"expected v1,v2 deleted, got $manifests")
+    // the default grace window refuses to touch freshly-written dirs —
+    // an unreferenced-right-now dir can be a concurrent drain's published
+    // epoch whose manifest commit hasn't landed yet (only the old
+    // manifests, which no in-flight commit can reference, are dropped)
+    val (m0, d0) = AtomicWarehouse.vacuum(spark, wh, retainVersions = 2)
+    assert(m0 == 2 && d0 == 0,
+      s"grace window must skip young dirs, got ($m0, $d0)")
+    val (manifests, dirs) =
+      AtomicWarehouse.vacuum(spark, wh, retainVersions = 2, graceMs = 0L)
+    assert(manifests == 0, s"v1,v2 already deleted, got $manifests")
     assert(dirs == 2, s"expected epoch_1, epoch_2 deleted, got $dirs")
     assert(snapshot(wh) == before, "vacuum changed the current snapshot")
     assert(AtomicWarehouse.readVersion(spark, wh, "k", 4L).count() == 3)
@@ -193,7 +209,8 @@ class AtomicWarehouseSpec extends SparkSuite {
       AtomicWarehouse.readVersion(spark, wh, "k", 1L).count()
     }
     // idempotent: a second vacuum finds nothing more to delete
-    assert(AtomicWarehouse.vacuum(spark, wh, retainVersions = 2) == ((0, 0)))
+    assert(AtomicWarehouse.vacuum(spark, wh, retainVersions = 2,
+      graceMs = 0L) == ((0, 0)))
   }
 
   test("range read skips epochs whose key stats are disjoint") {

@@ -42,4 +42,13 @@ class ConstraintsSpec extends SparkSuite {
     // null k => UNKNOWN => passes; only k = -1 violates
     assert(report == Map("k_pos" -> 1L))
   }
+
+  test("constraint names are data, not SQL — hostile names round-trip") {
+    val df = Seq((1L, "x"), (-1L, "y")).toDF("k", "v")
+    val name = """k's "check" `with` everything, even commas"""
+    val report = Constraints.violationReport(df,
+        Seq(name -> "k > 0", name -> "k >= 0")) // duplicate name is fine too
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(report.length == 2 && report.forall(r => r._1 == name && r._2 == 1L))
+  }
 }

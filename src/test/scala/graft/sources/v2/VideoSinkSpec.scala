@@ -22,9 +22,12 @@ class VideoSinkSpec extends SparkSuite {
   test("append round-trips through the read connector, escaping included") {
     val dir = freshDir()
     val df = rows(10)
-      // quotes + backslashes must survive the JSONL serialization
+      // quotes + backslashes must survive the JSONL serialization, and so
+      // must CONTROL characters: a raw newline in a title would split the
+      // record across physical lines and break the line-oriented reader
       .withColumn("video_title",
         when(col("ingest_seq") === 1, lit("""he said "hi" \ bye"""))
+          .when(col("ingest_seq") === 2, lit("line1\nline2\ttabbed\rcr"))
           .otherwise(col("video_title")))
     df.repartition(3).write.format("graft-videos")
       .option("path", dir).mode("append").save()
@@ -32,6 +35,8 @@ class VideoSinkSpec extends SparkSuite {
     assert(back.count() == 10)
     assert(back.where(col("video_id") === "v1")
       .head.getAs[String]("video_title") == """he said "hi" \ bye""")
+    assert(back.where(col("video_id") === "v2")
+      .head.getAs[String]("video_title") == "line1\nline2\ttabbed\rcr")
     // only committed part files are visible — no task temps remain
     val names = new java.io.File(dir).listFiles().map(_.getName)
     assert(names.forall(_.startsWith("part-")), names.mkString(","))
