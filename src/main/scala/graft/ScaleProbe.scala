@@ -151,7 +151,7 @@ object ScaleProbe {
       AtomicWarehouse.currentVersion(spark, wh))
     val mid = k / 2
     val (lo, hi) = (mid * n, (mid + 1) * n - 1)
-    val scanned = AtomicWarehouse.scanListForRange(entries, lo, hi).size
+    val scanned = AtomicWarehouse.scanListForRange(entries, "c_custkey", lo, hi).size
     val (full, tFull) = timeIt(AtomicWarehouse.read(spark, wh, "c_custkey").count())
     val (ranged, tRange) = timeIt(
       AtomicWarehouse.readRange(spark, wh, "c_custkey", lo, hi).count())

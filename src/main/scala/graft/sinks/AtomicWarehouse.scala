@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Atomic-commit warehouse — the transactionality the reference's BigQuery
   * sink gets for free (ref: Python-pipeline/ingestdatainbigquery.py:49-99:
@@ -31,8 +32,19 @@ import org.apache.spark.sql.functions._
   *    epochs into one pre-merged dir when the manifest grows long (epoch
   *    count, not data size, is the read-planning cost), [[vacuum]] is the
   *    retention pass that finally destroys unreferenced history, and
-  *    manifest entries carry optional min/max key stats so [[readRange]]
-  *    can skip whole epochs (zone maps at the epoch level).
+  *    manifest entries carry optional per-COLUMN min/max stats so
+  *    [[readRange]]/[[readRangeOn]] can skip whole epochs (zone maps at
+  *    the epoch level).
+  *
+  * FILESYSTEM CONTRACT (the public API's contract, not a private detail):
+  * every commit rides on an atomic fail-if-destination-exists publish —
+  * POSIX `link(2)` locally, namenode-atomic `rename` on HDFS/ABFS-like
+  * stores. Object stores whose rename is copy+delete (S3A, GCS connector,
+  * WASB, …) cannot provide that primitive, so every mutating entry point
+  * REJECTS those schemes loudly instead of silently risking a lost
+  * manifest version; on S3 the equivalent design needs a conditional-PUT
+  * or DynamoDB-style lock service (what Delta's S3 LogStore does), which
+  * is out of scope here.
   *
   * Scale: commit cost is O(delta) + one tiny rename regardless of
   * warehouse size (the K6 append path rewrote nothing either, but its
@@ -46,6 +58,21 @@ object AtomicWarehouse {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(dir: String) = s"$dir/_manifest"
+
+  /** Schemes whose `rename` is a non-atomic copy+delete and whose
+    * fail-if-exists check is therefore check-then-act: two racing writers
+    * could both "win" a manifest publish and one version would silently
+    * vanish. Rejected at every mutating entry point (see the object
+    * scaladoc for the contract and the production alternatives). */
+  private val RenameUnsafeSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss", "cos")
+
+  private def requireAtomicScheme(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit =
+    require(!RenameUnsafeSchemes.contains(f.getScheme),
+      s"AtomicWarehouse at $dir: filesystem scheme '${f.getScheme}' has no " +
+        "atomic fail-if-exists rename, so manifest commits could be lost in " +
+        "a race — use HDFS/ABFS/local, or a conditional-write log store")
 
   /** Highest committed manifest version, 0 if none. */
   def currentVersion(spark: SparkSession, dir: String): Long = {
@@ -62,23 +89,59 @@ object AtomicWarehouse {
   def committedEpochs(spark: SparkSession, dir: String): Seq[String] =
     committedEpochsAt(spark, dir, currentVersion(spark, dir))
 
-  /** One committed data dir in a manifest: its name plus optional
-    * min/max KEY statistics (the per-epoch zone map that lets the range
-    * read skip whole epochs — the file-skipping idea of Parquet row-group
-    * stats lifted to the epoch level, where it prunes I/O *and* merge
-    * input). Serialized as `name` or `name\tmin\tmax` — one line per
-    * entry, backwards-compatible with stat-less manifests. */
-  final case class EpochEntry(name: String, stats: Option[(Long, Long)]) {
-    def line: String = stats match {
-      case Some((mn, mx)) => s"$name\t$mn\t$mx"
-      case None => name
+  /** Typed min/max of one column over one epoch, as recorded in the
+    * manifest. `typ` is `"long"` (integral columns, compared numerically)
+    * or `"string"` (string/date/timestamp columns, compared
+    * lexicographically — sound because ISO-8601 renderings sort in time
+    * order). Values are stored URL-encoded so tabs/newlines in string
+    * minima can never corrupt the line-oriented manifest. */
+  final case class ColStats(typ: String, mn: String, mx: String) {
+    /** Could this epoch hold a value in [lo, hi]? Conservative on equal
+      * bounds; `lo`/`hi` use the same encoding as `mn`/`mx`. */
+    def mayIntersect(lo: String, hi: String): Boolean = typ match {
+      case "long" => mx.toLong >= lo.toLong && mn.toLong <= hi.toLong
+      case _ => mx >= lo && mn <= hi
     }
   }
 
-  private object EpochEntry {
+  /** The column name legacy single-stat manifest lines are parsed under:
+    * old manifests recorded exactly one (long) stat and it was by
+    * construction the merge key's, so lookups treat `*` as "the merge
+    * key, whatever the caller says it is". */
+  private val LegacyStatsCol = "*"
+
+  /** One committed data dir in a manifest: its name plus per-column
+    * min/max statistics (the per-epoch zone map that lets range reads
+    * skip whole epochs — the file-skipping idea of Parquet row-group
+    * stats lifted to the epoch level, where it prunes I/O *and* merge
+    * input). Serialized one line per entry as
+    * `name(\tcol\ttyp\tmin\tmax)*` with URL-encoded col/min/max;
+    * legacy `name\tmin\tmax` (two numeric fields) lines parse as the
+    * merge key's long stats. */
+  final case class EpochEntry(name: String, stats: Map[String, ColStats]) {
+    private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    def line: String =
+      (name +: stats.toSeq.sortBy(_._1).flatMap { case (c, st) =>
+        Seq(enc(c), st.typ, enc(st.mn), enc(st.mx))
+      }).mkString("\t")
+    /** Stats applicable when pruning on `col`, given the merge key. */
+    def statsFor(col: String, mergeKey: String): Option[ColStats] =
+      stats.get(col).orElse(
+        if (col == mergeKey) stats.get(LegacyStatsCol) else None)
+  }
+
+  object EpochEntry {
+    def apply(name: String): EpochEntry = EpochEntry(name, Map.empty)
+    private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
     def parse(l: String): EpochEntry = l.split('\t') match {
-      case Array(n, mn, mx) => EpochEntry(n, Some((mn.toLong, mx.toLong)))
-      case Array(n) => EpochEntry(n, None)
+      case Array(n) => EpochEntry(n)
+      case Array(n, mn, mx) if mn.forall(c => c.isDigit || c == '-') =>
+        EpochEntry(n, Map(LegacyStatsCol -> ColStats("long", mn, mx)))
+      case parts if parts.length >= 5 && (parts.length - 1) % 4 == 0 =>
+        EpochEntry(parts.head,
+          parts.tail.grouped(4).map { case Array(c, typ, mn, mx) =>
+            dec(c) -> ColStats(typ, dec(mn), dec(mx))
+          }.toMap)
       case _ => throw new IllegalStateException(s"bad manifest line: $l")
     }
   }
@@ -91,7 +154,7 @@ object AtomicWarehouse {
   def committedEpochsAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
     committedEntriesAt(spark, dir, v).map(_.name)
 
-  /** Manifest entries (names + optional key stats) as of version `v`. */
+  /** Manifest entries (names + per-column stats) as of version `v`. */
   def committedEntriesAt(spark: SparkSession, dir: String,
       v: Long): Seq[EpochEntry] = {
     if (v == 0L) Seq.empty
@@ -117,10 +180,22 @@ object AtomicWarehouse {
     * rewrite when the schema widens. */
   def readVersion(spark: SparkSession, dir: String, key: String,
       version: Long): DataFrame = {
-    val epochs = committedEpochsAt(spark, dir, version)
-    require(epochs.nonEmpty, s"no committed epochs at $dir v$version")
-    val union = epochs.map(e => spark.read.parquet(s"$dir/$e"))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val entries = committedEntriesAt(spark, dir, version)
+    require(entries.nonEmpty, s"no committed epochs at $dir v$version")
+    mergedRead(spark, dir, key, entries, entries.map(_.name).toSet)
+  }
+
+  /** Union `entries` (reading only `scanned` ones in full; the rest
+    * contribute 0 rows via footer-only `limit(0)` reads so the result
+    * SCHEMA never depends on which epochs were pruned — an additively-
+    * evolved column living only in skipped epochs must still appear) and
+    * apply the keyed last-wins merge. */
+  private def mergedRead(spark: SparkSession, dir: String, key: String,
+      entries: Seq[EpochEntry], scanned: Set[String]): DataFrame = {
+    val union = entries.map { e =>
+      val df = spark.read.parquet(s"$dir/${e.name}")
+      if (scanned.contains(e.name)) df else df.limit(0)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
     union.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
@@ -137,7 +212,8 @@ object AtomicWarehouse {
     *  - everything else (HDFS/ABFS/...): `FileSystem.rename`, whose
     *    contract fails when the destination exists (on HDFS this is a
     *    namenode-atomic check — the same primitive Delta/Iceberg commit
-    *    on).
+    *    on). Copy+delete object stores never reach here: every mutating
+    *    entry point rejects them via [[requireAtomicScheme]].
     *
     * Returns false on a lost race; `tmp` is removed either way. */
   private def casPublish(f: org.apache.hadoop.fs.FileSystem, tmp: Path,
@@ -154,6 +230,21 @@ object AtomicWarehouse {
     if (f.getScheme == "file" || !won) f.delete(tmp, false)
     won
   }
+
+  /** Create `lock` iff absent — atomic exclusive-create (CREATE_NEW
+    * locally, namenode-atomic create(overwrite=false) on HDFS). */
+  private def casCreateFile(f: org.apache.hadoop.fs.FileSystem,
+      lock: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(lock.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { f.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   /** Move the staged epoch DIRECTORY to its final name iff absent.
     * `FileSystem.rename` is the wrong primitive here: when the
@@ -190,6 +281,11 @@ object AtomicWarehouse {
     * manifest publish is the commit point. Committing an already-committed
     * epoch is a no-op (idempotent replay, the reference's re-load case).
     *
+    * `statsKey`/`statsCols` name the columns whose min/max are recorded
+    * in the manifest entry (the zone map [[readRange]]/[[readRangeOn]]
+    * prune on); integral columns record numeric stats, string/date/
+    * timestamp columns lexicographic ones — see [[colStatsOf]].
+    *
     * CONCURRENT writers are fenced: each attempt re-reads the latest
     * manifest, appends this epoch, and publishes version N+1 via a
     * no-clobber CAS ([[casPublish]]). A writer that loses the race retries
@@ -199,27 +295,88 @@ object AtomicWarehouse {
     * server-side load jobs, ref: Python-pipeline/ingestdatainbigquery.py:
     * 49-76), and simultaneous replays of the SAME epoch converge to one
     * listing (the loser observes the epoch already committed and no-ops).
-    * Persistent contention past [[MaxCommitAttempts]] fails loudly rather
-    * than spinning. */
+    * A RACING VACUUM is tolerated too: the manifest compute re-verifies
+    * the published epoch dir still exists, and if a vacuum that outlived
+    * its grace window deleted it (this drain stalled longer than the
+    * window between publish and commit), the data is re-published and the
+    * commit retried — so the manifest can only ever point at a dir that
+    * existed at compute time. (The residual exists-check→CAS window is
+    * micro-seconds against a grace window of hours; [[vacuum]]'s lease +
+    * grace contract documents the operational bound.) Persistent
+    * contention past [[MaxCommitAttempts]] fails loudly rather than
+    * spinning. */
   def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
-      seq: Long, statsKey: Option[String] = None): Unit = {
+      seq: Long, statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit =
+    commitEpochImpl(spark, dir, df, seq, statsKey, statsCols, () => ())
+
+  /** [[commitEpoch]] with a test seam firing between the data publish and
+    * the manifest commit — the window a racing vacuum can delete the
+    * published dir in; specs use it to pin the vanish-and-republish
+    * recovery deterministically. */
+  private[sinks] def commitEpochImpl(spark: SparkSession, dir: String,
+      df: DataFrame, seq: Long, statsKey: Option[String],
+      statsCols: Seq[String], afterPublish: () => Unit): Unit = {
     val epoch = s"epoch_$seq"
     if (committedEpochs(spark, dir).contains(epoch)) return
-    publishData(spark, dir, df, epoch)
-    val stats = statsKey.flatMap(k => keyStats(spark, s"$dir/$epoch", k))
-    commitManifest(spark, dir, s"epoch $epoch") { entries =>
-      if (entries.exists(_.name == epoch)) None // a concurrent replay won
-      else Some(entries :+ EpochEntry(epoch, stats))
+    val f = fs(spark, dir)
+    val epochPath = new Path(s"$dir/$epoch")
+    val wanted = (statsKey.toSeq ++ statsCols).distinct
+    var attempt = 0
+    while (true) {
+      publishData(spark, dir, df, epoch)
+      afterPublish()
+      val stats =
+        if (f.exists(epochPath)) colStatsOf(spark, s"$dir/$epoch", wanted)
+        else Map.empty[String, ColStats] // vanished: the compute will notice
+      var vanished = false
+      commitManifest(spark, dir, s"epoch $epoch") { entries =>
+        if (entries.exists(_.name == epoch)) None // a concurrent replay won
+        else if (!f.exists(epochPath)) { vanished = true; None }
+        else Some(entries :+ EpochEntry(epoch, stats))
+      }
+      if (!vanished) return
+      attempt += 1
+      if (attempt >= MaxCommitAttempts)
+        throw new java.io.IOException(
+          s"epoch $epoch at $dir kept vanishing before its manifest commit " +
+            s"($MaxCommitAttempts attempts) — a vacuum is racing this drain " +
+            "with a grace window shorter than the drain's stall time")
     }
   }
 
-  /** Min/max of `key` (as long) over a published data dir — the zone-map
-    * stats embedded in its manifest entry. None for an empty epoch. */
-  private def keyStats(spark: SparkSession, path: String,
-      key: String): Option[(Long, Long)] = {
-    val r = spark.read.parquet(path)
-      .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  /** Per-column min/max over a published data dir, in ONE aggregate pass.
+    * Integral columns record `"long"` stats (numeric comparison); string/
+    * date/timestamp columns record `"string"` stats (their canonical
+    * renderings sort lexicographically in value order). Fractional and
+    * other types are refused — their string forms do NOT sort numerically
+    * ("10.0" < "9.0") so stats over them would prune wrongly. Columns
+    * that are entirely null contribute no stats (conservative: the epoch
+    * is always scanned). */
+  private def colStatsOf(spark: SparkSession, path: String,
+      cols: Seq[String]): Map[String, ColStats] = {
+    if (cols.isEmpty) return Map.empty
+    val df = spark.read.parquet(path)
+    val typed: Seq[(String, String)] = cols.map { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => c -> "long"
+        case StringType | DateType | TimestampType | TimestampNTZType =>
+          c -> "string"
+        case other => throw new IllegalArgumentException(
+          s"zone-map stats on column '$c' of type $other are unsupported: " +
+            "only integral (numeric order) and string/date/timestamp " +
+            "(lexicographic ISO order) columns prune soundly")
+      }
+    }
+    val aggs = typed.flatMap { case (c, typ) =>
+      val cast = if (typ == "long") col(c).cast("long") else col(c).cast("string")
+      Seq(min(cast).cast("string").as(s"__mn_$c"), max(cast).cast("string").as(s"__mx_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    typed.zipWithIndex.flatMap { case ((c, typ), i) =>
+      val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
+      if (mn == null) None else Some(c -> ColStats(typ, mn, mx))
+    }.toMap
   }
 
   /** Write `df` to a unique hidden stage dir and move it to `$dir/$name`
@@ -233,12 +390,19 @@ object AtomicWarehouse {
     * about to land; deleting it (the pre-round-5 behavior) could strand a
     * just-committed manifest pointing at nothing. Only a dst MISSING its
     * `_SUCCESS` marker (e.g. a crashed vacuum's partial recursive delete)
-    * is replaced. */
+    * is replaced. The marker is written by THIS code into the stage dir
+    * before the move — never trusted to the committer's
+    * `marksuccessfuljobs` setting, which session config can turn off —
+    * so completeness detection cannot be disabled out from under the
+    * adoption logic. */
   private def publishData(spark: SparkSession, dir: String, df: DataFrame,
       name: String): Unit = {
     val f = fs(spark, dir)
+    requireAtomicScheme(f, dir)
     val stage = new Path(s"$dir/.stage_${name}_${java.util.UUID.randomUUID}")
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val marker = new Path(stage, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker, true).close()
     val dst = new Path(s"$dir/$name")
     def complete = f.exists(new Path(dst, "_SUCCESS"))
     if (f.exists(dst)) {
@@ -263,6 +427,7 @@ object AtomicWarehouse {
   private def commitManifest(spark: SparkSession, dir: String, what: String)(
       compute: Seq[EpochEntry] => Option[Seq[EpochEntry]]): Unit = {
     val f = fs(spark, dir)
+    requireAtomicScheme(f, dir)
     f.mkdirs(new Path(manifestDir(dir)))
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -292,100 +457,165 @@ object AtomicWarehouse {
     * merge exactly as before — compaction changes read cost, never
     * results. Epochs committed concurrently with the fold are carried
     * over unfolded (the CAS loop re-reads them each attempt); replaying
-    * an identical compaction no-ops. Old manifests still reference the
-    * old epoch dirs, so time travel keeps working until [[vacuum]].
+    * an identical compaction no-ops.
+    *
+    * A compaction that loses STRUCTURALLY — another maintainer's fold
+    * replaced this one's base prefix before it committed — RETRIES
+    * against the winner (re-reads the new manifest, re-folds, re-commits)
+    * instead of aborting, mirroring [[commitEpoch]]'s contention
+    * behavior; its stale fold dir is left unreferenced for [[vacuum]].
+    * Old manifests still reference the old epoch dirs, so time travel
+    * keeps working until [[vacuum]].
     *
     * Scale: this is the maintenance pass that keeps read planning O(1) in
     * drain count — the union stays a handful of dirs no matter how many
     * epochs ever landed, and the fold itself is one merge + one write of
     * the LIVE rows only (dead versions drop out). */
   def compact(spark: SparkSession, dir: String, key: String,
-      statsKey: Option[String] = None): Unit = {
-    val baseV = currentVersion(spark, dir)
-    if (baseV == 0L) return
-    val base = committedEntriesAt(spark, dir, baseV)
-    if (base.size <= 1) return // nothing to fold
-    val name = s"compact_v$baseV"
-    publishData(spark, dir, readVersion(spark, dir, key, baseV), name)
-    val stats = statsKey.flatMap(k => keyStats(spark, s"$dir/$name", k))
-    commitManifest(spark, dir, s"compaction $name") { entries =>
-      if (entries.exists(_.name == name)) None // identical fold already won
-      else if (!entries.map(_.name).startsWith(base.map(_.name)))
-        throw new java.io.IOException(
-          s"concurrent compaction at $dir: manifest no longer extends v$baseV")
-      else Some(EpochEntry(name, stats) +: entries.drop(base.size))
+      statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
+    val wanted = (statsKey.toSeq ++ statsCols).distinct
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val baseV = currentVersion(spark, dir)
+      if (baseV == 0L) return
+      val base = committedEntriesAt(spark, dir, baseV)
+      if (base.size <= 1) return // nothing to fold
+      val name = s"compact_v$baseV"
+      publishData(spark, dir, readVersion(spark, dir, key, baseV), name)
+      val stats = colStatsOf(spark, s"$dir/$name", wanted)
+      var stale = false
+      commitManifest(spark, dir, s"compaction $name") { entries =>
+        if (entries.exists(_.name == name)) None // identical fold already won
+        else if (!entries.map(_.name).startsWith(base.map(_.name))) {
+          stale = true; None // another fold replaced our base: retry on it
+        } else Some(EpochEntry(name, stats) +: entries.drop(base.size))
+      }
+      if (!stale) return
+      attempt += 1
     }
+    throw new java.io.IOException(
+      s"compaction at $dir lost $MaxCommitAttempts consecutive structural " +
+        "races — another maintainer is re-folding continuously")
   }
 
   /** Retention pass: keep the latest `retainVersions` manifests, delete
     * older ones, then delete every data dir no retained manifest
     * references. This is the ONLY operation that destroys history — until
     * it runs, every version stays time-travelable. Returns (manifests,
-    * data dirs) deleted. Single-maintainer by contract (like any vacuum).
+    * data dirs) deleted.
     *
-    * Concurrent DRAINS are protected by the `graceMs` age gate: a drain
-    * publishes its (visible) epoch dir BEFORE its manifest commit lands,
-    * so an unreferenced-right-now dir may be an in-flight commit, not
-    * garbage. Dirs younger than `graceMs` are skipped — the same
-    * modification-time guard Iceberg's remove-orphan-files ships with and
-    * for the same reason. Pass 0 only where no drain can be in flight
-    * (tests, single-process batteries). */
+    * SINGLE-MAINTAINER is enforced, not assumed: an exclusive lock file
+    * (`_manifest/.vacuum_lock`, atomic CREATE_NEW) fences concurrent
+    * vacuums — a second vacuum fails loudly while the first holds the
+    * lock. A lock older than `leaseMs` is presumed abandoned (crashed
+    * maintainer) and broken; size the lease above any real vacuum's
+    * runtime.
+    *
+    * Concurrent DRAINS are protected twice over: (1) the `graceMs` age
+    * gate — a drain publishes its (visible) epoch dir BEFORE its manifest
+    * commit lands, so an unreferenced-right-now dir may be an in-flight
+    * commit, not garbage; dirs younger than `graceMs` are skipped (the
+    * same modification-time guard Iceberg's remove-orphan-files ships
+    * with); and (2) [[commitEpoch]] re-verifies its epoch dir still
+    * exists inside the manifest compute and re-publishes if a vacuum beat
+    * it — so even a drain that stalls LONGER than the grace window cannot
+    * commit a manifest pointing at a deleted dir. Pass graceMs=0 only
+    * where no drain can be in flight (tests, single-process batteries). */
   def vacuum(spark: SparkSession, dir: String, retainVersions: Int,
-      graceMs: Long = 60L * 60 * 1000): (Int, Int) = {
+      graceMs: Long = 60L * 60 * 1000,
+      leaseMs: Long = 60L * 60 * 1000): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the current version")
     val f = fs(spark, dir)
-    val cur = currentVersion(spark, dir)
-    val minKeep = math.max(1L, cur - retainVersions + 1)
-    val referenced = (minKeep to cur)
-      .flatMap(v => committedEpochsAt(spark, dir, v)).toSet
-    val droppedManifests = (1L until minKeep).count { v =>
-      f.delete(new Path(s"${manifestDir(dir)}/v$v.json"), false)
+    requireAtomicScheme(f, dir)
+    f.mkdirs(new Path(manifestDir(dir)))
+    val lock = new Path(s"${manifestDir(dir)}/.vacuum_lock")
+    if (!casCreateFile(f, lock)) {
+      // held — or abandoned by a crashed maintainer past its lease
+      val stale = try {
+        System.currentTimeMillis() -
+          f.getFileStatus(lock).getModificationTime > leaseMs
+      } catch { case _: java.io.FileNotFoundException => true }
+      if (!stale || { f.delete(lock, false); !casCreateFile(f, lock) })
+        throw new ConcurrentVacuumException(
+          s"vacuum already in progress at $dir (lock $lock; lease ${leaseMs}ms)")
     }
-    val cutoff = System.currentTimeMillis() - graceMs
-    val droppedDirs = f.listStatus(new Path(dir))
-      .filter(_.isDirectory)
-      .filter { st =>
-        val n = st.getPath.getName
-        n != "_manifest" && !n.startsWith(".") && !referenced.contains(n) &&
-          st.getModificationTime <= cutoff
+    try {
+      val cur = currentVersion(spark, dir)
+      val minKeep = math.max(1L, cur - retainVersions + 1)
+      val referenced = (minKeep to cur)
+        .flatMap(v => committedEpochsAt(spark, dir, v)).toSet
+      val droppedManifests = (1L until minKeep).count { v =>
+        f.delete(new Path(s"${manifestDir(dir)}/v$v.json"), false)
       }
-      .count(st => f.delete(st.getPath, true))
-    (droppedManifests, droppedDirs)
+      val cutoff = System.currentTimeMillis() - graceMs
+      val droppedDirs = f.listStatus(new Path(dir))
+        .filter(_.isDirectory)
+        .filter { st =>
+          val n = st.getPath.getName
+          n != "_manifest" && !n.startsWith(".") && !referenced.contains(n) &&
+            st.getModificationTime <= cutoff
+        }
+        .count(st => f.delete(st.getPath, true))
+      (droppedManifests, droppedDirs)
+    } finally f.delete(lock, false)
   }
 
-  /** Range read with EPOCH SKIPPING: epochs whose manifest [min,max] key
-    * stats don't intersect [lo,hi] are never opened — pruning the scan,
-    * the union, and the merge shuffle in one stroke. Sound precisely
-    * because the stats column IS the merge key: any epoch holding a
-    * version of an in-range key covers that key in its stats, so every
-    * epoch that could change an in-range winner is scanned (filter-then-
-    * merge == merge-then-filter on the merge key — NOT true for other
-    * columns, which is why the API ties stats and merge to one column).
-    * Stat-less entries are scanned conservatively. */
+  /** Range read with EPOCH SKIPPING on the MERGE KEY: epochs whose
+    * manifest [min,max] key stats don't intersect [lo,hi] are never
+    * opened — pruning the scan, the union and the merge shuffle in one
+    * stroke. Sound unconditionally because the stats column IS the merge
+    * key: any epoch holding a version of an in-range key covers that key
+    * in its stats, so every epoch that could change an in-range winner is
+    * scanned (filter-then-merge == merge-then-filter on the merge key).
+    * Stat-less entries are scanned conservatively; skipped entries still
+    * contribute their SCHEMA (footer-only reads), so the result schema
+    * never depends on which epochs matched. */
   def readRange(spark: SparkSession, dir: String, key: String, lo: Long,
       hi: Long): DataFrame = {
     val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
     require(entries.nonEmpty, s"no committed epochs at $dir")
-    val scanned = scanListForRange(entries, lo, hi)
-    // an empty scan list still needs a schema — the SAME evolved schema a
-    // non-empty scan would produce, so read 0 rows of EVERY epoch (footer
-    // reads only; one epoch alone could predate an additive widening and
-    // make the result schema depend on whether anything matched)
-    val union = (if (scanned.isEmpty)
-        entries.map(e => spark.read.parquet(s"$dir/${e.name}").limit(0))
-      else scanned.map(e => spark.read.parquet(s"$dir/${e.name}")))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-    val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
-    union.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    val scanned = scanListForRange(entries, key, lo, hi).map(_.name).toSet
+    mergedRead(spark, dir, key, entries, scanned)
       .where(col(key).cast("long").between(lo, hi))
   }
 
-  /** The epochs [[readRange]] would open for [lo,hi] — exposed so tests
-    * can pin that disjoint epochs are genuinely skipped. */
-  def scanListForRange(entries: Seq[EpochEntry], lo: Long,
+  /** Range read with EPOCH SKIPPING on an arbitrary stats column —
+    * the reference's core access pattern is a `published_at` window over
+    * the video warehouse (ref: Python-pipeline/dataingestion1.py:71-80
+    * pushes publishedAfter/Before to the source; this is the same window
+    * applied at the warehouse). Bounds compare as the stats do: numeric
+    * for integral columns, lexicographic for string/date/timestamp (pass
+    * ISO-8601 bounds).
+    *
+    * SOUNDNESS CONTRACT: pruning on a non-key column is correct iff the
+    * column is VERSION-STABLE — every version of a merge key carries the
+    * same value (true of `published_at` per video, a publish-time fact).
+    * If versions may disagree, an epoch holding an out-of-range NEWER
+    * version of an in-range key could be skipped and a dead older version
+    * would win the merge. The merge key itself is always version-stable
+    * (it's the identity), which is why [[readRange]] needs no contract. */
+  def readRangeOn(spark: SparkSession, dir: String, key: String,
+      statsCol: String, lo: String, hi: String): DataFrame = {
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+    require(entries.nonEmpty, s"no committed epochs at $dir")
+    val scanned =
+      scanListForRangeOn(entries, key, statsCol, lo, hi).map(_.name).toSet
+    mergedRead(spark, dir, key, entries, scanned)
+      .where(col(statsCol).cast("string").between(lo, hi))
+  }
+
+  /** The epochs [[readRange]] would open for [lo,hi] on the merge key —
+    * exposed so tests can pin that disjoint epochs are genuinely
+    * skipped. */
+  def scanListForRange(entries: Seq[EpochEntry], key: String, lo: Long,
       hi: Long): Seq[EpochEntry] =
-    entries.filter(_.stats.forall { case (mn, mx) => mx >= lo && mn <= hi })
+    scanListForRangeOn(entries, key, key, lo.toString, hi.toString)
+
+  /** The epochs [[readRangeOn]] would open for [lo,hi] on `statsCol`. */
+  def scanListForRangeOn(entries: Seq[EpochEntry], key: String,
+      statsCol: String, lo: String, hi: String): Seq[EpochEntry] =
+    entries.filter(_.statsFor(statsCol, key).forall(_.mayIntersect(lo, hi)))
 
   /** Full drain epoch against the atomic warehouse: sanitize/all-string
     * staging (F19/F20) → atomic epoch commit → staging truncate (K7).
@@ -393,11 +623,28 @@ object AtomicWarehouse {
     * manifest rename the epoch is invisible; after it, the epoch replay
     * no-ops and only the truncate re-runs. */
   def drain(spark: SparkSession, stagingDir: String, dir: String,
-      seq: Long): Unit = {
-    val staged = Warehouse.allString(
-        Warehouse.sanitizeColumns(spark.read.parquet(stagingDir)))
+      seq: Long, statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit =
+    drainSnapshot(spark, spark.read.parquet(stagingDir), stagingDir, dir,
+      seq, statsKey, statsCols)
+
+  /** [[drain]] over an ALREADY-READ staging DataFrame: the rows committed
+    * are exactly the snapshot's (its parquet file listing is pinned when
+    * the DataFrame is created, so a concurrent staging writer's later
+    * files are invisible to it) — the seam [[Constraints.drainChecked]]
+    * uses so the rows it CHECKED are bit-identical to the rows DRAINED,
+    * with no second directory read between check and commit. */
+  def drainSnapshot(spark: SparkSession, staging: DataFrame,
+      stagingDir: String, dir: String, seq: Long,
+      statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
+    val staged = Warehouse.allString(Warehouse.sanitizeColumns(staging))
       .withColumn("load_seq", lit(seq))
-    commitEpoch(spark, dir, staged, seq)
+    commitEpoch(spark, dir, staged, seq, statsKey, statsCols)
     Warehouse.truncate(spark, stagingDir)
   }
 }
+
+/** A second vacuum attempted while one holds the exclusive lock. */
+final class ConcurrentVacuumException(msg: String)
+    extends RuntimeException(msg)

@@ -40,9 +40,19 @@ object Constraints {
   /** [[AtomicWarehouse.drain]] gated on `checks`: any violation aborts
     * BEFORE the epoch is staged — the warehouse manifest, the epoch dirs
     * and the staging dir are all left untouched, and the error carries
-    * the per-constraint counts. A clean batch drains normally. */
+    * the per-constraint counts. A clean batch drains normally.
+    *
+    * CHECK and DRAIN see one snapshot: the staging directory is read
+    * ONCE (the DataFrame's parquet file listing is pinned at creation)
+    * and that same DataFrame flows into
+    * [[AtomicWarehouse.drainSnapshot]] — a concurrent staging writer
+    * cannot slip unchecked files between the audit and the commit, and
+    * the directory isn't listed twice per gated drain. `afterCheck` is a
+    * test seam (fires between the audit and the commit) for pinning
+    * exactly that property. */
   def drainChecked(spark: SparkSession, stagingDir: String, dir: String,
-      seq: Long, checks: Seq[(String, String)]): Unit = {
+      seq: Long, checks: Seq[(String, String)],
+      afterCheck: () => Unit = () => ()): Unit = {
     val staged = spark.read.parquet(stagingDir)
     val bad = violationReport(staged, checks)
       .where(col("n_violations") > 0)
@@ -51,7 +61,8 @@ object Constraints {
       throw new ConstraintViolationException(
         bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(
           s"drain epoch $seq refused, constraint violations: ", ", ", ""))
-    AtomicWarehouse.drain(spark, stagingDir, dir, seq)
+    afterCheck()
+    AtomicWarehouse.drainSnapshot(spark, staged, stagingDir, dir, seq)
   }
 }
 

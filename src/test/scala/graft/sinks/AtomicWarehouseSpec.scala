@@ -224,13 +224,15 @@ class AtomicWarehouseSpec extends SparkSuite {
     ep(3L, (60L to 80L).map(k => k -> s"hot$k"))
     val entries = AtomicWarehouse.committedEntriesAt(spark, wh,
       AtomicWarehouse.currentVersion(spark, wh))
-    assert(entries.flatMap(_.stats) ==
-      Seq((1L, 100L), (1L, 10L), (60L, 80L)))
+    assert(entries.map(_.stats("k")) ==
+      Seq(AtomicWarehouse.ColStats("long", "1", "100"),
+        AtomicWarehouse.ColStats("long", "1", "10"),
+        AtomicWarehouse.ColStats("long", "60", "80")))
     // [1,10] intersects epochs 1+2 only: the HOT epoch must not be opened
-    assert(AtomicWarehouse.scanListForRange(entries, 1L, 10L).map(_.name) ==
+    assert(AtomicWarehouse.scanListForRange(entries, "k", 1L, 10L).map(_.name) ==
       Seq("epoch_1", "epoch_2"))
     // fully disjoint range: nothing scanned, empty result with schema
-    assert(AtomicWarehouse.scanListForRange(entries, 200L, 300L).isEmpty)
+    assert(AtomicWarehouse.scanListForRange(entries, "k", 200L, 300L).isEmpty)
     assert(AtomicWarehouse.readRange(spark, wh, "k", 200L, 300L).count() == 0)
     // and pruned results equal the unpruned read filtered to the range
     val pruned = AtomicWarehouse.readRange(spark, wh, "k", 1L, 10L)
@@ -252,5 +254,208 @@ class AtomicWarehouseSpec extends SparkSuite {
     // staging is now empty; a buggy scheduler re-fires the same epoch
     AtomicWarehouse.drain(spark, staging, wh, 1L)
     assert(snapshot(wh) == Set((1L, "a", 1L))) // data survived
+  }
+
+  test("readRangeOn prunes on a version-stable string/date column") {
+    val wh = tmp("aw_daterange") + "/wh"
+    // published_at is version-stable per key (a publish-time fact), so
+    // pruning on it is sound per readRangeOn's contract
+    def ep(seq: Long, rows: Seq[(Long, String, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "pub", "v").withColumn("load_seq", lit(seq)), seq,
+        statsKey = Some("k"), statsCols = Seq("pub"))
+    ep(1L, (1L to 50L).map(k =>
+      (k, f"2024-05-${1 + (k % 3).toInt}%02dT00:00:00Z", s"a$k")))
+    ep(2L, (51L to 60L).map(k => (k, "2024-06-15T00:00:00Z", s"june$k")))
+    ep(3L, (1L to 5L).map(k =>
+      (k, f"2024-05-${1 + (k % 3).toInt}%02dT00:00:00Z", s"refetch$k")))
+    val entries = AtomicWarehouse.committedEntriesAt(spark, wh,
+      AtomicWarehouse.currentVersion(spark, wh))
+    // a May window must skip the June-only epoch
+    assert(AtomicWarehouse.scanListForRangeOn(entries, "k", "pub",
+      "2024-05-01", "2024-05-31T23:59:59Z").map(_.name) ==
+      Seq("epoch_1", "epoch_3"))
+    val may = AtomicWarehouse.readRangeOn(spark, wh, "k", "pub",
+      "2024-05-01", "2024-05-31T23:59:59Z")
+    assert(may.count() == 50)
+    // refetched keys won the merge inside the pruned read
+    assert(may.where(col("k") <= 5).select("v").collect()
+      .forall(_.getString(0).startsWith("refetch")))
+    // and the June window skips both May epochs
+    assert(AtomicWarehouse.scanListForRangeOn(entries, "k", "pub",
+      "2024-06-01", "2024-06-30").map(_.name) == Seq("epoch_2"))
+    assert(AtomicWarehouse.readRangeOn(spark, wh, "k", "pub",
+      "2024-06-01", "2024-06-30").count() == 10)
+  }
+
+  test("fractional stats columns are refused (lexicographic order is wrong for them)") {
+    val wh = tmp("aw_badstats") + "/wh"
+    val e = intercept[IllegalArgumentException] {
+      AtomicWarehouse.commitEpoch(spark, wh,
+        Seq((1L, 0.5)).toDF("k", "x").withColumn("load_seq", lit(1L)), 1L,
+        statsCols = Seq("x"))
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("range-read schema is pruning-invariant under additive evolution") {
+    val wh = tmp("aw_schemarange") + "/wh"
+    AtomicWarehouse.commitEpoch(spark, wh,
+      (1L to 10L).map(k => (k, s"a$k")).toDF("k", "v")
+        .withColumn("load_seq", lit(1L)), 1L, statsKey = Some("k"))
+    // epoch 2 adds a column AND is key-disjoint from the queried range
+    AtomicWarehouse.commitEpoch(spark, wh,
+      (100L to 110L).map(k => (k, s"b$k", s"extra$k")).toDF("k", "v", "extra")
+        .withColumn("load_seq", lit(2L)), 2L, statsKey = Some("k"))
+    val fullSchema = AtomicWarehouse.read(spark, wh, "k").schema
+    // the evolved column lives ONLY in the skipped epoch — it must still
+    // be in the result schema (as nulls), same as the full read's
+    val pruned = AtomicWarehouse.readRange(spark, wh, "k", 1L, 10L)
+    assert(pruned.schema == fullSchema,
+      s"pruned schema ${pruned.schema} != full ${fullSchema}")
+    assert(pruned.count() == 10)
+    assert(pruned.select("extra").collect().forall(_.isNullAt(0)))
+    // empty-range reads agree too
+    assert(AtomicWarehouse.readRange(spark, wh, "k", 500L, 600L).schema
+      == fullSchema)
+  }
+
+  test("compact-vs-compact race: exactly one fold lands, no spurious abort") {
+    val wh = tmp("aw_compactrace") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "v").withColumn("load_seq", lit(seq)), seq)
+    ep(1L, Seq((1L, "a"), (2L, "b")))
+    ep(2L, Seq((2L, "b2"), (3L, "c")))
+    ep(3L, Seq((3L, "c3")))
+    val before = snapshot(wh)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 2).map { _ =>
+      val t = new Thread(() => {
+        try { barrier.await(); AtomicWarehouse.compact(spark, wh, "k") }
+        catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"compaction aborted: ${Option(errs.peek()).map(_.toString)}")
+    assert(snapshot(wh) == before, "racing compactions changed the snapshot")
+    // the current manifest is a valid fold state: one compact entry, or a
+    // compact entry plus nothing else (a second fold over one entry no-ops)
+    val names = AtomicWarehouse.committedEpochs(spark, wh)
+    assert(names.nonEmpty && names.forall(_.startsWith("compact_v")),
+      s"unexpected manifest after racing compactions: $names")
+  }
+
+  test("compact-vs-drain race: the drained epoch is carried, never lost") {
+    val wh = tmp("aw_compactdrain") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "v").withColumn("load_seq", lit(seq)), seq)
+    ep(1L, Seq((1L, "a"), (2L, "b")))
+    ep(2L, Seq((2L, "b2")))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactor = new Thread(() => {
+      try { barrier.await(); AtomicWarehouse.compact(spark, wh, "k") }
+      catch { case e: Throwable => errs.add(e) }
+    })
+    val drainer = new Thread(() => {
+      try { barrier.await(); ep(3L, Seq((3L, "c"))) }
+      catch { case e: Throwable => errs.add(e) }
+    })
+    compactor.start(); drainer.start()
+    Seq(compactor, drainer).foreach(_.join(120000))
+    assert(errs.isEmpty, s"failed: ${Option(errs.peek()).map(_.toString)}")
+    assert(snapshot(wh) ==
+      Set((1L, "a", 1L), (2L, "b2", 2L), (3L, "c", 3L)))
+  }
+
+  test("vacuum is single-maintainer: lock fences, stale lease breaks") {
+    val wh = tmp("aw_vaclock") + "/wh"
+    def ep(seq: Long): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        Seq((seq, s"v$seq")).toDF("k", "v").withColumn("load_seq", lit(seq)), seq)
+    ep(1L); ep(2L)
+    AtomicWarehouse.compact(spark, wh, "k")
+    // a held (fresh) lock refuses a second vacuum
+    val lock = new java.io.File(s"$wh/_manifest/.vacuum_lock")
+    assert(lock.createNewFile())
+    intercept[ConcurrentVacuumException] {
+      AtomicWarehouse.vacuum(spark, wh, retainVersions = 1, graceMs = 0L)
+    }
+    // an abandoned lock older than the lease is broken and vacuum proceeds
+    assert(lock.setLastModified(System.currentTimeMillis() - 10000))
+    val (m, d) = AtomicWarehouse.vacuum(spark, wh, retainVersions = 1,
+      graceMs = 0L, leaseMs = 5000L)
+    assert(m == 2 && d == 2, s"expected (2 manifests, 2 dirs), got ($m, $d)")
+    assert(!lock.exists(), "vacuum must release its lock")
+    assert(snapshot(wh) == Set((1L, "v1", 1L), (2L, "v2", 2L)))
+  }
+
+  test("a drain stalled past the grace window survives a racing vacuum") {
+    val wh = tmp("aw_stalldrain") + "/wh"
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((1L, "a")).toDF("k", "v").withColumn("load_seq", lit(1L)), 1L)
+    // epoch 2's drain "stalls" between data publish and manifest commit;
+    // a vacuum with an expired grace window deletes the published dir in
+    // that window (the ADVICE scenario) — the commit must re-publish and
+    // land a manifest whose dir exists, not a dangling pointer
+    var vacuumed = false
+    AtomicWarehouse.commitEpochImpl(spark, wh,
+      Seq((2L, "b")).toDF("k", "v").withColumn("load_seq", lit(2L)), 2L,
+      None, Nil, () => if (!vacuumed) {
+        vacuumed = true
+        val (_, d) = AtomicWarehouse.vacuum(spark, wh, retainVersions = 1,
+          graceMs = 0L)
+        assert(d == 1, s"vacuum should delete the in-flight epoch dir, got $d")
+      })
+    assert(vacuumed)
+    assert(new java.io.File(s"$wh/epoch_2").exists(),
+      "recovered commit must leave the epoch dir in place")
+    assert(snapshot(wh) == Set((1L, "a", 1L), (2L, "b", 2L)))
+  }
+
+  test("manifest lines: legacy and per-column formats both parse") {
+    import AtomicWarehouse.{ColStats, EpochEntry}
+    // legacy single-long form maps to the merge key via the * wildcard
+    val legacy = EpochEntry.parse("epoch_1\t5\t10")
+    assert(legacy.statsFor("anykey", "anykey") ==
+      Some(ColStats("long", "5", "10")))
+    assert(legacy.statsFor("other_col", "anykey") == None)
+    // per-column form round-trips, including values needing encoding
+    val e = EpochEntry("epoch_2", Map(
+      "k" -> ColStats("long", "-3", "99"),
+      "pub at" -> ColStats("string", "2024-05-01\tx", "2024-06-01")))
+    val parsed = EpochEntry.parse(e.line)
+    assert(parsed == e)
+    assert(parsed.statsFor("pub at", "k").get.mn == "2024-05-01\tx")
+    // stat-less entries survive
+    assert(EpochEntry.parse("epoch_3") == EpochEntry("epoch_3"))
+  }
+
+  test("_SUCCESS detection survives marksuccessfuljobs=false") {
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val hc = spark.sparkContext.hadoopConfiguration
+    val old = hc.get(key)
+    hc.set(key, "false")
+    try {
+      val wh = tmp("aw_nomark") + "/wh"
+      AtomicWarehouse.commitEpoch(spark, wh,
+        Seq((1L, "a")).toDF("k", "v").withColumn("load_seq", lit(1L)), 1L)
+      // the marker is written by AtomicWarehouse itself, so adoption
+      // logic still sees the dir as complete under this session config
+      assert(new java.io.File(s"$wh/epoch_1/_SUCCESS").exists())
+      val files = new java.io.File(s"$wh/epoch_1").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+      AtomicWarehouse.commitEpoch(spark, wh,
+        Seq((1L, "a")).toDF("k", "v").withColumn("load_seq", lit(1L)), 1L)
+      val after = new java.io.File(s"$wh/epoch_1").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+      assert(after == files, "replay rewrote a complete epoch dir")
+    } finally {
+      if (old == null) hc.unset(key) else hc.set(key, old)
+    }
   }
 }

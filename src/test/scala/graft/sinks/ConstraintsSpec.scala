@@ -51,4 +51,28 @@ class ConstraintsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     assert(report.length == 2 && report.forall(r => r._1 == name && r._2 == 1L))
   }
+
+  test("check and drain see ONE snapshot: late staging files cannot slip past the gate") {
+    val base = tmp("cons_snapshot")
+    val staging = s"$base/staging"; val wh = s"$base/wh"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(staging)
+    // a concurrent writer lands a VIOLATING file between the audit and
+    // the commit (the afterCheck seam fires in exactly that window): the
+    // drained epoch must be the checked snapshot — the late row neither
+    // fails the (already-passed) check nor sneaks into the warehouse
+    Constraints.drainChecked(spark, staging, wh, 1L,
+      Seq("k_pos" -> "k > 0"),
+      afterCheck = () =>
+        Seq((-99L, "late")).toDF("k", "v")
+          .write.mode("append").parquet(staging))
+    val drained = AtomicWarehouse.read(spark, wh, "k")
+      .select(col("k").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drained == Set((1L, "a"), (2L, "b")),
+      s"drained epoch diverged from the checked snapshot: $drained")
+    // the late row is gone with the truncate (K7 truncates the staging
+    // DIRECTORY; the next epoch's writer re-stages everything current) —
+    // what matters is it never reached the warehouse unchecked
+    assert(spark.read.parquet(staging).count() == 0)
+  }
 }
