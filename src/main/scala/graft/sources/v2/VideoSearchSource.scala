@@ -116,7 +116,16 @@ object VideoCatalog {
     val f = new java.io.File(path)
     val files: Seq[java.io.File] =
       if (f.isDirectory)
-        f.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+        // a directory written through the DSv2 sink carries a _parts
+        // manifest naming the COMMITTED part set — unreferenced parts
+        // from a crashed job commit are invisible; fixture dirs without
+        // a manifest fall back to the plain listing
+        PartManifest.committedParts(f.toPath) match {
+          case Some(parts) => parts.sorted.map(new java.io.File(f, _))
+          case None =>
+            f.listFiles().filter(_.getName.startsWith("part-"))
+              .sortBy(_.getName).toSeq
+        }
       else Seq(f)
     val mapper = new ObjectMapper()
     val out = ArrayBuffer.empty[VideoRow]
@@ -153,7 +162,8 @@ class VideoTable(path: String) extends Table with SupportsRead
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new VideoWriteBuilder(path, info.schema())
+    new VideoWriteBuilder(path, info.schema(),
+      info.options().getInt("simulateCrashAfterMoves", -1))
 }
 
 class VideoScanBuilder(path: String, retry: RetryPolicy, simFailures: Int)

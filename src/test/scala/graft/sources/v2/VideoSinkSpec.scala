@@ -37,10 +37,11 @@ class VideoSinkSpec extends SparkSuite {
       .head.getAs[String]("video_title") == """he said "hi" \ bye""")
     assert(back.where(col("video_id") === "v2")
       .head.getAs[String]("video_title") == "line1\nline2\ttabbed\rcr")
-    // only committed part files are visible — no task temps remain
+    // only committed part files + the manifest dir — no task temps remain
     val names = new java.io.File(dir).listFiles().map(_.getName)
-    assert(names.forall(_.startsWith("part-")), names.mkString(","))
-    assert(names.length == 3) // one per task
+    assert(names.forall(n => n.startsWith("part-") || n == "_parts"),
+      names.mkString(","))
+    assert(names.count(_.startsWith("part-")) == 3) // one per task
     // a second append accumulates
     rows(5).write.format("graft-videos").option("path", dir).mode("append").save()
     assert(readBack(dir).count() == 15)
@@ -66,7 +67,68 @@ class VideoSinkSpec extends SparkSuite {
     // the 6 originally committed rows survive; no temps, no partial parts
     assert(readBack(dir).count() == 6)
     val names = new java.io.File(dir).listFiles().map(_.getName)
-    assert(names.forall(_.startsWith("part-")),
+    assert(names.forall(n => n.startsWith("part-") || n == "_parts"),
       s"leftover staged files after abort: ${names.mkString(",")}")
+  }
+
+  test("driver crash mid-job-commit: readers see all-or-nothing") {
+    val dir = freshDir()
+    rows(6).write.format("graft-videos").option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 6)
+    // the crash seam kills the driver after 2 of 4 part moves — BEFORE
+    // the manifest publish, so the moved parts exist on disk but no
+    // manifest references them
+    intercept[Exception] {
+      rows(20).repartition(4).write.format("graft-videos")
+        .option("path", dir).option("simulateCrashAfterMoves", "2")
+        .mode("append").save()
+    }
+    val onDisk = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(onDisk > 1, "crash seam should leave orphaned part files")
+    // ...and the reader sees exactly the previously committed 6 rows:
+    // no prefix of the crashed job's parts ever becomes visible
+    assert(readBack(dir).count() == 6)
+    // a clean retry of the append lands atomically on top
+    rows(20).repartition(4).write.format("graft-videos")
+      .option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 26)
+  }
+
+  test("concurrent append jobs serialize through the manifest CAS") {
+    val dir = freshDir()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until 2).map { w =>
+      val t = new Thread(() => {
+        try {
+          val df = (1 to 5).map(i => (s"w$w-v$i", s"t$i",
+            "2024-01-01T00:00:00Z", "ch0", i.toLong))
+            .toDF("video_id", "video_title", "published_at", "channel_id",
+              "ingest_seq")
+          barrier.await()
+          df.write.format("graft-videos").option("path", dir)
+            .mode("append").save()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    // both jobs' rows are visible — neither manifest publish clobbered
+    // the other's part set
+    assert(readBack(dir).count() == 10)
+    assert(readBack(dir).where(col("video_id").startsWith("w0-")).count() == 5)
+  }
+
+  test("overwrite-vs-append race keeps a consistent committed set") {
+    val dir = freshDir()
+    rows(8).write.format("graft-videos").option("path", dir).mode("append").save()
+    rows(3).write.format("graft-videos").option("path", dir).mode("overwrite").save()
+    // truncate REPLACES the visible set in one manifest version: the
+    // prior 8 rows are unreferenced (not deleted), the 3 new ones visible
+    assert(readBack(dir).count() == 3)
+    rows(2).write.format("graft-videos").option("path", dir).mode("append").save()
+    assert(readBack(dir).count() == 5)
   }
 }
