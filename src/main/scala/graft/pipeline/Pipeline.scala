@@ -40,13 +40,12 @@ object Pipeline {
         Schemas.staging)
   }
 
-  /** One epoch: stages 1–6 composed lazily into a single plan, written to
-    * staging (the only materialization), then stage 7 drains staging to
-    * the warehouse with idempotent dedup.
-    */
-  def runEpoch(spark: SparkSession, src: Sources, dirs: Dirs,
-      windowStartIso: String, windowEndIso: String, loadSeq: Long,
-      drainToWarehouse: Boolean = true): DataFrame = {
+  /** Stages 1–6 composed lazily into ONE Catalyst plan, materialized
+    * only at the staging overwrite (K1, write-then-swap because the plan
+    * reads the same staging dir it replaces). Shared by every epoch
+    * runner below. */
+  private def stageEpoch(spark: SparkSession, src: Sources, dirs: Dirs,
+      windowStartIso: String, windowEndIso: String): Unit = {
     val prior = readStaging(spark, dirs)
     val s1 = Stages.ingest(src.videos, src.channels, prior,
       windowStartIso, windowEndIso)
@@ -58,14 +57,69 @@ object Pipeline {
     val s5 = Stages.mergeAnalytics(s3, metrics)
     val s6 = Stages.toCanonical(Stages.derive(s5, src.cpmCategories))
 
-    // staging overwrite (K1): write-then-swap via temp dir because the
-    // plan reads the same staging dir it replaces.
     val tmp = dirs.stagingDir + "_epoch_tmp"
     s6.write.mode(SaveMode.Overwrite).parquet(tmp)
     spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dirs.stagingDir)
+  }
 
+  /** One epoch: stages 1–6 composed lazily into a single plan, written to
+    * staging (the only materialization), then stage 7 drains staging to
+    * the warehouse with idempotent dedup.
+    */
+  def runEpoch(spark: SparkSession, src: Sources, dirs: Dirs,
+      windowStartIso: String, windowEndIso: String, loadSeq: Long,
+      drainToWarehouse: Boolean = true): DataFrame = {
+    stageEpoch(spark, src, dirs, windowStartIso, windowEndIso)
     if (drainToWarehouse)
       Warehouse.drain(spark, dirs.stagingDir, dirs.warehouseDir, "video_id", loadSeq)
     spark.read.parquet(if (drainToWarehouse) dirs.warehouseDir else dirs.stagingDir)
   }
+
+  /** The PRODUCTION-SHAPED epoch: stages 1–6 as one plan, then a
+    * CHECK-gated, atomically-committed drain into the
+    * [[graft.sinks.AtomicWarehouse]] ([[graft.sinks.Constraints
+    * .drainChecked]]: the audit and the commit share one pinned staging
+    * snapshot; a violating batch aborts with the warehouse untouched).
+    * This is the reference's cron unit (dags/Dashboard-pipeline.py:20-40)
+    * with the transactionality its BigQuery sink provides server-side. */
+  def runEpochAtomic(spark: SparkSession, src: Sources, dirs: Dirs,
+      windowStartIso: String, windowEndIso: String, loadSeq: Long,
+      checks: Seq[(String, String)]): Unit = {
+    stageEpoch(spark, src, dirs, windowStartIso, windowEndIso)
+    graft.sinks.Constraints.drainChecked(spark, dirs.stagingDir,
+      dirs.warehouseDir, loadSeq, checks)
+  }
+
+  /** The WHOLE pipeline on the STREAMING ENGINE: each micro-batch of
+    * arriving videos runs one full [[runEpochAtomic]] epoch — DSv2/file
+    * source → stages 1–6 → CHECK-gated exactly-once AtomicWarehouse
+    * drain — under whatever trigger the caller starts it with
+    * (`Trigger.AvailableNow` reproduces the reference's cron cadence:
+    * drain everything pending, then stop; a processing-time trigger
+    * would be the continuous deployment). Checkpointed offsets make a
+    * restarted run resume at the first unprocessed batch; a re-run
+    * micro-batch around a crash re-stages and re-commits the SAME
+    * epoch seq, which [[graft.sinks.AtomicWarehouse.commitEpoch]]
+    * no-ops — exactly-once per epoch end-to-end.
+    *
+    * Scale: the stream side never shuffles before staging (dim joins are
+    * broadcasts); per-epoch cost is the batch pipeline's. State lives in
+    * the source checkpoint only — the pipeline itself is stateless
+    * across epochs by design (staging is truncated each drain, the
+    * warehouse merge is read-side). */
+  def streamEpochs(spark: SparkSession, videoStream: DataFrame,
+      srcFor: DataFrame => Sources, dirs: Dirs,
+      windowStartIso: String, windowEndIso: String,
+      checks: Seq[(String, String)], checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    videoStream.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        runEpochAtomic(spark, srcFor(batch), dirs,
+          windowStartIso, windowEndIso, loadSeq = id + 1, checks)
+      }
+      .start()
 }
