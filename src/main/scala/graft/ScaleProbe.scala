@@ -38,6 +38,7 @@ object ScaleProbe {
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
     if (mode == "tpch") { tpchProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "events") { eventsProbe(spark, sfDir, base, k); spark.stop(); return }
+    if (mode == "stream") { streamProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
@@ -231,6 +232,93 @@ object ScaleProbe {
       val tk = timeIt(base, name)
       println(f"| `$name` | $t1%.2f | $tk%.2f | ${tk / t1}%.1f |")
     }
+  }
+
+  /** STREAMING-ENGINE state probe: replay the events table through the
+    * ENGINE paths (the c4–c28 battery family's operators) at 1× and K×
+    * TRAFFIC — replicas keep the SAME user keys and time range, so the
+    * claim under test is exactly "state is bounded by keys/watermark,
+    * never by replayed volume": watermark dedup and timer sessionization
+    * must hold state ~flat while input grows K×, the window aggregate's
+    * state is open-windows×types (time-range-bound), and the interval
+    * join retains only rows inside the watermark horizon. For each
+    * operator we record micro-batch count, the MAX state-store row count
+    * across the run (`stateOperators.numRowsTotal` from query progress —
+    * measured, not asserted), and wall time. Recorded in BENCH.md. */
+  private def streamProbe(spark: SparkSession, sfDir: String, k: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev1 = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val nE = ev1.map(_._2).max + 1
+    // K× TRAFFIC: distinct event ids, same users, ts jittered inside the
+    // same range (replica r shifts by r µs — still duplicate-dense)
+    def replay(rep: Int): IndexedSeq[(Long, Long, Long, String, Double)] =
+      (0 until rep).flatMap(r => ev1.map(e =>
+        (e._1 + r, e._2 + r * nE, e._3, e._4, e._5)))
+        .sortBy(x => (x._1, x._2)).toIndexedSeq
+
+    final case class Probe(name: String,
+        build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+    val probes = Seq(
+      Probe("dedupStream (watermark dedup)",
+        df => EventStream.dedupStream(df, "400 days")
+          .select("event_id", "user_id")),
+      Probe("windowedAgg (1h windows, 4d watermark)",
+        df => EventStream.windowedAgg(df)),
+      Probe("sessionizeTimers (event-time timers)",
+        df => EventStream.sessionizeTimers(
+          df.select(col("user_id"), col("event_id"), col("ts"))
+            .as[EventStream.TimedEvent],
+          watermarkDelay = "0 seconds").toDF()),
+      Probe("clickErrorJoin (interval join)",
+        df => EventStream.clickErrorJoin(
+          df.where(col("event_type") === "click"),
+          df.where(col("event_type") === "error"))))
+
+    println("| engine path | vol | batches | max state rows | out rows | sec |")
+    println("|---|---|---|---|---|---|")
+    for (rep <- Seq(1, k); p <- probes) {
+      val rows = replay(rep)
+      val source = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, String, Double)]
+      val stream = source.toDF()
+        .toDF("us", "event_id", "user_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val sinkName = s"probe_${p.name.takeWhile(_ != ' ')}_$rep"
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = p.build(stream).writeStream.format("memory")
+          .queryName(sinkName).outputMode("append").start()
+        var maxState = 0L; var batches = 0
+        val t0 = System.nanoTime()
+        try {
+          rows.grouped((rows.length + 7) / 8).foreach { chunk =>
+            source.addData(chunk)
+            q.processAllAvailable()
+            val pr = q.lastProgress
+            if (pr != null) {
+              maxState = math.max(maxState,
+                pr.stateOperators.asScala.map(_.numRowsTotal).sum)
+              batches += 1
+            }
+          }
+        } finally q.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val out = spark.table(sinkName).count()
+        println(f"| ${p.name} | ${rep}x | $batches | $maxState | $out | $sec%.2f |")
+        spark.catalog.dropTempView(sinkName)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+  }
+
+  private implicit class RichArr[T](a: Array[T]) {
+    def asScala: Seq[T] = scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
   }
 
   /** TPC-H-family probe: K key-shifted replicas of the 5 growing tables

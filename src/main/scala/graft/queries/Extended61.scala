@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-6 widening, part 61: the DSv2 sink's TRUNCATE commit through
+  * the new part manifest, and zone-map stats surviving a compaction
+  * fold — the two write-side paths round 6 added that had no battery
+  * entry of their own yet.
+  */
+object Extended61 {
+
+  /** S12 — DSv2 OVERWRITE through the part manifest: a first append
+    * stages one video population, a truncate-mode write replaces it with
+    * another in ONE manifest version ([[graft.sources.v2.PartManifest]]
+    * — the prior parts become unreferenced, not half-deleted), and the
+    * read-back sees exactly the second population. This is the
+    * reference's sheet-clear-and-rewrite (ref: Python-pipeline/
+    * dataingestion1.py:142 rewrites the staging sheet wholesale), which
+    * in the scripts is a clear() + append with a torn window between
+    * them; here the swap is a single atomic manifest publish
+    * (VideoSinkSpec crash-injects the surrounding protocol).
+    *
+    * Scale: truncate cost is O(new parts) + one manifest line — the old
+    * population is never touched (retention GC reclaims it), so
+    * replacing a 100 TB staging set costs the new set's write, not a
+    * delete storm. */
+  val s12Dsv2WriteTruncate = q("s12_dsv2_write_truncate",
+    """SELECT 'v' || CAST(o_orderkey AS VARCHAR) AS video_id,
+      |       o_orderpriority AS video_title,
+      |       'ch' || CAST(o_custkey % 7 AS VARCHAR) AS channel_id
+      |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, d) =>
+    val dir = freshScratch("s12") + "/videos"
+    def vids(prio: String) = Tables.orders(s, d)
+      .where(col("o_orderpriority") === prio)
+      .select(
+        concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
+        col("o_orderpriority").as("video_title"),
+        lit("2024-05-01T00:00:00Z").as("published_at"),
+        concat(lit("ch"), (col("o_custkey") % 7).cast("string")).as("channel_id"),
+        col("o_orderkey").cast("long").as("ingest_seq"))
+    vids("2-HIGH").repartition(2)
+      .write.format("graft-videos").option("path", dir).mode("append").save()
+    vids("1-URGENT").repartition(3)
+      .write.format("graft-videos").option("path", dir).mode("overwrite").save()
+    s.read.format("graft-videos").option("path", dir).load()
+      .select("video_id", "video_title", "channel_id")
+  }
+
+  /** C34 — zone-map stats SURVIVE COMPACTION: two May epochs fold into
+    * one compacted dir whose manifest entry re-records per-column stats
+    * over the folded rows; a later June epoch lands on top, and a June
+    * range read must open ONLY the June epoch — the fold's May-bounded
+    * stats keep pruning exactly as the originals did. Without re-stated
+    * stats a compaction would silently turn every later range read into
+    * a full scan (stat-less entries scan conservatively); this entry
+    * pins that the maintenance pass preserves the read-path's pruning
+    * power. Oracle: unpruned replay of all three epochs + filter.
+    *
+    * Scale: compaction is exactly when stats matter most — the folded
+    * dir holds the bulk of the warehouse, and skipping it is the
+    * difference between O(slice) and O(everything) for windowed reads. */
+  val c34CompactionStats = q("c34_compaction_stats",
+    """WITH base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+      |         CASE WHEN c_custkey % 4 = 3
+      |              THEN '2024-06-' ELSE '2024-05-' END ||
+      |           lpad(CAST(1 + c_custkey % 28 AS VARCHAR), 2, '0') AS pub
+      |  FROM customer),
+      |e1 AS (
+      |  SELECT k AS c_custkey, c_name, pub, 'BASE' AS seg,
+      |         CAST(1 AS BIGINT) AS load_seq
+      |  FROM base WHERE k % 4 <> 3),
+      |e2 AS (
+      |  SELECT k AS c_custkey, c_name, pub, 'REFETCHED' AS seg,
+      |         CAST(2 AS BIGINT) AS load_seq
+      |  FROM base WHERE k % 4 <> 3 AND k % 28 < 7),
+      |e3 AS (
+      |  SELECT k AS c_custkey, c_name, pub, 'JUNE' AS seg,
+      |         CAST(3 AS BIGINT) AS load_seq
+      |  FROM base WHERE k % 4 = 3),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+      |SELECT c_custkey, c_name, pub, seg, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1
+      |  AND pub BETWEEN '2024-06-01' AND '2024-06-30'""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c34") + "/wh"
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+      concat(
+        when(col("c_custkey") % 4 === 3, lit("2024-06-")).otherwise(lit("2024-05-")),
+        lpad((lit(1) + col("c_custkey") % 28).cast("string"), 2, "0")).as("pub"))
+    def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame, seg: String): Unit =
+      AtomicWarehouse.commitEpoch(s, wh,
+        dfv.withColumn("seg", lit(seg)).withColumn("load_seq", lit(seq)),
+        seq, statsKey = Some("c_custkey"), statsCols = Seq("pub"))
+    ep(1L, base.where(col("c_custkey") % 4 =!= 3), "BASE")
+    ep(2L, base.where(col("c_custkey") % 4 =!= 3 && col("c_custkey") % 28 < 7),
+      "REFETCHED")
+    AtomicWarehouse.compact(s, wh, "c_custkey",
+      statsKey = Some("c_custkey"), statsCols = Seq("pub"))
+    ep(3L, base.where(col("c_custkey") % 4 === 3), "JUNE")
+    // the June window must open ONLY epoch_3: the compacted May fold's
+    // re-stated stats exclude it from the scan
+    val entries = AtomicWarehouse.committedEntriesAt(s, wh,
+      AtomicWarehouse.currentVersion(s, wh))
+    val opened = AtomicWarehouse.scanListForRangeOn(entries, "c_custkey",
+      "pub", "2024-06-01", "2024-06-30").map(_.name)
+    require(opened == Seq("epoch_3"),
+      s"compacted stats failed to prune: scan list $opened")
+    AtomicWarehouse.readRangeOn(s, wh, "c_custkey", "pub",
+      "2024-06-01", "2024-06-30")
+      .select("c_custkey", "c_name", "pub", "seg", "load_seq")
+  }
+
+  val all: Seq[Q] = Seq(s12Dsv2WriteTruncate, c34CompactionStats)
+}
