@@ -47,7 +47,10 @@ object Extended60 {
     * joins broadcast), per-epoch cost is the composed batch plan, and
     * the engine adds checkpointed offsets + idempotent epoch commits —
     * crash/retry semantics the reference's scripts lack entirely. */
-  val c30StreamingPipelineEpoch = q("c30_streaming_pipeline_epoch",
+  /** The single declarative DuckDB replay of all 7 stages — shared by
+    * c30 (straight-through run) and c35 (cold-stop + checkpoint resume):
+    * both drivings must land the identical warehouse. */
+  private val pipelineOracle: String =
     s"""WITH v AS (
        |  SELECT o_orderkey AS k,
        |         'v' || CAST(o_orderkey AS VARCHAR) AS video_id,
@@ -200,12 +203,18 @@ object Extended60 {
        |  CAST(rpm AS VARCHAR) AS rpm,
        |  cpm_category,
        |  CAST(ingest_seq AS VARCHAR) AS ingest_seq
-       |FROM s6c""".stripMargin) { (s, d) =>
+       |FROM s6c""".stripMargin
+
+  /** Everything a pipeline driving needs: the two epoch day-files under
+    * `<base>/videos_in`, the dim DataFrames, the facts table, and the
+    * declared CHECK constraints. Derivations are pure functions of
+    * `orders` — identical for every driving of the same sf dir. */
+  private def buildPipelineFixture(s: org.apache.spark.sql.SparkSession,
+      d: String, base: String): (String, DataFrame => Pipeline.Sources,
+        Seq[(String, String)]) = {
     import s.implicits._
-    val base = freshScratch("c30")
     val videosDir = s"$base/videos_in"
     new java.io.File(videosDir).mkdirs()
-
     val k = col("o_orderkey")
     val vids = Tables.orders(s, d).where(k % 5 === 0)
       .select(
@@ -277,25 +286,77 @@ object Extended60 {
       .unionByName(factRows("owner1", "vod", 1, k % 3 === 0))
       .unionByName(factRows("owner2", "short", 0, k % 3 <= 1))
 
-    val dirs = Pipeline.Dirs(s"$base/staging", s"$base/warehouse")
     val checks = Seq(
       "video_id_present" -> "video_id IS NOT NULL",
       "seq_nonneg" -> "ingest_seq >= 0",
       "published_in_window" ->
         "published_at >= '2024-05-01' AND published_at <= '2024-05-03'")
-    withShufflePartitions(s, 8) {
-      val stream = s.readStream.schema(Schemas.videoRaw)
-        .option("maxFilesPerTrigger", 1).json(videosDir)
-      val query = Pipeline.streamEpochs(s, stream,
-        batch => Pipeline.Sources(batch, channels, employees, shows, cpmCats,
-          facts, Seq("owner1", "owner2")),
-        dirs, "2024-05-01T00:00:00Z", "2024-05-02T23:59:59Z", checks,
-        s"$base/checkpoint")
-      query.awaitTermination()
-    }
-    graft.sinks.AtomicWarehouse.read(s, dirs.warehouseDir, "video_id")
-      .drop("load_seq")
+    (videosDir,
+      batch => Pipeline.Sources(batch, channels, employees, shows, cpmCats,
+        facts, Seq("owner1", "owner2")),
+      checks)
   }
 
-  val all: Seq[Q] = Seq(c30StreamingPipelineEpoch)
+  private def startPipeline(s: org.apache.spark.sql.SparkSession,
+      base: String, videosDir: String,
+      srcFor: DataFrame => Pipeline.Sources,
+      checks: Seq[(String, String)])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = s.readStream.schema(Schemas.videoRaw)
+      .option("maxFilesPerTrigger", 1).json(videosDir)
+    Pipeline.streamEpochs(s, stream, srcFor,
+      Pipeline.Dirs(s"$base/staging", s"$base/warehouse"),
+      "2024-05-01T00:00:00Z", "2024-05-02T23:59:59Z", checks,
+      s"$base/checkpoint")
+  }
+
+  private def warehouseResult(s: org.apache.spark.sql.SparkSession,
+      base: String): DataFrame =
+    graft.sinks.AtomicWarehouse.read(s, s"$base/warehouse", "video_id")
+      .drop("load_seq")
+
+  val c30StreamingPipelineEpoch = q("c30_streaming_pipeline_epoch",
+    pipelineOracle) { (s, d) =>
+    val base = freshScratch("c30")
+    val (videosDir, srcFor, checks) = buildPipelineFixture(s, d, base)
+    withShufflePartitions(s, 8) {
+      startPipeline(s, base, videosDir, srcFor, checks).awaitTermination()
+    }
+    warehouseResult(s, base)
+  }
+
+  /** C35 — the streaming pipeline COLD-STOPPED at an arbitrary point and
+    * RESUMED from its checkpoint: the first query object is stopped as
+    * soon as any progress lands (possibly mid-epoch, possibly between
+    * the warehouse commit and the offset commit); a NEW query resumes
+    * from the checkpoint alone and finishes the replay. Exactly-once
+    * end-to-end falls out of the composition, not luck: a re-run
+    * micro-batch re-stages its epoch and `AtomicWarehouse.commitEpoch`
+    * no-ops the already-committed seq, staging re-writes are overwrite-
+    * idempotent, and re-enrichment is a pure recomputation — so the
+    * final warehouse must hash-match c30's straight-through oracle
+    * EXACTLY, wherever the stop landed. This is c26's restart contract
+    * lifted from one operator to the reference's entire cron identity.
+    *
+    * Scale: recovery cost is checkpoint reload + one re-run epoch —
+    * never a warehouse scan; the reference's scripts re-run the whole
+    * day and double-append on crash. */
+  val c35PipelineRestart = q("c35_pipeline_restart",
+    pipelineOracle) { (s, d) =>
+    val base = freshScratch("c35")
+    val (videosDir, srcFor, checks) = buildPipelineFixture(s, d, base)
+    withShufflePartitions(s, 8) {
+      val q1 = startPipeline(s, base, videosDir, srcFor, checks)
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (q1.recentProgress.isEmpty && q1.isActive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
+      q1.stop() // cold stop at an arbitrary point after first progress
+      val q2 = startPipeline(s, base, videosDir, srcFor, checks)
+      q2.awaitTermination() // recovery from the checkpoint alone
+    }
+    warehouseResult(s, base)
+  }
+
+  val all: Seq[Q] = Seq(c30StreamingPipelineEpoch, c35PipelineRestart)
 }
