@@ -115,5 +115,66 @@ object Extended61 {
       .select("c_custkey", "c_name", "pub", "seg", "load_seq")
   }
 
-  val all: Seq[Q] = Seq(s12Dsv2WriteTruncate, c34CompactionStats)
+  /** C36 — TWO-LEVEL pruning on a hive-partitioned atomic warehouse:
+    * each epoch dir is laid out `month=<val>/` (commitEpoch's
+    * `partitionBy`), so a month-window range read prunes twice — the
+    * manifest zone map skips whole epochs (the June epoch is never
+    * opened), and INSIDE each scanned epoch the predicate reaches
+    * Spark's PartitionFilters so only matching month subdirs are even
+    * listed (AtomicWarehouseSpec pins the PartitionFilters plan shape;
+    * this required pushing the range predicate BELOW the merge window,
+    * sound because the filtered column is version-stable per key). The
+    * oracle replays all epochs unpruned and filters.
+    *
+    * Scale: this is the reference's publishedAfter/Before window at
+    * warehouse granularity — at 100 TB the read cost is
+    * O(matching months of matching epochs), with everything else never
+    * touching the file listing, let alone the data. */
+  val c36PartitionedEpochs = q("c36_partitioned_epochs",
+    """WITH base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+      |         CASE WHEN c_custkey % 4 = 3 THEN '2024-06'
+      |              WHEN c_custkey % 2 = 0 THEN '2024-04'
+      |              ELSE '2024-05' END AS month
+      |  FROM customer),
+      |e1 AS (
+      |  SELECT k AS c_custkey, c_name, month, 'BASE' AS seg,
+      |         CAST(1 AS BIGINT) AS load_seq
+      |  FROM base WHERE k % 4 <> 3),
+      |e2 AS (
+      |  SELECT k AS c_custkey, c_name, month, 'REFETCHED' AS seg,
+      |         CAST(2 AS BIGINT) AS load_seq
+      |  FROM base WHERE k % 4 <> 3 AND k % 28 < 7),
+      |e3 AS (
+      |  SELECT k AS c_custkey, c_name, month, 'JUNE' AS seg,
+      |         CAST(3 AS BIGINT) AS load_seq
+      |  FROM base WHERE k % 4 = 3),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+      |SELECT c_custkey, c_name, month, seg, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1 AND month BETWEEN '2024-05' AND '2024-05'""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c36") + "/wh"
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+      when(col("c_custkey") % 4 === 3, lit("2024-06"))
+        .when(col("c_custkey") % 2 === 0, lit("2024-04"))
+        .otherwise(lit("2024-05")).as("month"))
+    def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame, seg: String): Unit =
+      AtomicWarehouse.commitEpoch(s, wh,
+        dfv.withColumn("seg", lit(seg)).withColumn("load_seq", lit(seq)),
+        seq, statsKey = Some("c_custkey"), statsCols = Seq("month"),
+        partitionBy = Seq("month"))
+    ep(1L, base.where(col("c_custkey") % 4 =!= 3), "BASE")
+    ep(2L, base.where(col("c_custkey") % 4 =!= 3 && col("c_custkey") % 28 < 7),
+      "REFETCHED")
+    ep(3L, base.where(col("c_custkey") % 4 === 3), "JUNE")
+    AtomicWarehouse.readRangeOn(s, wh, "c_custkey", "month",
+      "2024-05", "2024-05")
+      .select("c_custkey", "c_name", "month", "seg", "load_seq")
+  }
+
+  val all: Seq[Q] = Seq(s12Dsv2WriteTruncate, c34CompactionStats,
+    c36PartitionedEpochs)
 }

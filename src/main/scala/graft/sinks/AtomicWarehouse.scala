@@ -191,13 +191,22 @@ object AtomicWarehouse {
     * evolved column living only in skipped epochs must still appear) and
     * apply the keyed last-wins merge. */
   private def mergedRead(spark: SparkSession, dir: String, key: String,
-      entries: Seq[EpochEntry], scanned: Set[String]): DataFrame = {
+      entries: Seq[EpochEntry], scanned: Set[String],
+      preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val union = entries.map { e =>
       val df = spark.read.parquet(s"$dir/${e.name}")
       if (scanned.contains(e.name)) df else df.limit(0)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // the range predicate applies BELOW the merge window: a filter above
+    // it could never push past the Window (its partitioning is the merge
+    // key, not the filtered column), which would defeat partition and
+    // row-group pruning entirely. Pre-merge filtering is result-identical
+    // exactly under the contracts the range readers already carry — the
+    // filtered column is version-stable per key, so the filter drops ALL
+    // versions of a key or none and the merge winner is unchanged.
+    val filtered = preFilter.map(union.where).getOrElse(union)
     val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
-    union.withColumn("__rn", row_number().over(w))
+    filtered.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
 
@@ -305,10 +314,20 @@ object AtomicWarehouse {
     * grace contract documents the operational bound.) Persistent
     * contention past [[MaxCommitAttempts]] fails loudly rather than
     * spinning. */
+  /** `partitionBy` lays each epoch dir out Hive-style on the named
+    * columns — TWO-LEVEL pruning for range reads: the manifest zone map
+    * skips whole epochs, and inside a scanned epoch Spark's partition
+    * discovery turns the range predicate into PartitionFilters so only
+    * matching subdirs are listed/read. Partition columns come back via
+    * discovery (they move to the end of the schema; unionByName doesn't
+    * care). Use columns with bounded cardinality (day/month buckets, not
+    * raw keys) — one subdir per value per epoch. */
   def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
       seq: Long, statsKey: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit =
-    commitEpochImpl(spark, dir, df, seq, statsKey, statsCols, () => ())
+      statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit =
+    commitEpochImpl(spark, dir, df, seq, statsKey, statsCols, () => (),
+      partitionBy)
 
   /** [[commitEpoch]] with a test seam firing between the data publish and
     * the manifest commit — the window a racing vacuum can delete the
@@ -316,7 +335,8 @@ object AtomicWarehouse {
     * recovery deterministically. */
   private[sinks] def commitEpochImpl(spark: SparkSession, dir: String,
       df: DataFrame, seq: Long, statsKey: Option[String],
-      statsCols: Seq[String], afterPublish: () => Unit): Unit = {
+      statsCols: Seq[String], afterPublish: () => Unit,
+      partitionBy: Seq[String] = Nil): Unit = {
     val epoch = s"epoch_$seq"
     if (committedEpochs(spark, dir).contains(epoch)) return
     val f = fs(spark, dir)
@@ -324,7 +344,7 @@ object AtomicWarehouse {
     val wanted = (statsKey.toSeq ++ statsCols).distinct
     var attempt = 0
     while (true) {
-      publishData(spark, dir, df, epoch)
+      publishData(spark, dir, df, epoch, partitionBy)
       afterPublish()
       val stats =
         if (f.exists(epochPath)) colStatsOf(spark, s"$dir/$epoch", wanted)
@@ -396,11 +416,13 @@ object AtomicWarehouse {
     * so completeness detection cannot be disabled out from under the
     * adoption logic. */
   private def publishData(spark: SparkSession, dir: String, df: DataFrame,
-      name: String): Unit = {
+      name: String, partitionBy: Seq[String] = Nil): Unit = {
     val f = fs(spark, dir)
     requireAtomicScheme(f, dir)
     val stage = new Path(s"$dir/.stage_${name}_${java.util.UUID.randomUUID}")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(stage.toString)
     val marker = new Path(stage, "_SUCCESS")
     if (!f.exists(marker)) f.create(marker, true).close()
     val dst = new Path(s"$dir/$name")
@@ -576,8 +598,8 @@ object AtomicWarehouse {
     val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
     require(entries.nonEmpty, s"no committed epochs at $dir")
     val scanned = scanListForRange(entries, key, lo, hi).map(_.name).toSet
-    mergedRead(spark, dir, key, entries, scanned)
-      .where(col(key).cast("long").between(lo, hi))
+    mergedRead(spark, dir, key, entries, scanned,
+      Some(col(key).cast("long").between(lo, hi)))
   }
 
   /** Range read with EPOCH SKIPPING on an arbitrary stats column —
@@ -601,8 +623,8 @@ object AtomicWarehouse {
     require(entries.nonEmpty, s"no committed epochs at $dir")
     val scanned =
       scanListForRangeOn(entries, key, statsCol, lo, hi).map(_.name).toSet
-    mergedRead(spark, dir, key, entries, scanned)
-      .where(col(statsCol).cast("string").between(lo, hi))
+    mergedRead(spark, dir, key, entries, scanned,
+      Some(col(statsCol).cast("string").between(lo, hi)))
   }
 
   /** The epochs [[readRange]] would open for [lo,hi] on the merge key —

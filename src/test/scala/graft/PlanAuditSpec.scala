@@ -676,4 +676,41 @@ class PlanAuditSpec extends SparkSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("composed 7-stage epoch: every dim join broadcasts, no nested loop anywhere") {
+    import spark.implicits._
+    import graft.pipeline.{Schemas, Stages}
+    // the c30/c35 streaming entries run this exact composition per
+    // micro-batch; audit the one-plan batch form Catalyst commits to
+    val videos = Seq(("v1", "Show | AB4", "2024-05-01T00:00:00Z", "ch0", 1L))
+      .toDF("video_id", "video_title", "published_at", "channel_id", "ingest_seq")
+    val channels = Seq(("ch0", "C0")).toDF("channel_id", "channel_name")
+    val employees = Seq(("T", "4")).toDF("team", "employee_code")
+    val shows = Seq(("AB4", "S", "B", "Cat"))
+      .toDF("code", "show_name", "broadcaster", "category")
+    val cpm = Seq(("S", "P")).toDF("shows_name", "cpm_category")
+    val facts = Seq(("v1", "owner1", "vod", 1L, 1.0, 1L, 1L, 1L, 1L, 1.0, 1.0, 1L, 1L))
+      .toDF("video_id", "content_owner_id", "content_type", "views",
+        "minutes_watched", "avg_view_duration_s", "comments", "likes",
+        "shares", "revenue", "cpm", "subs_gained", "subs_lost")
+    val prior = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.staging)
+    val s1 = Stages.ingest(videos, channels, prior,
+      "2024-05-01T00:00:00Z", "2024-05-02T23:59:59Z")
+    val s3 = Stages.enrichShow(Stages.enrichTitleCode(s1, employees), shows)
+    val metrics = graft.sources.AnalyticsSource.metricsAcrossOwners(
+      facts, s3.select("video_id"), Seq("owner1", "owner2"),
+      withContentType = true)
+    val s6 = Stages.toCanonical(
+      Stages.derive(Stages.mergeAnalytics(s3, metrics), cpm))
+    val p = s6.queryExecution.sparkPlan.toString
+    // channel, employee, show, cpm-category dim joins + the per-owner
+    // semi/anti id joins all broadcast; the only allowed shuffle joins
+    // are the video_id-keyed staging-metrics merges (fact-sized at scale)
+    assert(count(p, "BroadcastHashJoin") >= 4,
+      s"expected >=4 broadcast dim joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"nested-loop/cartesian in the epoch plan:\n$p")
+  }
 }

@@ -458,4 +458,36 @@ class AtomicWarehouseSpec extends SparkSuite {
       if (old == null) hc.unset(key) else hc.set(key, old)
     }
   }
+
+  test("hive-partitioned epochs: range predicate becomes PartitionFilters inside scanned epochs") {
+    val wh = tmp("aw_partepoch") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "month", "v").withColumn("load_seq", lit(seq)), seq,
+        statsKey = Some("k"), statsCols = Seq("month"),
+        partitionBy = Seq("month"))
+    ep(1L, (1L to 40L).map(k =>
+      (k, if (k <= 20) "2024-05" else "2024-06", s"a$k")))
+    ep(2L, (1L to 10L).map(k => (k, "2024-05", s"re$k")))
+    // the epoch dir is laid out hive-style
+    assert(new java.io.File(s"$wh/epoch_1/month=2024-05").isDirectory)
+    assert(new java.io.File(s"$wh/epoch_1/month=2024-06").isDirectory)
+    // a month range read prunes partitions INSIDE the scanned epochs:
+    // the predicate must reach PartitionFilters, not a post-scan Filter
+    val may = AtomicWarehouse.readRangeOn(spark, wh, "k", "month",
+      "2024-05", "2024-05")
+    val scan = may.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .nonEmpty,
+      s"month predicate did not reach PartitionFilters:\n$scan")
+    val got = may.select(col("k").cast("long"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 20 &&
+      (1L to 10L).forall(k => got(k) == s"re$k") &&
+      (11L to 20L).forall(k => got(k) == s"a$k"))
+    // partition columns survive the merge + snapshot read
+    assert(AtomicWarehouse.read(spark, wh, "k").columns.contains("month"))
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == 40)
+  }
 }
