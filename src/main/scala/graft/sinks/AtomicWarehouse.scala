@@ -553,7 +553,14 @@ object AtomicWarehouse {
     f.mkdirs(new Path(manifestDir(dir)))
     val lock = new Path(s"${manifestDir(dir)}/.vacuum_lock")
     if (!casCreateFile(f, lock)) {
-      // held — or abandoned by a crashed maintainer past its lease
+      // held — or abandoned by a crashed maintainer past its lease. The
+      // mtime-check→delete gap below is the one unavoidable stale-break
+      // race (filesystems have no compare-and-delete): a THIRD vacuum
+      // acquiring in that microsecond window could lose its fresh lock.
+      // The lease (default 1h) must exceed any real vacuum's runtime by
+      // orders of magnitude, which makes simultaneous lease expiries —
+      // the only way two breakers meet — an operator error, not a code
+      // path. Same trade Iceberg's lock-breaking maintenance makes.
       val stale = try {
         System.currentTimeMillis() -
           f.getFileStatus(lock).getModificationTime > leaseMs
@@ -646,9 +653,10 @@ object AtomicWarehouse {
     * no-ops and only the truncate re-runs. */
   def drain(spark: SparkSession, stagingDir: String, dir: String,
       seq: Long, statsKey: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit =
+      statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit =
     drainSnapshot(spark, spark.read.parquet(stagingDir), stagingDir, dir,
-      seq, statsKey, statsCols)
+      seq, statsKey, statsCols, partitionBy)
 
   /** [[drain]] over an ALREADY-READ staging DataFrame: the rows committed
     * are exactly the snapshot's (its parquet file listing is pinned when
@@ -659,10 +667,11 @@ object AtomicWarehouse {
   def drainSnapshot(spark: SparkSession, staging: DataFrame,
       stagingDir: String, dir: String, seq: Long,
       statsKey: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
     val staged = Warehouse.allString(Warehouse.sanitizeColumns(staging))
       .withColumn("load_seq", lit(seq))
-    commitEpoch(spark, dir, staged, seq, statsKey, statsCols)
+    commitEpoch(spark, dir, staged, seq, statsKey, statsCols, partitionBy)
     Warehouse.truncate(spark, stagingDir)
   }
 }

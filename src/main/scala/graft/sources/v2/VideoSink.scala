@@ -69,8 +69,12 @@ object PartManifest {
   def currentVersion(dir: Path): Long = {
     val md = manifestDir(dir)
     if (!Files.isDirectory(md)) 0L
-    else Files.list(md).iterator().asScala
-      .flatMap(p => versionOf(p.getFileName.toString)).foldLeft(0L)(math.max)
+    else {
+      val listing = Files.list(md)
+      try listing.iterator().asScala
+        .flatMap(p => versionOf(p.getFileName.toString)).foldLeft(0L)(math.max)
+      finally listing.close()
+    }
   }
 
   /** The committed part names, or None when the dir predates the
