@@ -175,6 +175,60 @@ object Extended61 {
       .select("c_custkey", "c_name", "month", "seg", "load_seq")
   }
 
+  /** C37 — the DSv2 connector's STREAMING READ path end-to-end: video
+    * rows written through the connector's two-phase commit are read back
+    * as a MICRO-BATCH STREAM (`readStream.format("graft-videos")`,
+    * [[graft.sources.v2.VideoMicroBatchStream]]) under
+    * `Trigger.AvailableNow` with admission control sized to ~5 bounded
+    * batches, feeding an incremental grouped aggregation whose COMPLETE-
+    * mode result must equal the batch GROUP BY (the oracle). This
+    * replaces the "production path is readStream" claim with an actual
+    * engine execution: checkpointed VideoOffset cursor, per-batch
+    * admission, state carried across micro-batches (VideoStreamSpec
+    * additionally pins cold-restart cursor resume and stream-path
+    * pushdown).
+    *
+    * Scale: the driver holds one cursor; each micro-batch ships O(batch)
+    * rows; aggregation state is one row per channel — the continuous
+    * deployment of the reference's poll-the-API loop. */
+  val c37Dsv2StreamAgg = q("c37_dsv2_stream_agg",
+    """SELECT 'ch' || CAST(o_custkey % 7 AS VARCHAR) AS channel_id,
+      |       CAST(count(*) AS BIGINT) AS n_videos,
+      |       max(strftime(TIMESTAMP '2020-01-01 00:00:00' + to_seconds(o_orderkey),
+      |                    '%Y-%m-%dT%H:%M:%SZ')) AS latest_pub
+      |FROM orders WHERE o_orderpriority = '2-HIGH'
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val dir = freshScratch("c37") + "/videos"
+    Tables.orders(s, d)
+      .where(col("o_orderpriority") === "2-HIGH")
+      .select(
+        concat(lit("v"), col("o_orderkey").cast("string")).as("video_id"),
+        col("o_orderpriority").as("video_title"),
+        date_format(timestamp_seconds(lit(1577836800L) + col("o_orderkey")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
+        concat(lit("ch"), (col("o_custkey") % 7).cast("string")).as("channel_id"),
+        col("o_orderkey").cast("long").as("ingest_seq"))
+      .repartition(3)
+      .write.format("graft-videos").option("path", dir).mode("append").save()
+    val total = s.read.format("graft-videos").option("path", dir).load().count()
+    val sinkName = memorySinkName(s, "c37_stream_")
+    withShufflePartitions(s, 4) {
+      val query = s.readStream.format("graft-videos")
+        .option("path", dir)
+        .option("maxRowsPerBatch", math.max(1L, total / 4).toString)
+        .load()
+        .groupBy("channel_id")
+        .agg(count(lit(1)).as("n_videos"),
+          max(col("published_at")).as("latest_pub"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    s.table(sinkName).select("channel_id", "n_videos", "latest_pub")
+  }
+
   val all: Seq[Q] = Seq(s12Dsv2WriteTruncate, c34CompactionStats,
-    c36PartitionedEpochs)
+    c36PartitionedEpochs, c37Dsv2StreamAgg)
 }
