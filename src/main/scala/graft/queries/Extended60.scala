@@ -210,7 +210,8 @@ object Extended60 {
     * declared CHECK constraints. Derivations are pure functions of
     * `orders` — identical for every driving of the same sf dir. */
   private def buildPipelineFixture(s: org.apache.spark.sql.SparkSession,
-      d: String, base: String): (String, DataFrame => Pipeline.Sources,
+      d: String, base: String,
+      viaConnector: Boolean = false): (String, DataFrame => Pipeline.Sources,
         Seq[(String, String)]) = {
     import s.implicits._
     val videosDir = s"$base/videos_in"
@@ -232,20 +233,28 @@ object Extended60 {
         k.cast("long").as("ingest_seq"),
         (k % 172800).as("pubsec"))
 
-    // two epoch files — the "two cron runs"; mtimes order the replay
-    // (the hash is order-free anyway; see scaladoc)
-    def writeDay(dfv: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = s"$base/tmp_$name"
-      dfv.coalesce(1).write.mode("overwrite").json(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(f => f.getName.startsWith("part-")).head
-      val dst = new java.io.File(videosDir, s"$name.json")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
+    if (viaConnector) {
+      // the videos land through the DSv2 sink's two-phase manifest
+      // commit — the stream reader then resolves the committed part set
+      vids.drop("pubsec").repartition(3)
+        .write.format("graft-videos").option("path", videosDir)
+        .mode("append").save()
+    } else {
+      // two epoch files — the "two cron runs"; mtimes order the replay
+      // (the hash is order-free anyway; see scaladoc)
+      def writeDay(dfv: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = s"$base/tmp_$name"
+        dfv.coalesce(1).write.mode("overwrite").json(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(f => f.getName.startsWith("part-")).head
+        val dst = new java.io.File(videosDir, s"$name.json")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      writeDay(vids.where(col("pubsec") < 86400).drop("pubsec"), "day1", t0)
+      writeDay(vids.where(col("pubsec") >= 86400).drop("pubsec"), "day2", t0 + 60000)
     }
-    val t0 = System.currentTimeMillis() - 120000
-    writeDay(vids.where(col("pubsec") < 86400).drop("pubsec"), "day1", t0)
-    writeDay(vids.where(col("pubsec") >= 86400).drop("pubsec"), "day2", t0 + 60000)
 
     val channels = Seq(("ch0", "Channel Zero"), ("ch1", "Channel One"),
       ("ch2", "Channel Two"), ("ch3", "Channel Three"))
@@ -358,5 +367,39 @@ object Extended60 {
     warehouseResult(s, base)
   }
 
-  val all: Seq[Q] = Seq(c30StreamingPipelineEpoch, c35PipelineRestart)
+  /** C38 — the DEEPEST composition in the battery: videos written
+    * through the DSv2 sink's two-phase MANIFEST commit are streamed back
+    * through the connector's MICRO_BATCH_READ path (VideoOffset cursor,
+    * ~4 admission-controlled epochs instead of c30's two day-files) and
+    * each micro-batch runs the full 7-stage pipeline into the CHECK-
+    * gated exactly-once AtomicWarehouse drain. Same oracle as c30/c35 —
+    * the warehouse must be identical however the rows arrive, which is
+    * precisely the engine claim: ingestion topology (file drops, API
+    * polling, batch sizes) must never change query results.
+    *
+    * Scale: this is the production wiring end-to-end — connector commit
+    * protocol → checkpointed cursor → bounded epochs → atomic drains —
+    * with every hop's crash story individually spec-pinned. */
+  val c38PipelineFromConnector = q("c38_pipeline_from_connector",
+    pipelineOracle) { (s, d) =>
+    val base = freshScratch("c38")
+    val (videosDir, srcFor, checks) =
+      buildPipelineFixture(s, d, base, viaConnector = true)
+    val total = s.read.format("graft-videos").option("path", videosDir)
+      .load().count()
+    withShufflePartitions(s, 8) {
+      val stream = s.readStream.format("graft-videos")
+        .option("path", videosDir)
+        .option("maxRowsPerBatch", math.max(1L, total / 4).toString)
+        .load()
+      Pipeline.streamEpochs(s, stream, srcFor,
+        Pipeline.Dirs(s"$base/staging", s"$base/warehouse"),
+        "2024-05-01T00:00:00Z", "2024-05-02T23:59:59Z", checks,
+        s"$base/checkpoint").awaitTermination()
+    }
+    warehouseResult(s, base)
+  }
+
+  val all: Seq[Q] = Seq(c30StreamingPipelineEpoch, c35PipelineRestart,
+    c38PipelineFromConnector)
 }
