@@ -133,7 +133,9 @@ object AtomicWarehouse {
   object EpochEntry {
     def apply(name: String): EpochEntry = EpochEntry(name, Map.empty)
     private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
-    def parse(l: String): EpochEntry = l.split('\t') match {
+    // limit -1: a trailing EMPTY field (e.g. a string column whose max
+    // is "") must survive the split or the line mis-parses
+    def parse(l: String): EpochEntry = l.split("\t", -1) match {
       case Array(n) => EpochEntry(n)
       case Array(n, mn, mx) if mn.forall(c => c.isDigit || c == '-') =>
         EpochEntry(n, Map(LegacyStatsCol -> ColStats("long", mn, mx)))

@@ -120,4 +120,31 @@ class PipelineSpec extends SparkSuite {
       "video_id", 2)
     assert(spark.read.parquet(dirs.warehouseDir).count() == 6)
   }
+
+  test("atomic epoch: a violating batch is refused, warehouse and manifest untouched") {
+    val dirs = tmpDirs()
+    // first epoch drains clean
+    Pipeline.runEpochAtomic(spark, sources("videos_epoch1.json"), dirs,
+      "2024-05-01T00:00:00Z", "2024-05-02T23:59:59Z", loadSeq = 1,
+      checks = Seq("video_id_present" -> "video_id IS NOT NULL"))
+    assert(graft.sinks.AtomicWarehouse.currentVersion(spark, dirs.warehouseDir) == 1L)
+    val before = graft.sinks.AtomicWarehouse
+      .read(spark, dirs.warehouseDir, "video_id").count()
+    // second epoch declares an unsatisfiable constraint: refused BEFORE
+    // anything reaches the warehouse; the first epoch stays intact
+    val e = intercept[graft.sinks.ConstraintViolationException] {
+      Pipeline.runEpochAtomic(spark, sources("videos_epoch2.json"), dirs,
+        "2024-05-03T00:00:00Z", "2024-05-03T23:59:59Z", loadSeq = 2,
+        checks = Seq("impossible" -> "len < 0"))
+    }
+    assert(e.getMessage.contains("impossible"))
+    assert(graft.sinks.AtomicWarehouse.currentVersion(spark, dirs.warehouseDir) == 1L)
+    assert(graft.sinks.AtomicWarehouse
+      .read(spark, dirs.warehouseDir, "video_id").count() == before)
+    // fixing the constraint lets the SAME epoch seq proceed
+    Pipeline.runEpochAtomic(spark, sources("videos_epoch2.json"), dirs,
+      "2024-05-03T00:00:00Z", "2024-05-03T23:59:59Z", loadSeq = 2,
+      checks = Seq("video_id_present" -> "video_id IS NOT NULL"))
+    assert(graft.sinks.AtomicWarehouse.currentVersion(spark, dirs.warehouseDir) == 2L)
+  }
 }

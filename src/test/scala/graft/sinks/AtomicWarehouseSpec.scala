@@ -490,4 +490,32 @@ class AtomicWarehouseSpec extends SparkSuite {
     assert(AtomicWarehouse.read(spark, wh, "k").columns.contains("month"))
     assert(AtomicWarehouse.read(spark, wh, "k").count() == 40)
   }
+
+  test("manifest entry serialization round-trips arbitrary names/values (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import AtomicWarehouse.{ColStats, EpochEntry}
+    // column names and string stats may contain ANY text — tabs,
+    // newlines, unicode, '%', '+' — the line encoding must round-trip
+    // them all (a date column's min is data, not an identifier)
+    val anyText = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('\t', '\n', ' ', '%', '+', '=', 'é', '季', '-', ':')))
+      .map(_.mkString)
+    val colStats = for {
+      typ <- Gen.oneOf("long", "string")
+      (mn, mx) <- if (typ == "long")
+        Gen.zip(Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+          Gen.chooseNum(-1000000L, 1000000L).map(_.toString))
+      else Gen.zip(anyText, anyText)
+    } yield ColStats(typ, mn, mx)
+    val entry = for {
+      name <- Gen.oneOf(Gen.const("epoch_7"), Gen.const("compact_v3"))
+      cols <- Gen.mapOf(Gen.zip(anyText.suchThat(_.nonEmpty), colStats))
+    } yield EpochEntry(name, cols)
+    val prop = Prop.forAll(entry) { e =>
+      EpochEntry.parse(e.line) == e
+    }
+    val r = check(Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
