@@ -229,6 +229,64 @@ object Extended61 {
     s.table(sinkName).select("channel_id", "n_videos", "latest_pub")
   }
 
+  /** C39 — BLOOM-FILTER point lookups on the atomic warehouse: three
+    * epochs hold INTERLEAVED key populations (evens, odds, every-tenth
+    * refetch) whose min/max ranges fully overlap — the zone map can
+    * never prune — but each epoch's manifest entry carries a key bloom
+    * ([[graft.sinks.AtomicWarehouse.commitEpoch]] `bloomKey`), so a
+    * point read opens only epochs that might hold the key (no false
+    * negatives; AtomicWarehouseSpec pins the exact scan lists). The
+    * result unions three lookups: an odd key (one epoch opened), an
+    * every-tenth key (refetch wins the merge), and an absent key (zero
+    * rows). Oracle: the full unpruned merge filtered to those keys.
+    *
+    * Scale: this is the Delta/Iceberg file-bloom idea at the epoch
+    * level — the case range stats can't touch (hash-distributed or
+    * interleaved keys) goes from "open every epoch" to "open the one
+    * that matters"; the manifest refuses filters past ~4 MB so huge
+    * deltas degrade to conservative scans instead of bloated commits. */
+  val c39BloomPointLookup = q("c39_bloom_point_lookup",
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'EVEN' AS seg, CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'ODD' AS seg, CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_custkey % 2 = 1),
+      |e3 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      |         'TEN' AS seg, CAST(3 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3)
+      |SELECT c_custkey, c_name, seg, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1 AND c_custkey IN (7, 10)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c39") + "/wh"
+    val cust = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+    def ep(seq: Long, dfv: org.apache.spark.sql.DataFrame, seg: String): Unit =
+      AtomicWarehouse.commitEpoch(s, wh,
+        dfv.withColumn("seg", lit(seg)).withColumn("load_seq", lit(seq)),
+        seq, statsKey = Some("c_custkey"), bloomKey = Some("c_custkey"))
+    ep(1L, cust.where(col("c_custkey") % 2 === 0), "EVEN")
+    ep(2L, cust.where(col("c_custkey") % 2 === 1), "ODD")
+    ep(3L, cust.where(col("c_custkey") % 10 === 0), "TEN")
+    val entries = AtomicWarehouse.committedEntriesAt(s, wh,
+      AtomicWarehouse.currentVersion(s, wh))
+    val m = cust.agg(max("c_custkey")).head.getLong(0)
+    // the bloom must beat the (fully-overlapping) range stats for key 7
+    val opened = AtomicWarehouse.scanListForPoint(entries, "c_custkey", 7L)
+    require(opened.size < 3 && opened.exists(_.name == "epoch_2"),
+      s"bloom failed to prune the point scan: ${opened.map(_.name)}")
+    Seq(7L, 10L, m + 5000L)
+      .map(AtomicWarehouse.readPoint(s, wh, "c_custkey", _))
+      .reduce(_.unionByName(_))
+      .select("c_custkey", "c_name", "seg", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(s12Dsv2WriteTruncate, c34CompactionStats,
-    c36PartitionedEpochs, c37Dsv2StreamAgg)
+    c36PartitionedEpochs, c37Dsv2StreamAgg, c39BloomPointLookup)
 }

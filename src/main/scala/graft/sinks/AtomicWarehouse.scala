@@ -327,9 +327,10 @@ object AtomicWarehouse {
   def commitEpoch(spark: SparkSession, dir: String, df: DataFrame,
       seq: Long, statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit =
+      partitionBy: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit =
     commitEpochImpl(spark, dir, df, seq, statsKey, statsCols, () => (),
-      partitionBy)
+      partitionBy, bloomKey)
 
   /** [[commitEpoch]] with a test seam firing between the data publish and
     * the manifest commit — the window a racing vacuum can delete the
@@ -338,7 +339,8 @@ object AtomicWarehouse {
   private[sinks] def commitEpochImpl(spark: SparkSession, dir: String,
       df: DataFrame, seq: Long, statsKey: Option[String],
       statsCols: Seq[String], afterPublish: () => Unit,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit = {
     val epoch = s"epoch_$seq"
     if (committedEpochs(spark, dir).contains(epoch)) return
     val f = fs(spark, dir)
@@ -349,7 +351,9 @@ object AtomicWarehouse {
       publishData(spark, dir, df, epoch, partitionBy)
       afterPublish()
       val stats =
-        if (f.exists(epochPath)) colStatsOf(spark, s"$dir/$epoch", wanted)
+        if (f.exists(epochPath))
+          colStatsOf(spark, s"$dir/$epoch", wanted) ++
+            bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$epoch", k))
         else Map.empty[String, ColStats] // vanished: the compute will notice
       var vanished = false
       commitManifest(spark, dir, s"epoch $epoch") { entries =>
@@ -497,7 +501,8 @@ object AtomicWarehouse {
     * the LIVE rows only (dead versions drop out). */
   def compact(spark: SparkSession, dir: String, key: String,
       statsKey: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit = {
     val wanted = (statsKey.toSeq ++ statsCols).distinct
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -507,7 +512,8 @@ object AtomicWarehouse {
       if (base.size <= 1) return // nothing to fold
       val name = s"compact_v$baseV"
       publishData(spark, dir, readVersion(spark, dir, key, baseV), name)
-      val stats = colStatsOf(spark, s"$dir/$name", wanted)
+      val stats = colStatsOf(spark, s"$dir/$name", wanted) ++
+        bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$name", k))
       var stale = false
       commitManifest(spark, dir, s"compaction $name") { entries =>
         if (entries.exists(_.name == name)) None // identical fold already won
@@ -635,6 +641,77 @@ object AtomicWarehouse {
     mergedRead(spark, dir, key, entries, scanned,
       Some(col(statsCol).cast("string").between(lo, hi)))
   }
+
+  /** POINT lookup with BLOOM-FILTER epoch skipping: beyond the min/max
+    * zone map (which cannot help when every epoch's key RANGE overlaps —
+    * the common case for hash-ish or interleaved keys), each epoch may
+    * carry a Bloom filter over the merge key (`bloomKey` at
+    * [[commitEpoch]]): an epoch whose filter reports the key ABSENT
+    * provably holds no version of it (no false negatives) and is never
+    * opened. Exactly Delta/Iceberg's file-level bloom idea at the epoch
+    * level. Epochs without a filter are scanned conservatively; range
+    * stats still apply first.
+    *
+    * Scale: a 1% - fpp filter costs ~1.2 MB per 1M keys in the manifest
+    * — right for epoch deltas up to the low tens of millions of keys
+    * (the reference's per-epoch fetch is ≤ thousands); beyond that, put
+    * the bloom in the parquet footers (row-group level) and keep the
+    * manifest lean — [[commitEpoch]] refuses to embed filters past
+    * [[MaxBloomBytes]] rather than bloat every manifest read. */
+  def readPoint(spark: SparkSession, dir: String, key: String,
+      value: Long): DataFrame = {
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+    require(entries.nonEmpty, s"no committed epochs at $dir")
+    val scanned = scanListForPoint(entries, key, value).map(_.name).toSet
+    mergedRead(spark, dir, key, entries, scanned,
+      Some(col(key).cast("long") === value))
+  }
+
+  /** The epochs [[readPoint]] would open: range stats first, then the
+    * bloom's no-false-negative verdict. Exposed for test pinning. */
+  def scanListForPoint(entries: Seq[EpochEntry], key: String,
+      value: Long): Seq[EpochEntry] =
+    entries
+      .filter(_.statsFor(key, key)
+        .forall(_.mayIntersect(value.toString, value.toString)))
+      .filter(_.stats.get(bloomStatsCol(key)).forall { st =>
+        deserializeBloom(st.mn).mightContain(value)
+      })
+
+  /** Manifest column slot a key's bloom rides in — distinct from the
+    * key's min/max slot so both coexist in one entry. */
+  private def bloomStatsCol(key: String) = s"bloom($key)"
+
+  /** Build the epoch's key bloom (long-cast key, 1% fpp). None — a
+    * conservative always-scan entry — for empty epochs and for deltas
+    * whose filter would exceed [[MaxBloomBytes]] (put the bloom in the
+    * parquet footers at that size instead of every manifest read). */
+  private def bloomStatsOf(spark: SparkSession, path: String,
+      key: String): Option[(String, ColStats)] = {
+    val keyed = spark.read.parquet(path)
+      .select(col(key).cast("long").as("__k")).where(col("__k").isNotNull)
+    val n = keyed.count()
+    // ~9.6 bits/key at 1% fpp → stay under the manifest-size cap
+    if (n == 0 || n > (MaxBloomBytes.toLong * 8 / 10)) None
+    else {
+      val bf = keyed.stat.bloomFilter("__k", math.max(1000L, n), 0.01)
+      Some(bloomStatsCol(key) -> ColStats("bloom", serializeBloom(bf), n.toString))
+    }
+  }
+
+  private[sinks] val MaxBloomBytes = 4 << 20
+
+  private def serializeBloom(
+      bf: org.apache.spark.util.sketch.BloomFilter): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  private def deserializeBloom(
+      b64: String): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64)))
 
   /** The epochs [[readRange]] would open for [lo,hi] on the merge key —
     * exposed so tests can pin that disjoint epochs are genuinely

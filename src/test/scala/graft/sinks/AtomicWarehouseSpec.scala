@@ -518,4 +518,33 @@ class AtomicWarehouseSpec extends SparkSuite {
     val r = check(Parameters.default.withMinSuccessfulTests(300), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("bloom point lookup skips overlapping-range epochs lacking the key") {
+    val wh = tmp("aw_bloom") + "/wh"
+    def ep(seq: Long, rows: Seq[(Long, String)]): Unit =
+      AtomicWarehouse.commitEpoch(spark, wh,
+        rows.toDF("k", "v").withColumn("load_seq", lit(seq)), seq,
+        statsKey = Some("k"), bloomKey = Some("k"))
+    // all three epochs span the SAME key range — min/max stats can
+    // never prune; only the bloom knows which epoch holds which key
+    ep(1L, (0L to 200L by 2).map(k => k -> s"even$k"))
+    ep(2L, (1L to 199L by 2).map(k => k -> s"odd$k"))
+    ep(3L, (0L to 200L by 10).map(k => k -> s"ten$k"))
+    val entries = AtomicWarehouse.committedEntriesAt(spark, wh,
+      AtomicWarehouse.currentVersion(spark, wh))
+    // range stats alone keep everything...
+    assert(AtomicWarehouse.scanListForRange(entries, "k", 7L, 7L).size == 3)
+    // ...the bloom knows 7 is odd-only and 10 is even+tens
+    assert(AtomicWarehouse.scanListForPoint(entries, "k", 7L).map(_.name) ==
+      Seq("epoch_2"))
+    assert(AtomicWarehouse.scanListForPoint(entries, "k", 10L).map(_.name) ==
+      Seq("epoch_1", "epoch_3"))
+    // and the pruned point reads still merge correctly
+    def point(v: Long) = AtomicWarehouse.readPoint(spark, wh, "k", v)
+      .select(col("v")).collect().map(_.getString(0)).toSeq
+    assert(point(7L) == Seq("odd7"))
+    assert(point(10L) == Seq("ten10")) // load_seq 3 wins over even10
+    // out-of-range point: range stats empty the scan, schema intact
+    assert(AtomicWarehouse.readPoint(spark, wh, "k", 5000L).count() == 0)
+  }
 }
