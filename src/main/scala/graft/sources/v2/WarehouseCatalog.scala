@@ -1,0 +1,166 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sinks.AtomicWarehouse
+
+/** A DSv2 [[TableCatalog]] over a directory of AtomicWarehouses, making
+  * every warehouse SQL-addressable with engine-native TIME TRAVEL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.wh",
+  *     "graft.sources.v2.WarehouseCatalog")
+  *   spark.conf.set("spark.sql.catalog.wh.root", "/data/warehouses")
+  *   spark.sql("SELECT * FROM wh.videos")                  // current
+  *   spark.sql("SELECT * FROM wh.videos VERSION AS OF 3")  // manifest v3
+  *   spark.sql("SELECT * FROM wh.videos TIMESTAMP AS OF '2024-05-01'")
+  * }}}
+  *
+  * This is the reference's actual ergonomics: its warehouse is a
+  * BigQuery TABLE queried by name with server-side time travel (ref:
+  * Python-pipeline/ingestdatainbigquery.py:49-76 queries
+  * `project.dataset.table`); here the same surface rides on the
+  * log-structured parquet warehouse via Spark's own catalog plugin API —
+  * `VERSION AS OF` resolves through [[loadTable(Identifier,Long)]]
+  * exactly as Delta/Iceberg's catalogs do, and every query through the
+  * catalog inherits the [[WarehouseScan]] pruning stack (zone maps,
+  * blooms, hive partitions, runtime join filters).
+  *
+  * Tables are the immediate subdirectories of `root` that hold a
+  * `_manifest/`; the catalog is single-namespace (the default), matching
+  * the flat dataset the reference keeps. Read-facing by design: writes
+  * go through [[AtomicWarehouse]]'s drain/commit protocol (a SQL INSERT
+  * could not carry the epoch seq + stats contract), so the mutating
+  * catalog hooks refuse with that pointer rather than half-supporting
+  * DDL.
+  *
+  * TIMESTAMP AS OF maps to the newest manifest version whose commit file
+  * is not newer than the bound. Manifest files are written once and
+  * atomically published, so their modification time IS the commit time
+  * (the same approximation Delta's timestamp travel documents: clock
+  * skew between writers shifts the boundary, never the content, and
+  * [[AtomicWarehouse.vacuum]]'s retention bounds how far back either
+  * form can travel). */
+class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private var mergeKey: String = ""
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog $name requires spark.sql.catalog.$name.root = <dir of warehouses>")
+    mergeKey = Option(options.get("mergeKey")).getOrElse("")
+  }
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs = new Path(root).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def dirOf(ident: Identifier): String = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("default")),
+      s"catalog $catalogName is single-namespace; got ${ident.namespace.mkString(".")}")
+    s"$root/${ident.name}"
+  }
+
+  private def isWarehouse(dir: String): Boolean =
+    fs.exists(new Path(s"$dir/_manifest"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!(namespace.isEmpty || namespace.sameElements(Array("default"))))
+      throw new NoSuchNamespaceException(namespace)
+    val rp = new Path(root)
+    if (!fs.exists(rp)) Array.empty
+    else fs.listStatus(rp).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isWarehouse(s"$root/$n")).sorted
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isWarehouse(dirOf(ident))
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    if (!isWarehouse(dir)) throw new NoSuchTableException(ident)
+    val v = version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
+    val schema: StructType = WarehouseConnector.snapshotSchema(spark, dir, v)
+    new WarehouseTable(dir, version, schema, mergeKey)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF v` — manifest version v, the catalog form of
+    * [[AtomicWarehouse.readVersion]]. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF '$version': warehouse versions are manifest numbers"))
+    load(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (microseconds since epoch, per the DSv2
+    * contract): newest manifest committed at or before t. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!isWarehouse(dir)) throw new NoSuchTableException(ident)
+    val boundMs = timestamp / 1000L
+    val md = new Path(s"$dir/_manifest")
+    val versions = fs.listStatus(md).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json") &&
+          st.getModificationTime <= boundMs)
+        n.stripPrefix("v").stripSuffix(".json").toLongOption
+      else None
+    }
+    if (versions.isEmpty) throw new NoSuchTableException(ident)
+    load(ident, Some(versions.max))
+  }
+
+  private def readOnly(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$what: graft warehouses mutate only through AtomicWarehouse's " +
+        "drain/commit/compact/vacuum protocol (epoch seq + stats travel " +
+        "with the commit), not catalog DDL")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table =
+    readOnly(s"CREATE TABLE $ident")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly(s"ALTER TABLE $ident")
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly(s"DROP TABLE $ident")
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    readOnly(s"RENAME TABLE $old")
+
+  // single flat namespace, reported so SHOW NAMESPACES / resolution work
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] =
+    if (namespace.isEmpty || namespace.sameElements(Array("default")))
+      java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit =
+    readOnly(s"CREATE NAMESPACE ${namespace.mkString(".")}")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    readOnly(s"ALTER NAMESPACE ${namespace.mkString(".")}")
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    readOnly(s"DROP NAMESPACE ${namespace.mkString(".")}")
+}

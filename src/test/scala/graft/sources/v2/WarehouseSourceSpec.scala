@@ -1,0 +1,265 @@
+package graft.sources.v2
+
+import graft.SparkSuite
+import graft.sinks.AtomicWarehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The graft-warehouse DSv2 connector: ordinary Catalyst predicates must
+  * drive the manifest's epoch pruning (zone maps + blooms + hive
+  * partitions), column pruning must reach the parquet decode, additive
+  * schema evolution must serve nulls, and the micro-batch stream must
+  * tail the manifest exactly-once, skipping compaction folds. */
+class WarehouseSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"wh_src_$tag").toString + "/wh"
+
+  private def typedRows(lo: Int, hi: Int, seq: Long): DataFrame =
+    (lo to hi).map { i =>
+      (i.toLong, s"name $i", i * 1.5, i % 2 == 0,
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-05-${(i % 28) + 1}%02dT10:30:00Z")),
+        java.sql.Date.valueOf(f"2024-05-${(i % 28) + 1}%02d"), seq)
+    }.toDF("k", "name", "score", "flag", "ts", "d", "load_seq")
+
+  private def connRead(dir: String, extra: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-warehouse").option("path", dir)
+    extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  private def scanOf(df: DataFrame): WarehouseScan = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[WarehouseScan] =
+      p.collect {
+        case b: BatchScanExec => Seq(b.scan.asInstanceOf[WarehouseScan])
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(a.executedPlan)
+      }.flatten
+    val scans = find(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    scans.head
+  }
+
+  test("log view round-trips typed epochs, all supported types") {
+    val dir = freshDir("rt")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 50, 1L), 1L)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(40, 80, 2L), 2L)
+    val back = connRead(dir)
+    val expected = typedRows(1, 50, 1L).unionByName(typedRows(40, 80, 2L))
+    assert(back.count() == 91)
+    assert(back.schema.map(f => f.name -> f.dataType) ==
+      expected.schema.map(f => f.name -> f.dataType))
+    assert(back.except(expected).isEmpty && expected.except(back).isEmpty)
+  }
+
+  test("timestamps decode under both INT96 and INT64-micros encodings") {
+    for (enc <- Seq("INT96", "TIMESTAMP_MICROS")) {
+      val dir = freshDir(s"ts_$enc")
+      val old = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", enc)
+      try AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 5, 1L), 1L)
+      finally spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+      val got = connRead(dir).select("k", "ts").as[(Long, java.sql.Timestamp)]
+        .collect().toMap
+      assert(got(3L) == java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-05-04T10:30:00Z")), s"enc=$enc")
+    }
+  }
+
+  test("zone-map epoch pruning fires from a plain .where") {
+    val dir = freshDir("prune")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 100, 1L), 1L,
+      statsKey = Some("k"), statsCols = Seq("d"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1000, 1100, 2L), 2L,
+      statsKey = Some("k"), statsCols = Seq("d"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(5000, 5100, 3L), 3L,
+      statsKey = Some("k"), statsCols = Seq("d"))
+
+    val q = connRead(dir).where(col("k").between(1000, 1100))
+    assert(q.count() == 101)
+    assert(scanOf(q).plannedEpochs() == Seq("epoch_2"))
+
+    // range across two epochs
+    val q2 = connRead(dir).where(col("k") >= 90 && col("k") <= 1005)
+    assert(q2.count() == 11 + 6)
+    assert(scanOf(q2).plannedEpochs() == Seq("epoch_1", "epoch_2"))
+
+    // IN list: only matching epochs
+    val q3 = connRead(dir).where(col("k").isin(5, 5050))
+    assert(q3.count() == 2)
+    assert(scanOf(q3).plannedEpochs() == Seq("epoch_1", "epoch_3"))
+
+    // pushdown is visible in the plan text
+    assert(q.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
+
+  test("string/date zone maps prune too, and filters stay residual") {
+    val dir = freshDir("dprune")
+    def shifted(lo: Int, hi: Int, seq: Long, month: String) =
+      typedRows(lo, hi, seq)
+        .withColumn("d", to_date(concat(lit(s"2024-$month-"),
+          lpad((col("k") % 28 + 1).cast("string"), 2, "0"))))
+    AtomicWarehouse.commitEpoch(spark, dir, shifted(1, 50, 1L, "05"), 1L,
+      statsKey = Some("k"), statsCols = Seq("d"))
+    AtomicWarehouse.commitEpoch(spark, dir, shifted(51, 90, 2L, "07"), 2L,
+      statsKey = Some("k"), statsCols = Seq("d"))
+    val q = connRead(dir).where(col("d").between("2024-07-01", "2024-07-31"))
+    assert(scanOf(q).plannedEpochs() == Seq("epoch_2"))
+    assert(q.count() == 40)
+    // residual check: a predicate inside a surviving epoch still filters
+    val q2 = connRead(dir).where(col("d") === "2024-05-03")
+    assert(scanOf(q2).plannedEpochs() == Seq("epoch_1"))
+    assert(q2.select("k").as[Long].collect().toSet == Set(2L, 30L, 58L)
+      .filter(_ <= 50L))
+  }
+
+  test("bloom filters exclude epochs the zone map cannot") {
+    val dir = freshDir("bloom")
+    // interleaved keys: both epochs span [1..1000], zone maps are useless
+    val e1 = spark.range(1, 1001, 2).select(col("id").as("k"),
+      lit("odd").as("tag"), lit(1L).as("load_seq"))
+    val e2 = spark.range(2, 1001, 2).select(col("id").as("k"),
+      lit("even").as("tag"), lit(2L).as("load_seq"))
+    AtomicWarehouse.commitEpoch(spark, dir, e1, 1L, statsKey = Some("k"),
+      bloomKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, dir, e2, 2L, statsKey = Some("k"),
+      bloomKey = Some("k"))
+    val q = connRead(dir).where(col("k") === 501)
+    assert(q.count() == 1)
+    // epoch_2 (evens) excluded by its bloom with ~1% fp chance; this
+    // fixed key is deterministic across runs (bloom hashing is seeded)
+    assert(scanOf(q).plannedEpochs() == Seq("epoch_1"))
+  }
+
+  test("column pruning reaches the parquet decode") {
+    val dir = freshDir("cols")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 20, 1L), 1L)
+    val q = connRead(dir).select("k", "name")
+    assert(scanOf(q).readSchema().fieldNames.toSeq == Seq("k", "name"))
+    assert(q.count() == 20)
+  }
+
+  test("additive schema evolution serves nulls for pre-evolution epochs") {
+    val dir = freshDir("evolve")
+    AtomicWarehouse.commitEpoch(spark, dir,
+      typedRows(1, 10, 1L).drop("score"), 1L)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 20, 2L), 2L)
+    val back = connRead(dir)
+    assert(back.schema.fieldNames.contains("score"))
+    assert(back.where(col("score").isNull).count() == 10)
+    assert(back.where(col("k") <= 10 && col("score").isNull).count() == 10)
+  }
+
+  test("hive-partitioned epochs: partition column round-trips and prunes files") {
+    val dir = freshDir("hive")
+    val df = typedRows(1, 60, 1L)
+      .withColumn("bucket", (col("k") % 3).cast("int"))
+    AtomicWarehouse.commitEpoch(spark, dir, df, 1L, partitionBy = Seq("bucket"))
+    val all = connRead(dir)
+    assert(all.count() == 60)
+    assert(all.groupBy("bucket").count().count() == 3)
+    val q = connRead(dir).where(col("bucket") === 1)
+    assert(q.count() == 20)
+    // file-level pruning: only bucket=1 subdir files planned
+    val parts = scanOf(q).planInputPartitions()
+    assert(parts.nonEmpty && parts.forall(
+      _.asInstanceOf[WarehouseFilePartition].path.contains("bucket=1")))
+  }
+
+  test("time travel via option(version)") {
+    val dir = freshDir("tt")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 30, 2L), 2L)
+    assert(connRead(dir, "version" -> "1").count() == 10)
+    assert(connRead(dir).count() == 30)
+  }
+
+  test("runtime filtering re-prunes epochs from a broadcast join") {
+    val dir = freshDir("dfp")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 100, 1L), 1L,
+      statsKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1000, 1100, 2L), 2L,
+      statsKey = Some("k"))
+    val dim = Seq((1050L, "x"), (1060L, "y")).toDF("dk", "payload")
+    val fact = connRead(dir)
+    val joined = fact.join(broadcast(dim), fact("k") === dim("dk"))
+    assert(joined.count() == 2)
+    // whether Spark injected the runtime filter is plan-dependent; the
+    // CONTRACT this test pins is scan.filter() shrinking plannedEpochs
+    val scan = scanOf(joined)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(1050L, 1060L))))
+    assert(scan.plannedEpochs() == Seq("epoch_2"))
+  }
+
+  test("micro-batch stream tails the manifest and skips compaction folds") {
+    val dir = freshDir("tail")
+    val base = java.nio.file.Files.createTempDirectory("wh_tail").toString
+    val (ckpt, out) = (s"$base/ck", s"$base/out")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(5, 20, 2L), 2L)
+
+    // memory sinks cannot recover a checkpoint; the restartable file sink
+    // is the shape a real tail runs anyway
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-warehouse").option("path", dir)
+        .load().select("k", "name", "load_seq")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    drainOnce()
+    // initial snapshot: all committed rows (log view: 10 + 16)
+    assert(spark.read.parquet(out).count() == 26)
+
+    // fold + new drain while the stream is stopped
+    AtomicWarehouse.compact(spark, dir, "k")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(100, 110, 4L), 4L)
+
+    drainOnce()
+    // resumed from checkpoint: ONLY epoch_4 appended — the fold was
+    // skipped (a re-served fold would have added its 20 merged rows)
+    val after = spark.read.parquet(out)
+    assert(after.count() == 37)
+    assert(after.where(col("load_seq") === 4L).count() == 11)
+
+    // a FRESH stream's initial snapshot serves the fold + epoch_4
+    val (ckpt2, out2) = (s"$base/ck2", s"$base/out2")
+    val q2 = spark.readStream.format("graft-warehouse").option("path", dir)
+      .load().select("k", "load_seq")
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+    // fold holds the 20 merged live keys; epoch_4 adds 11
+    assert(spark.read.parquet(out2).count() == 31)
+  }
+
+  test("admission control bounds versions per batch") {
+    val dir = freshDir("adm")
+    for (s <- 1L to 4L)
+      AtomicWarehouse.commitEpoch(spark, dir,
+        typedRows(s.toInt * 100, s.toInt * 100 + 9, s), s)
+    val ckpt = java.nio.file.Files.createTempDirectory("wh_adm_ck").toString
+    val q = spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("maxVersionsPerBatch", "1")
+      .load().select("k")
+      .writeStream.format("memory").queryName("wh_adm")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("wh_adm").count() == 40)
+    // 4 versions → 4 micro-batches of one version each, plus possibly a
+    // final empty batch; batch 0 is the initial snapshot of v1 only
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+    spark.catalog.dropTempView("wh_adm")
+  }
+}
