@@ -248,7 +248,60 @@ object Extended62 {
         |FROM cur JOIN v1 ON cur.k = v1.k""".stripMargin)
   }
 
+  /** C45 — the connector's WRITE half: two epochs drained through
+    * `df.write.format("graft-warehouse")` — executor tasks stream
+    * parquet parts into a hidden stage, the job commit drops
+    * uncommitted-attempt leftovers, one dir rename + the manifest CAS
+    * publish the epoch ([[graft.sources.v2.WarehouseSink]] /
+    * [[graft.sinks.AtomicWarehouse.commitStagedEpoch]]) — then read
+    * back MERGED through the same connector with a pruning filter. The
+    * zone-map/bloom options ride the write (`statsKey`/`bloomKey`), so
+    * connector-written epochs prune identically to commitEpoch's
+    * (WarehouseSinkSpec pins the manifest stats; the abort/replay
+    * crash matrix lives there too). The oracle replays both writes.
+    *
+    * Scale: the write IS the drain protocol — per-task streamed parts
+    * (no partition buffering), O(1) renames, O(delta) stats — so
+    * `df.write` from a 1000-executor job commits with the same atomic
+    * all-or-nothing visibility as every other warehouse writer. */
+  val c45ConnectorWrite = q("c45_connector_write",
+    """WITH e1 AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name,
+      |         CAST(s_nationkey AS BIGINT) AS nat, 'BASE' AS src,
+      |         CAST(1 AS BIGINT) AS load_seq
+      |  FROM supplier),
+      |e2 AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name,
+      |         CAST(s_nationkey AS BIGINT) AS nat, 'REFETCH' AS src,
+      |         CAST(2 AS BIGINT) AS load_seq
+      |  FROM supplier WHERE s_suppkey % 3 = 0),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |SELECT k, s_name, nat, src, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY k
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1 AND nat < 13""".stripMargin) { (s, d) =>
+    val wh = freshScratch("c45") + "/wh"
+    val base = Tables.supplier(s, d).select(
+      col("s_suppkey").cast("long").as("k"), col("s_name"),
+      col("s_nationkey").cast("long").as("nat"))
+    def put(seq: Long, dfv: DataFrame, src: String): Unit =
+      dfv.withColumn("src", lit(src)).withColumn("load_seq", lit(seq))
+        .write.format("graft-warehouse")
+        .option("path", wh).option("seq", seq.toString)
+        .option("statsKey", "k").option("statsCols", "nat")
+        .option("bloomKey", "k")
+        .mode("append").save()
+    put(1L, base, "BASE")
+    put(2L, base.where(col("k") % 3 === 0), "REFETCH")
+    val log = s.read.format("graft-warehouse").option("path", wh).load()
+      .where(col("nat") < 13)
+    val w = Window.partitionBy(col("k")).orderBy(col("load_seq").desc)
+    log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .select("k", "s_name", "nat", "src", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(c40ConnectorSnapshotMerge, c41ConnectorRuntimePrune,
     c42ConnectorManifestTail, c43ConnectorHivePartition,
-    c44CatalogSqlTimeTravel)
+    c44CatalogSqlTimeTravel, c45ConnectorWrite)
 }

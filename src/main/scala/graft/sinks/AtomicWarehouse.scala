@@ -371,6 +371,56 @@ object AtomicWarehouse {
     }
   }
 
+  /** Commit an epoch whose data was ALREADY STAGED by an external writer
+    * (the DSv2 sink: executor tasks wrote parquet parts into `stage`,
+    * which must live under `dir` so the publish is one same-filesystem
+    * rename). Same visibility contract as [[commitEpoch]]: the move into
+    * `$dir/epoch_<seq>` is invisible until the manifest CAS lands, a
+    * concurrent replay of the same seq converges (the stage is dropped
+    * and the winner adopted), and racing writers of OTHER epochs
+    * serialize through the manifest loop. One difference, documented at
+    * the sink: the staged data exists ONCE, so the vanish-and-republish
+    * recovery `commitEpoch` runs when a mis-configured vacuum deletes
+    * the published dir mid-commit is replaced by a loud failure — a
+    * DSv2 write racing a grace-window-violating vacuum must surface,
+    * not silently re-run the job's tasks. */
+  def commitStagedEpoch(spark: SparkSession, dir: String, stage: Path,
+      seq: Long, statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit = {
+    val epoch = s"epoch_$seq"
+    val f = fs(spark, dir)
+    requireAtomicScheme(f, dir)
+    val epochPath = new Path(s"$dir/$epoch")
+    if (committedEpochs(spark, dir).contains(epoch)) {
+      f.delete(stage, true) // idempotent replay: the committed copy wins
+      return
+    }
+    val marker = new Path(stage, "_SUCCESS")
+    if (!f.exists(marker)) f.create(marker, true).close()
+    if (f.exists(epochPath) &&
+        f.exists(new Path(epochPath, "_SUCCESS"))) {
+      f.delete(stage, true) // adopt a concurrent same-seq writer's publish
+    } else {
+      if (f.exists(epochPath)) f.delete(epochPath, true) // torn leftover
+      if (!publishDir(f, stage, epochPath)) {
+        f.delete(stage, true)
+        if (!f.exists(epochPath)) throw new java.io.IOException(
+          s"failed to publish $epochPath and no concurrent writer did either")
+      }
+    }
+    val wanted = (statsKey.toSeq ++ statsCols).distinct
+    val stats = colStatsOf(spark, s"$dir/$epoch", wanted) ++
+      bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$epoch", k))
+    commitManifest(spark, dir, s"staged epoch $epoch") { entries =>
+      if (entries.exists(_.name == epoch)) None // a concurrent replay won
+      else if (!f.exists(epochPath)) throw new java.io.IOException(
+        s"staged epoch $epoch at $dir vanished before its manifest commit " +
+          "— a vacuum with too short a grace window is racing this write")
+      else Some(entries :+ EpochEntry(epoch, stats))
+    }
+  }
+
   /** Per-column min/max over a published data dir, in ONE aggregate pass.
     * Integral columns record `"long"` stats (numeric comparison); string/
     * date/timestamp columns record `"string"` stats (their canonical

@@ -79,6 +79,9 @@ import graft.sinks.AtomicWarehouse.{ColStats, EpochEntry}
   */
 class WarehouseSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-warehouse"
+  // external metadata = the WRITE path hands us the DataFrame's schema
+  // (a first write targets an EMPTY warehouse, which has none to infer)
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = options.get("path")
     require(dir != null && dir.nonEmpty,
@@ -109,8 +112,10 @@ object WarehouseConnector {
     * one name are refused loudly — silent coercion would make the
     * connector's nulls indistinguishable from cast losses. */
   def snapshotSchema(spark: SparkSession, dir: String, v: Long): StructType = {
+    // an EMPTY warehouse (first write's target) has nothing to infer:
+    // an empty schema lets the write path proceed (it brings its own
+    // schema via supportsExternalMetadata); a read of it is just empty
     val entries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
-    require(entries.nonEmpty, s"no committed epochs at $dir v$v")
     entries.foldLeft(new StructType()) { (acc, e) =>
       spark.read.parquet(s"$dir/${e.name}").schema.foldLeft(acc) { (a, f) =>
         a.fields.find(_.name == f.name) match {
@@ -298,16 +303,21 @@ object WarehouseConnector {
 }
 
 class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
-    mergeKey: String) extends Table with SupportsRead {
+    mergeKey: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-warehouse($dir${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WarehouseWriteBuilder(dir, info)
 }
 
 class WarehouseScanBuilder(dir: String, version: Option[Long],

@@ -1,0 +1,135 @@
+package graft.sources.v2
+
+import graft.SparkSuite
+import graft.sinks.AtomicWarehouse
+import org.apache.spark.sql.functions._
+
+/** The graft-warehouse DSv2 WRITE path: epochs drained through
+  * `df.write` must commit atomically (manifest CAS), replay
+  * idempotently, carry zone-map/bloom stats, drop failed-attempt
+  * leftovers, and refuse unsupported shapes loudly. */
+class WarehouseSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"wh_sink_$tag").toString + "/wh"
+
+  private def rows(lo: Int, hi: Int, seq: Long) =
+    (lo to hi).map(i => (i.toLong, s"n$i", i * 0.5, seq))
+      .toDF("k", "name", "score", "load_seq")
+
+  private def write(df: org.apache.spark.sql.DataFrame, dir: String,
+      seq: Long, extra: (String, String)*): Unit = {
+    val w = df.write.format("graft-warehouse")
+      .option("path", dir).option("seq", seq.toString).mode("append")
+    extra.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.save()
+  }
+
+  test("a written epoch round-trips through every read path") {
+    val dir = freshDir("rt")
+    write(rows(1, 100, 1L), dir, 1L)
+    write(rows(50, 120, 2L), dir, 2L)
+    // the connector read
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 171)
+    // the native API's merged read agrees
+    val merged = AtomicWarehouse.read(spark, dir, "k")
+    assert(merged.count() == 120)
+    assert(merged.where(col("k") === 60).head.getAs[Long]("load_seq") == 2L)
+  }
+
+  test("same-seq replay is idempotent; stage dirs never linger") {
+    val dir = freshDir("replay")
+    write(rows(1, 30, 1L), dir, 1L)
+    write(rows(1, 30, 1L), dir, 1L) // replay: adopted, not duplicated
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 30)
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("stats options produce a pruning manifest entry") {
+    val dir = freshDir("stats")
+    write(rows(1, 100, 1L), dir, 1L, "statsKey" -> "k", "bloomKey" -> "k",
+      "statsCols" -> "name")
+    write(rows(1000, 1100, 2L), dir, 2L, "statsKey" -> "k",
+      "bloomKey" -> "k", "statsCols" -> "name")
+    val entries = AtomicWarehouse.committedEntriesAt(spark, dir, 2L)
+    assert(entries.forall(e => e.stats.contains("k") &&
+      e.stats.contains("name") && e.stats.contains("bloom(k)")))
+    assert(AtomicWarehouse.scanListForRange(entries, "k", 1000, 1100)
+      .map(_.name) == Seq("epoch_2"))
+  }
+
+  test("overwrite mode is refused (epochs are immutable deltas)") {
+    val dir = freshDir("ow")
+    write(rows(1, 10, 1L), dir, 1L)
+    val e = intercept[Exception] {
+      rows(1, 5, 2L).write.format("graft-warehouse")
+        .option("path", dir).option("seq", "2").mode("overwrite").save()
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate") ||
+      e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 1L)
+  }
+
+  test("missing seq and unsupported column types fail at planning") {
+    val dir = freshDir("bad")
+    val e1 = intercept[Exception] {
+      rows(1, 5, 1L).write.format("graft-warehouse")
+        .option("path", dir).mode("append").save()
+    }
+    assert(e1.getMessage.contains("seq"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq((1L, BigDecimal(2))).toDF("k", "d")
+        .write.format("graft-warehouse")
+        .option("path", dir).option("seq", "1").mode("append").save()
+    }
+    assert(e2.getMessage.contains("flat primitive"), e2.getMessage)
+    // nothing was committed by either failure
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 0L)
+  }
+
+  test("a failing write leaves the warehouse untouched") {
+    val dir = freshDir("abort")
+    write(rows(1, 50, 1L), dir, 1L)
+    val boom = udf((k: Long) =>
+      if (k == 70L) throw new RuntimeException("boom") else s"n$k")
+    val poison = rows(51, 90, 2L).withColumn("name", boom(col("k")))
+    intercept[Exception] { write(poison, dir, 2L) }
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 1L)
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 50)
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("timestamps and dates written by the sink decode back exactly") {
+    val dir = freshDir("ts")
+    val df = Seq(
+      (1L, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-05-03T10:30:00.123456Z")),
+        java.sql.Date.valueOf("2024-05-03")),
+      (2L, java.sql.Timestamp.from(
+        java.time.Instant.parse("1969-12-31T23:59:59Z")),
+        java.sql.Date.valueOf("1969-12-31"))
+    ).toDF("k", "ts", "d")
+    write(df.withColumn("load_seq", lit(1L)), dir, 1L)
+    val back = spark.read.format("graft-warehouse").option("path", dir)
+      .load().select("k", "ts", "d")
+      .as[(Long, java.sql.Timestamp, java.sql.Date)].collect()
+      .map { case (k, t, d2) => k -> ((t, d2)) }.toMap
+    assert(back(1L)._1.toInstant ==
+      java.time.Instant.parse("2024-05-03T10:30:00.123456Z"))
+    assert(back(2L)._1.toInstant ==
+      java.time.Instant.parse("1969-12-31T23:59:59Z"))
+    assert(back(1L)._2.toString == "2024-05-03")
+    assert(back(2L)._2.toString == "1969-12-31")
+    // and Spark's native parquet reader agrees with the Group writer
+    assert(spark.read.parquet(s"$dir/epoch_1").where(col("k") === 1L)
+      .head.getAs[java.sql.Timestamp]("ts").toInstant ==
+      java.time.Instant.parse("2024-05-03T10:30:00.123456Z"))
+  }
+}
