@@ -41,6 +41,7 @@ object ScaleProbe {
     if (mode == "stream") { streamProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
+    if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val emb = Tables.embeddings(spark, sfDir)
@@ -166,6 +167,60 @@ object ScaleProbe {
     println(f"| $k | $tLoad%.2f | $tFull%.2f | $tRange%.2f | $tCompact%.2f | $tFull2%.2f |")
     require(full == full2 && full == k * cust.count(),
       "compaction or replication changed row counts")
+  }
+
+  /** graft-warehouse CONNECTOR probe: does a plain Catalyst `.where`
+    * through the DSv2 scan prune I/O the way the explicit readRange API
+    * does, and what does the DSv2 write path cost vs commitEpoch? K
+    * key-disjoint epochs (each a full customer copy, shifted) are
+    * written THROUGH `df.write.format("graft-warehouse")`, then read
+    * back via `spark.read` with (a) no filter, (b) a one-epoch key
+    * range, (c) a single-key point lookup (bloom path). Timings + the
+    * epochs-opened counts print as a BENCH.md row. */
+  private def connectorProbe(spark: SparkSession, sfDir: String, base: String,
+      k: Int): Unit = {
+    val wh = s"$base/whc"
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+        col("c_mktsegment"))
+    val n = cust.agg(max("k")).head.getLong(0) + 1
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tWrite) = timeIt {
+      (0 until k).foreach { r =>
+        cust.withColumn("k", col("k") + lit(r * n))
+          .withColumn("load_seq", lit(r + 1L))
+          .write.format("graft-warehouse")
+          .option("path", wh).option("seq", (r + 1L).toString)
+          .option("statsKey", "k").option("bloomKey", "k")
+          .mode("append").save()
+      }
+    }
+    def read() = spark.read.format("graft-warehouse").option("path", wh).load()
+    def epochsOpened(df: org.apache.spark.sql.DataFrame): Int = {
+      def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+        p.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b.scan.asInstanceOf[graft.sources.v2.WarehouseScan]
+              .plannedEpochs().size)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            find(a.executedPlan)
+        }.flatten
+      find(df.queryExecution.executedPlan).head
+    }
+    val (full, tFull) = timeIt(read().count())
+    val mid = k / 2
+    val rq = read().where(col("k").between(mid * n, (mid + 1) * n - 1))
+    val (ranged, tRange) = timeIt(rq.count())
+    val pq = read().where(col("k") === (mid * n + 7))
+    val (point, tPoint) = timeIt(pq.count())
+    println(s"| epochs | dsv2 write s | full read ($full rows) s | " +
+      s"range read ($ranged rows, ${epochsOpened(rq)}/$k epochs) s | " +
+      s"point read ($point rows, ${epochsOpened(pq)}/$k epochs) s |")
+    println("|---|---|---|---|---|")
+    println(f"| $k | $tWrite%.2f | $tFull%.2f | $tRange%.2f | $tPoint%.2f |")
+    require(full == k * cust.count(), "connector write/read changed row counts")
   }
 
   private def densifyProbe(spark: SparkSession, sfDir: String, k: Int): Unit = {
