@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -358,13 +359,42 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     required: StructType, pruneFilters: Array[Filter],
     maxVersionsPerBatch: Int)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   import WarehouseConnector._
 
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** POST-PRUNING size statistics from the manifest + file lengths, so
+    * Catalyst's join planning sees the warehouse read at its pruned
+    * size: a date-sliced or key-sliced read that fits under
+    * `autoBroadcastJoinThreshold` gets planned as the BROADCAST side
+    * with no hint — the decision Delta/Iceberg feed the same way. Row
+    * count comes from the bloom entries' recorded key counts when every
+    * planned epoch carries one (conservative: absent otherwise). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    private val planned = plannedEpochs()
+    private val bytes: Long = planned.map { e =>
+      listEpochFiles(f, dir, e)
+        .map(w => f.getFileStatus(new Path(w.path)).getLen).sum
+    }.sum
+    private val rowCounts: Seq[Option[Long]] =
+      entries.filter(e => planned.contains(e.name)).map(_.stats.collectFirst {
+        case (c, ColStats("bloom", _, n)) if c.startsWith("bloom(") =>
+          n.toLong
+      })
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
+        java.util.OptionalLong.of(rowCounts.flatten.sum)
+      else java.util.OptionalLong.empty()
+  }
 
   private def spark = SparkSession.active
   private lazy val resolvedVersion: Long =

@@ -242,6 +242,49 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(spark.read.parquet(out2).count() == 31)
   }
 
+  test("merge-key filters ABOVE the last-wins window still prune epochs") {
+    // Catalyst pushes predicates through a Window when they reference
+    // only its partitionBy columns — so the idiomatic merged-view read
+    // (window on the merge key, filter on top) delivers its key
+    // predicate to the connector with no user cooperation
+    val dir = freshDir("thruwin")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 100, 1L), 1L,
+      statsKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1000, 1100, 2L), 2L,
+      statsKey = Some("k"))
+    val log = connRead(dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("load_seq").desc)
+    val merged = log.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .where(col("k") >= 1000) // ABOVE the window
+    assert(merged.count() == 101)
+    assert(scanOf(merged).plannedEpochs() == Seq("epoch_2"))
+  }
+
+  test("post-pruning statistics let a sliced read auto-broadcast") {
+    val dir = freshDir("stats")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 50, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1000, 1050, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val sliced = connRead(dir).where(col("k") <= 50)
+    val stats = scanOf(sliced).estimateStatistics()
+    // size reflects ONLY the surviving epoch's files; rows come from the
+    // bloom entries' recorded key counts
+    assert(stats.sizeInBytes().getAsLong > 0)
+    assert(stats.numRows().getAsLong == 50)
+    val fullBytes = scanOf(connRead(dir)).estimateStatistics()
+      .sizeInBytes().getAsLong
+    assert(stats.sizeInBytes().getAsLong < fullBytes)
+    // and join planning uses it: the pruned side broadcasts with no hint
+    val fact = spark.range(0, 10000).select(col("id").as("fk"))
+    val joined = fact.join(sliced, col("fk") === col("k"))
+    assert(joined.count() == 50)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("admission control bounds versions per batch") {
     val dir = freshDir("adm")
     for (s <- 1L to 4L)
