@@ -640,7 +640,12 @@ object AtomicWarehouse {
         .filter(_.isDirectory)
         .filter { st =>
           val n = st.getPath.getName
-          n != "_manifest" && !n.startsWith(".") && !referenced.contains(n) &&
+          // visible unreferenced dirs AND abandoned hidden stage dirs (a
+          // crashed writer's `.stage_*` never becomes referenced — without
+          // this they accumulate forever); both age-gated by graceMs so
+          // in-flight publishes are never touched
+          n != "_manifest" && !referenced.contains(n) &&
+            (!n.startsWith(".") || n.startsWith(".stage_")) &&
             st.getModificationTime <= cutoff
         }
         .count(st => f.delete(st.getPath, true))

@@ -137,20 +137,28 @@ object WarehouseConnector {
   final case class WhFile(path: String, epoch: String,
       partValues: Seq[(String, String)])
 
-  /** Hive-style %-unescape (Spark escapes path-hostile chars on write). */
+  /** Hive-style %-unescape (Spark escapes path-hostile chars on write).
+    * Decodes to BYTES first and UTF-8-decodes once at the end — a
+    * multi-byte character escapes as consecutive %XX pairs, and decoding
+    * each pair to a char would mangle it. */
   def unescapePath(s: String): String = {
-    val sb = new StringBuilder(s.length)
+    val out = new java.io.ByteArrayOutputStream(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val h = Character.digit(s.charAt(i + 1), 16)
-        val l = Character.digit(s.charAt(i + 2), 16)
-        if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        out.write((Character.digit(s.charAt(i + 1), 16) << 4) |
+          Character.digit(s.charAt(i + 2), 16))
+        i += 3
+      } else {
+        val bytes = c.toString.getBytes("UTF-8")
+        out.write(bytes, 0, bytes.length)
+        i += 1
+      }
     }
-    sb.toString
+    new String(out.toByteArray, "UTF-8")
   }
 
   /** Recursive listing of an epoch dir's parquet files, collecting

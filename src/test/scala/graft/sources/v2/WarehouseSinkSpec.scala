@@ -106,6 +106,22 @@ class WarehouseSinkSpec extends SparkSuite {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("vacuum reclaims an abandoned write stage after the grace window") {
+    val dir = freshDir("stage_gc")
+    write(rows(1, 20, 1L), dir, 1L)
+    // simulate a writer that crashed between task commits and job commit
+    val stray = new java.io.File(s"$dir/.stage_epoch_9_deadbeef")
+    stray.mkdirs()
+    new java.io.File(stray, "part-00000-orphan.parquet").createNewFile()
+    val (_, dropped) = AtomicWarehouse.vacuum(spark, dir,
+      retainVersions = 1, graceMs = 0L)
+    assert(dropped == 1)
+    assert(!stray.exists())
+    // the committed epoch is untouched
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 20)
+  }
+
   test("timestamps and dates written by the sink decode back exactly") {
     val dir = freshDir("ts")
     val df = Seq(
