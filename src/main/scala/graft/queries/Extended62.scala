@@ -301,7 +301,59 @@ object Extended62 {
       .select("k", "s_name", "nat", "src", "load_seq")
   }
 
+  /** C46 — warehouse→warehouse INCREMENTAL REPLICATION, the connector
+    * pieces composed into the cross-region pattern a 100 TB corpus
+    * store actually runs: the connector STREAM tails the source
+    * manifest one version per micro-batch (`maxVersionsPerBatch=1`),
+    * and `foreachBatch` drains each batch into a TARGET warehouse
+    * through the connector's WRITE half with `seq = batchId + 1` — the
+    * batchId-keyed idempotence that makes a replayed batch converge on
+    * the same epoch instead of double-loading (same contract as c19,
+    * now through `df.write` instead of a hand-called sink API). The
+    * hashed result is the target's log read back through the connector:
+    * row-identical to the source's three epochs, whatever the batch
+    * split did. The oracle replays the three drains.
+    *
+    * Scale: replication lag is bounded by drain cadence (one batch per
+    * manifest version), each batch ships O(epoch delta), the target
+    * commits with the same all-or-nothing visibility as any writer,
+    * and a checkpoint-resumed replicator re-serves no epoch (c42's
+    * exactly-once tail + this entry's idempotent write compose). */
+  val c46WarehouseReplication = q("c46_warehouse_replication",
+    """WITH e AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name,
+      |         CAST(1 + p_partkey % 3 AS BIGINT) AS load_seq
+      |  FROM part)
+      |SELECT k, p_name, load_seq FROM e""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c46")
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ck")
+    val base = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name"))
+    for (seq <- 1L to 3L)
+      AtomicWarehouse.commitEpoch(s, src,
+        base.where(col("k") % 3 === (seq - 1))
+          .withColumn("load_seq", lit(seq)), seq)
+    val q = s.readStream.format("graft-warehouse").option("path", src)
+      .option("maxVersionsPerBatch", "1")
+      .load().select("k", "p_name", "load_seq")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.format("graft-warehouse")
+          .option("path", dst).option("seq", (batchId + 1L).toString)
+          .option("statsKey", "k")
+          .mode("append").save()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    require(!q.isActive, "replication stream did not drain in time")
+    s.read.format("graft-warehouse").option("path", dst).load()
+      .select("k", "p_name", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(c40ConnectorSnapshotMerge, c41ConnectorRuntimePrune,
     c42ConnectorManifestTail, c43ConnectorHivePartition,
-    c44CatalogSqlTimeTravel, c45ConnectorWrite)
+    c44CatalogSqlTimeTravel, c45ConnectorWrite, c46WarehouseReplication)
 }
