@@ -353,7 +353,54 @@ object Extended62 {
       .select("k", "p_name", "load_seq")
   }
 
+  /** C47 — `writeStream.format("graft-warehouse")` DIRECT: the engine's
+    * own StreamingWrite path (no foreachBatch) commits ONE EPOCH PER
+    * MICRO-BATCH at `seq = seqBase + epochId` — the replayable epochId
+    * is the epoch identity, so a checkpoint-restarted batch converges
+    * on its already-committed epoch (the same exactly-once contract as
+    * c46, now with the ENGINE driving the two-phase commit: per-epoch
+    * task staging, driver per-epoch publish). Source side tails a
+    * warehouse one manifest version per batch; the hashed result is the
+    * target's log — row-identical to the source's epochs regardless of
+    * the batch split. Oracle replays the three drains.
+    *
+    * Scale: this is the zero-glue streaming drain — any Structured
+    * Streaming pipeline ends in `.writeStream.format("graft-warehouse")`
+    * and inherits atomic all-or-nothing epochs, idempotent restart, and
+    * the manifest's pruning stats, with no sink code at all. */
+  val c47StreamingWriteDirect = q("c47_streaming_write_direct",
+    """WITH e AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+      |         CAST(1 + c_custkey % 2 AS BIGINT) AS load_seq
+      |  FROM customer)
+      |SELECT k, c_name, load_seq FROM e""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c47")
+    val (src, dst, ckpt) = (s"$root/src", s"$root/dst", s"$root/ck")
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("k"), col("c_name"))
+    for (seq <- 1L to 2L)
+      AtomicWarehouse.commitEpoch(s, src,
+        base.where(col("k") % 2 === (seq - 1))
+          .withColumn("load_seq", lit(seq)), seq)
+    val q = s.readStream.format("graft-warehouse").option("path", src)
+      .option("maxVersionsPerBatch", "1")
+      .load().select("k", "c_name", "load_seq")
+      .writeStream.format("graft-warehouse")
+      .option("path", dst).option("seqBase", "1")
+      .option("statsKey", "k")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    require(!q.isActive, "streaming drain did not finish in time")
+    s.read.format("graft-warehouse").option("path", dst).load()
+      .select("k", "c_name", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(c40ConnectorSnapshotMerge, c41ConnectorRuntimePrune,
     c42ConnectorManifestTail, c43ConnectorHivePartition,
-    c44CatalogSqlTimeTravel, c45ConnectorWrite, c46WarehouseReplication)
+    c44CatalogSqlTimeTravel, c45ConnectorWrite, c46WarehouseReplication,
+    c47StreamingWriteDirect)
 }

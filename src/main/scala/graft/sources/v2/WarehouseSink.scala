@@ -87,38 +87,46 @@ class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder {
   override def build(): Write = {
     val o = info.options()
-    val seq = Option(o.get("seq")).flatMap(_.toLongOption).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-warehouse writes require .option(\"seq\", <epoch number>) " +
-          "— the epoch identity that makes replays idempotent"))
     WarehouseSink.messageType(info.schema()) // fail unsupported types NOW
     val statsCols = Option(o.get("statsCols")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-    new WarehouseWrite(dir, seq, info.schema(),
+    val seq = Option(o.get("seq")).flatMap(_.toLongOption)
+    val seqBase = Option(o.get("seqBase")).flatMap(_.toLongOption)
+      .getOrElse(1L)
+    new WarehouseWrite(dir, seq, seqBase, info.schema(),
       Option(o.get("statsKey")), statsCols, Option(o.get("bloomKey")))
   }
 }
 
-class WarehouseWrite(dir: String, seq: Long, schema: StructType,
-    statsKey: Option[String], statsCols: Seq[String],
-    bloomKey: Option[String]) extends Write with BatchWrite {
+class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
+    schema: StructType, statsKey: Option[String], statsCols: Seq[String],
+    bloomKey: Option[String]) extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+
   override def toBatch: BatchWrite = this
 
-  private val stage = s"$dir/.stage_epoch_${seq}_${UUID.randomUUID}"
+  // BatchWrite and StreamingWrite both default this; diamond rule wants
+  // an explicit pick (same value either way)
+  override def useCommitCoordinator(): Boolean = true
 
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory = {
-    val spark = SparkSession.active
-    val f = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    f.mkdirs(new Path(stage))
-    new WarehouseWriterFactory(stage, schema)
-  }
+  private def seq: Long = seqOpt.getOrElse(
+    throw new IllegalArgumentException(
+      "graft-warehouse batch writes require .option(\"seq\", <epoch " +
+        "number>) — the epoch identity that makes replays idempotent"))
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  // one write instance = one job; the UUID keeps concurrent same-seq
+  // writers' stages apart (the loser adopts at commit)
+  private val writeId = UUID.randomUUID
+  private def stageFor(s: Long) = s"$dir/.stage_epoch_${s}_$writeId"
+
+  private def fsOf(spark: SparkSession) = new Path(dir).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def commitStage(stage: String, s: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val f = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val f = fsOf(spark)
     val committed = messages.collect {
       case WhPartFile(Some(name)) => name
     }.toSet
@@ -129,14 +137,69 @@ class WarehouseWrite(dir: String, seq: Long, schema: StructType,
       if (!committed.contains(n) && n != "_SUCCESS")
         f.delete(st.getPath, false)
     }
-    AtomicWarehouse.commitStagedEpoch(spark, dir, new Path(stage), seq,
+    AtomicWarehouse.commitStagedEpoch(spark, dir, new Path(stage), s,
       statsKey, statsCols, bloomKey)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new Path(stage), true)
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    fsOf(SparkSession.active).mkdirs(new Path(stageFor(seq)))
+    new WarehouseWriterFactory(stageFor(seq), schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitStage(stageFor(seq), seq, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fsOf(SparkSession.active).delete(new Path(stageFor(seq)), true)
+
+  /** The STREAMING write half: `writeStream.format("graft-warehouse")`
+    * commits ONE EPOCH PER MICRO-BATCH at `seq = seqBase + epochId` —
+    * the engine's replayable epochId IS the epoch identity, so a batch
+    * re-run after a checkpoint restart converges on the already-
+    * committed epoch (commitStagedEpoch's same-seq adoption) instead of
+    * double-loading: exactly-once warehouse appends with no marker
+    * columns, the c19 contract as a connector. Tasks stage per-epoch
+    * (the factory embeds epochId in the stage path), the driver's
+    * per-epoch commit publishes atomically. Append-only output mode. */
+  override def toStreaming: StreamingWrite = this
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new WarehouseStreamingWriterFactory(dir, seqBase, writeId.toString,
+      schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val s = seqBase + epochId
+    val stage = stageFor(s)
+    val f = fsOf(SparkSession.active)
+    // an EMPTY batch commits no epoch at all (an epoch dir with no
+    // parquet would break every union read) — the seq is simply skipped,
+    // and a replay of the empty batch skips it again
+    val hasData = messages.exists {
+      case WhPartFile(Some(_)) => true
+      case _ => false
+    }
+    if (!hasData) { f.delete(new Path(stage), true); return }
+    commitStage(stage, s, messages)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    fsOf(SparkSession.active)
+      .delete(new Path(stageFor(seqBase + epochId)), true)
+}
+
+class WarehouseStreamingWriterFactory(dir: String, seqBase: Long,
+    writeId: String, schema: StructType) extends
+    org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val stage = s"$dir/.stage_epoch_${seqBase + epochId}_$writeId"
+    val f = new Path(stage).getFileSystem(new Configuration())
+    f.mkdirs(new Path(stage))
+    new WarehouseDataWriter(stage, schema, partitionId, taskId)
   }
 }
 

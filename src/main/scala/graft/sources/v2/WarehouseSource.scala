@@ -319,7 +319,8 @@ class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0))

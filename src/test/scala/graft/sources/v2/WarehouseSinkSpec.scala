@@ -106,6 +106,45 @@ class WarehouseSinkSpec extends SparkSuite {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("writeStream commits one epoch per micro-batch, exactly-once") {
+    val base = java.nio.file.Files.createTempDirectory("wh_swrite").toString
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ck")
+    for (s <- 1L to 3L)
+      AtomicWarehouse.commitEpoch(spark, src,
+        rows(s.toInt * 100, s.toInt * 100 + 9, s), s)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-warehouse").option("path", src)
+        .option("maxVersionsPerBatch", "1")
+        .load().select("k", "name", "load_seq")
+        .writeStream.format("graft-warehouse")
+        .option("path", dst).option("seqBase", "1")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    run()
+    val log = spark.read.format("graft-warehouse").option("path", dst).load()
+    assert(log.count() == 30)
+    // one target epoch per micro-batch (3 versions tailed one at a time)
+    assert(AtomicWarehouse.committedEpochs(spark, dst).size == 3)
+
+    // new source epoch; resume from the same checkpoint: exactly one
+    // epoch appended, nothing re-served, nothing double-committed
+    AtomicWarehouse.commitEpoch(spark, src, rows(400, 409, 4L), 4L)
+    run()
+    assert(spark.read.format("graft-warehouse").option("path", dst)
+      .load().count() == 40)
+    assert(AtomicWarehouse.committedEpochs(spark, dst).size == 4)
+    val stray = new java.io.File(dst).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(stray.isEmpty, stray.mkString(","))
+  }
+
   test("vacuum reclaims an abandoned write stage after the grace window") {
     val dir = freshDir("stage_gc")
     write(rows(1, 20, 1L), dir, 1L)
