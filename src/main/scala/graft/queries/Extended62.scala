@@ -399,8 +399,61 @@ object Extended62 {
       .select("k", "c_name", "load_seq")
   }
 
+  /** C48 — ROW-LEVEL PURGE ([[graft.sinks.AtomicWarehouse.purgeKeys]]):
+    * the right-to-be-forgotten / contaminated-document removal a
+    * long-lived corpus store must run — every version of the purged
+    * merge keys is removed by a SELECTIVE rewrite (only epochs whose
+    * zone map/bloom may hold a key are rewritten, `<name>_p<V>` dirs)
+    * swapped into the manifest by ONE CAS, so readers see the purge
+    * all-or-nothing and untouched epochs keep their dirs byte-for-byte.
+    * History still shows the rows until vacuum (purge + vacuum = the
+    * compliance pair; PurgeSpec pins history, selectivity, null-key
+    * safety and the stream-tail boundary contract). The hashed result
+    * is the post-purge last-wins snapshot; the oracle replays both
+    * epochs and filters the purged keys.
+    *
+    * Scale: purging k keys rewrites O(k) epochs out of thousands — the
+    * same pruning stack reads use, pointed at the write side. Bloom
+    * false positives cost a no-op rewrite (~1%), never a missed row. */
+  val c48WarehousePurge = q("c48_warehouse_purge",
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+      |         c_mktsegment AS seg, CAST(1 AS BIGINT) AS load_seq
+      |  FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+      |         'REFETCHED' AS seg, CAST(2 AS BIGINT) AS load_seq
+      |  FROM customer WHERE c_nationkey < 10),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |SELECT k, c_name, seg, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY k
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1 AND k % 97 <> 13""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c48") + "/wh"
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("k"), col("c_name"),
+      col("c_mktsegment").as("seg"))
+    AtomicWarehouse.commitEpoch(s, wh,
+      base.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val refetch = Tables.customer(s, d).where(col("c_nationkey") < 10)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name"),
+        lit("REFETCHED").as("seg"), lit(2L).as("load_seq"))
+    AtomicWarehouse.commitEpoch(s, wh, refetch, 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    // deterministic purge set; driver-side list is O(keys), bounded
+    val doomed = base.where(col("k") % 97 === 13)
+      .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSeq
+    AtomicWarehouse.purgeKeys(s, wh, "k", doomed,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.read(s, wh, "k")
+      .select("k", "c_name", "seg", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(c40ConnectorSnapshotMerge, c41ConnectorRuntimePrune,
     c42ConnectorManifestTail, c43ConnectorHivePartition,
     c44CatalogSqlTimeTravel, c45ConnectorWrite, c46WarehouseReplication,
-    c47StreamingWriteDirect)
+    c47StreamingWriteDirect, c48WarehousePurge)
 }

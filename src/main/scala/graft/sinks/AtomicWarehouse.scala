@@ -579,6 +579,84 @@ object AtomicWarehouse {
         "races — another maintainer is re-folding continuously")
   }
 
+  /** ROW-LEVEL PURGE: remove every version of the given merge keys from
+    * the warehouse — the right-to-be-forgotten / contaminated-document
+    * removal a long-lived corpus store must support, as a SELECTIVE
+    * REWRITE: only epochs whose zone map/Bloom filter says they MAY hold
+    * a purged key are rewritten (the same pruning stack reads use);
+    * every other epoch dir is untouched — at 100 TB with keyed drains a
+    * purge of k keys rewrites O(k) epochs, not the warehouse.
+    *
+    * Commit shape: each affected epoch is re-written (minus the keys) to
+    * a new dir `<name>_p<V>` (V = the manifest version the rewrite was
+    * planned against) with stats/blooms recomputed, and ONE manifest CAS
+    * swaps all affected names in place — readers see the purge
+    * all-or-nothing, and the swap preserves entry ORDER so `load_seq`
+    * merge semantics are unchanged (rows keep their original load_seq;
+    * the purge changes membership, never winners among surviving keys).
+    *
+    * Like Delta/Iceberg deletes: HISTORY still holds the purged rows —
+    * older manifests reference the original dirs until [[vacuum]]
+    * destroys them; a compliance purge is therefore purge + vacuum, and
+    * the returned (epochsRewritten, rowsPurged) feeds the audit log.
+    *
+    * Concurrency: racing DRAINS are carried over by the CAS loop (their
+    * new epochs commute with the swap — but their rows are NOT purged:
+    * a drain that re-adds a purged key after the purge is new data, not
+    * a leak); a racing COMPACTION that replaced the planned base
+    * structurally retries the purge against the winner, mirroring
+    * [[compact]]. Bloom false positives cost a no-op rewrite of a clean
+    * epoch (~1% of affected candidates), never a missed row. */
+  def purgeKeys(spark: SparkSession, dir: String, key: String,
+      keys: Seq[Long], statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): (Int, Long) = {
+    require(keys.nonEmpty, "no keys to purge")
+    val wanted = (statsKey.toSeq ++ statsCols).distinct
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val baseV = currentVersion(spark, dir)
+      if (baseV == 0L) return (0, 0L)
+      val base = committedEntriesAt(spark, dir, baseV)
+      val affected = base.filter(e =>
+        keys.exists(k => scanListForPoint(Seq(e), key, k).nonEmpty)).map(_.name)
+      if (affected.isEmpty) return (0, 0L)
+      var purged = 0L
+      val rewritten: Map[String, (String, Map[String, ColStats])] =
+        affected.map { name =>
+          val df = spark.read.parquet(s"$dir/$name")
+          // coalesce: a NULL merge key is never a purge target (isin
+          // over null is UNKNOWN, and WHERE would silently drop the row)
+          val kept = df.where(
+            coalesce(!col(key).cast("long").isin(keys: _*), lit(true)))
+          val newName = s"${name}_p$baseV"
+          purged += df.count() - kept.count()
+          publishData(spark, dir, kept, newName)
+          val stats = colStatsOf(spark, s"$dir/$newName", wanted) ++
+            bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$newName", k))
+          name -> (newName, stats)
+        }.toMap
+      var stale = false
+      commitManifest(spark, dir, s"purge of ${keys.size} keys") { entries =>
+        if (entries.exists(e => rewritten.valuesIterator
+            .exists(_._1 == e.name))) None // identical purge already won
+        else if (!affected.forall(entries.map(_.name).contains)) {
+          stale = true; None // a fold replaced our base: retry against it
+        } else Some(entries.map { e =>
+          rewritten.get(e.name) match {
+            case Some((newName, stats)) => EpochEntry(newName, stats)
+            case None => e
+          }
+        })
+      }
+      if (!stale) return (affected.size, purged)
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"purge at $dir lost $MaxCommitAttempts consecutive structural " +
+        "races — a maintainer is re-folding continuously")
+  }
+
   /** Retention pass: keep the latest `retainVersions` manifests, delete
     * older ones, then delete every data dir no retained manifest
     * references. This is the ONLY operation that destroys history — until

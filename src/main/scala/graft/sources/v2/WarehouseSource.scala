@@ -323,7 +323,8 @@ class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
-      options.getInt("maxVersionsPerBatch", 0))
+      options.getInt("maxVersionsPerBatch", 0),
+      options.getBoolean("ignoreDeletes", false))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -331,7 +332,8 @@ class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
 }
 
 class WarehouseScanBuilder(dir: String, version: Option[Long],
-    fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int)
+    fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int,
+    ignoreDeletes: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pruneFilters: Array[Filter] = Array.empty
@@ -362,12 +364,12 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
 
   override def build(): Scan =
     new WarehouseScan(dir, version, mergeKey, required, pruneFilters,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, ignoreDeletes)
 }
 
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     required: StructType, pruneFilters: Array[Filter],
-    maxVersionsPerBatch: Int)
+    maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import WarehouseConnector._
@@ -455,7 +457,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarehouseMicroBatchStream(dir, required, pruneFilters, mergeKey,
-      maxVersionsPerBatch)
+      maxVersionsPerBatch, ignoreDeletes)
 }
 
 final case class WarehouseFilePartition(path: String,
@@ -626,7 +628,8 @@ final case class WarehouseVersionOffset(v: Long)
   * pruning is skipped on the tail path — a tailed batch is one epoch,
   * already the pruning granule). */
 class WarehouseMicroBatchStream(dir: String, required: StructType,
-    pruneFilters: Array[Filter], mergeKey: String, maxVersionsPerBatch: Int)
+    pruneFilters: Array[Filter], mergeKey: String, maxVersionsPerBatch: Int,
+    ignoreDeletes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -662,13 +665,29 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
   override def reportLatestOffset(): StreamOffset =
     WarehouseVersionOffset(AtomicWarehouse.currentVersion(spark, dir))
 
-  /** Entries to serve for (start, end] under the version-stepping rule. */
+  /** Entries to serve for (start, end] under the version-stepping rule.
+    * Additions classify three ways: plain `epoch_*` → serve;
+    * `compact_*` folds → skip (already-served content); `*_p<V>` PURGE
+    * rewrites → an append-only stream cannot express the retraction, so
+    * by default the tail FAILS LOUDLY at the purge boundary (Delta's
+    * readStream-on-delete contract) — `.option("ignoreDeletes", true)`
+    * opts into skipping them (downstream keeps the purged rows it
+    * already saw; new consumers never see them). */
   private[v2] def entriesToServe(s: Long, e: Long): Seq[String] =
     if (s == 0L) AtomicWarehouse.committedEpochsAt(spark, dir, e)
     else (s + 1 to e).flatMap { v =>
       val prev = AtomicWarehouse.committedEpochsAt(spark, dir, v - 1).toSet
-      AtomicWarehouse.committedEpochsAt(spark, dir, v)
-        .filterNot(prev).filter(_.startsWith("epoch_"))
+      val added = AtomicWarehouse.committedEpochsAt(spark, dir, v)
+        .filterNot(prev)
+      val purgeSwaps = added.filter(_.matches(".*_p\\d+$"))
+      if (purgeSwaps.nonEmpty && !ignoreDeletes)
+        throw new UnsupportedOperationException(
+          s"graft-warehouse tail hit a PURGE at manifest v$v " +
+            s"(${purgeSwaps.mkString(", ")}): an append-only stream " +
+            "cannot retract already-served rows — restart the stream " +
+            "fresh, or set .option(\"ignoreDeletes\", true) to skip " +
+            "purge rewrites")
+      added.filter(n => n.startsWith("epoch_") && !n.matches(".*_p\\d+$"))
     }.distinct
 
   override def planInputPartitions(start: StreamOffset,

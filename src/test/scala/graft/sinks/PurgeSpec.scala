@@ -1,0 +1,125 @@
+package graft.sinks
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Row-level purge (right-to-be-forgotten / decontamination): selective
+  * pruning-driven epoch rewrite + one-manifest swap, history preserved
+  * until vacuum, stream-tail semantics at the purge boundary. */
+class PurgeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"purge_$tag").toString + "/wh"
+
+  private def rows(lo: Int, hi: Int, seq: Long) =
+    (lo to hi).map(i => (i.toLong, s"n$i", seq)).toDF("k", "name", "load_seq")
+
+  private def commit(dir: String, lo: Int, hi: Int, seq: Long): Unit =
+    AtomicWarehouse.commitEpoch(spark, dir, rows(lo, hi, seq), seq,
+      statsKey = Some("k"), bloomKey = Some("k"))
+
+  test("purge removes every version of the keys; merge intact otherwise") {
+    val dir = freshDir("basic")
+    commit(dir, 1, 100, 1L)
+    commit(dir, 50, 120, 2L) // overlap: keys 50-100 have two versions
+    val (epochs, purged) =
+      AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(60L, 70L, 110L),
+        statsKey = Some("k"), bloomKey = Some("k"))
+    assert(epochs == 2) // both epochs may hold 60/70
+    assert(purged == 5L) // 60,70 twice + 110 once
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 117) // 120 keys - 3 purged
+    assert(read.where(col("k").isin(60L, 70L, 110L)).isEmpty)
+    // surviving overlapped keys still resolve to load_seq 2
+    assert(read.where(col("k") === 80).head.getAs[Long]("load_seq") == 2L)
+  }
+
+  test("only epochs that may hold the key are rewritten") {
+    val dir = freshDir("selective")
+    commit(dir, 1, 100, 1L)
+    commit(dir, 1000, 1100, 2L)
+    commit(dir, 5000, 5100, 3L)
+    val (epochs, purged) = AtomicWarehouse.purgeKeys(spark, dir, "k",
+      Seq(1050L), statsKey = Some("k"), bloomKey = Some("k"))
+    assert(epochs == 1 && purged == 1L)
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    // untouched epochs keep their dirs and manifest identity
+    assert(names.contains("epoch_1") && names.contains("epoch_3"))
+    assert(names.exists(_.startsWith("epoch_2_p")))
+    assert(!names.contains("epoch_2"))
+  }
+
+  test("history keeps purged rows until vacuum destroys it") {
+    val dir = freshDir("history")
+    commit(dir, 1, 50, 1L)
+    val vBefore = AtomicWarehouse.currentVersion(spark, dir)
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(10L))
+    // time travel to the pre-purge version still shows the row
+    assert(AtomicWarehouse.readVersion(spark, dir, "k", vBefore)
+      .where(col("k") === 10).count() == 1)
+    // compliance finalization: vacuum destroys the referenced-by-history dir
+    val (_, dirs) = AtomicWarehouse.vacuum(spark, dir, retainVersions = 1,
+      graceMs = 0L)
+    assert(dirs == 1) // the original epoch_1
+    assert(AtomicWarehouse.read(spark, dir, "k")
+      .where(col("k") === 10).isEmpty)
+  }
+
+  test("null merge keys survive a purge") {
+    val dir = freshDir("nulls")
+    val df = rows(1, 10, 1L).union(
+      Seq((null.asInstanceOf[java.lang.Long], "orphan", 1L))
+        .toDF("k", "name", "load_seq").select(col("k").cast("long"),
+          col("name"), col("load_seq")))
+    AtomicWarehouse.commitEpoch(spark, dir, df, 1L)
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(5L))
+    val left = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(left.count() == 10) // 11 - 1 purged; the null-key row survives
+    assert(left.where(col("name") === "orphan").count() == 1)
+  }
+
+  test("a mid-stream purge fails the tail unless ignoreDeletes") {
+    val dir = freshDir("stream")
+    val base = java.nio.file.Files.createTempDirectory("purge_tail").toString
+    commit(dir, 1, 20, 1L)
+
+    def drain(ck: String, out: String, ignoreDeletes: Boolean): Unit = {
+      val q = spark.readStream.format("graft-warehouse").option("path", dir)
+        .option("ignoreDeletes", ignoreDeletes.toString)
+        .load().select("k", "name", "load_seq")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val ex = q.exception
+      if (ex.isDefined) throw ex.get
+    }
+
+    drain(s"$base/ck", s"$base/out", ignoreDeletes = false)
+    assert(spark.read.parquet(s"$base/out").count() == 20)
+
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(3L))
+    commit(dir, 100, 110, 2L)
+
+    // default: the resumed tail refuses at the purge boundary
+    val e = intercept[Exception](
+      drain(s"$base/ck", s"$base/out", ignoreDeletes = false))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("PURGE")), msgs(e).take(3).mkString("; "))
+
+    // opted in: purge swap skipped, the NEW epoch still arrives
+    drain(s"$base/ck", s"$base/out", ignoreDeletes = true)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 31) // 20 + 11; the rewrite was not re-served
+    assert(out.where(col("load_seq") === 2L).count() == 11)
+
+    // a FRESH tail's initial snapshot reflects the purge
+    drain(s"$base/ck2", s"$base/out2", ignoreDeletes = false)
+    val fresh = spark.read.parquet(s"$base/out2")
+    assert(fresh.count() == 30) // 19 surviving + 11
+    assert(fresh.where(col("k") === 3L).isEmpty)
+  }
+}
