@@ -452,8 +452,51 @@ object Extended62 {
       .select("k", "c_name", "seg", "load_seq")
   }
 
+  /** C49 — CLUSTERED epoch write + three-level pruned read: the sink
+    * declares `RequiresDistributionAndOrdering` (Spark's own sorted-
+    * table write API, what Iceberg's `SORTED BY` uses), so
+    * `.option("clusterBy", "k")` makes the ENGINE range-partition and
+    * sort the rows before the connector writes them — each part file
+    * holds one tight key slice (WarehouseSinkSpec pins disjointness).
+    * The read back drives all three pruning levels from one bare
+    * predicate: manifest zone maps skip epochs, and inside the opened
+    * files the pushed filter becomes a parquet row-group predicate
+    * (FilterApi, approximation-downward translation) that skips
+    * whole row groups — which the clustered layout makes maximally
+    * effective (sorted file ⇒ disjoint row-group min/max). The oracle
+    * replays the write declaratively; clustering must never change
+    * membership, only layout.
+    *
+    * Scale: this is the write-side half of storage-level read
+    * efficiency at 100 TB — clustered drains + stats manifests mean a
+    * key/date-sliced query reads O(slice) row groups end-to-end, with
+    * the sort paid once at ingest on the engine's shuffle, not per
+    * query. */
+  val c49ClusteredWrite = q("c49_clustered_write",
+    """WITH e AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_custkey AS BIGINT) AS cust,
+      |         o_totalprice AS price, CAST(1 AS BIGINT) AS load_seq
+      |  FROM orders)
+      |SELECT k, cust, price, load_seq FROM e
+      |WHERE k BETWEEN 1000 AND 3000""".stripMargin) { (s, d) =>
+    val wh = freshScratch("c49") + "/wh"
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("cust"),
+      col("o_totalprice").as("price"), lit(1L).as("load_seq"))
+      .write.format("graft-warehouse")
+      .option("path", wh).option("seq", "1")
+      .option("clusterBy", "k").option("writePartitions", "8")
+      .option("statsKey", "k")
+      .mode("append").save()
+    s.read.format("graft-warehouse").option("path", wh).load()
+      .where(col("k").between(1000, 3000))
+      .select("k", "cust", "price", "load_seq")
+  }
+
   val all: Seq[Q] = Seq(c40ConnectorSnapshotMerge, c41ConnectorRuntimePrune,
     c42ConnectorManifestTail, c43ConnectorHivePartition,
     c44CatalogSqlTimeTravel, c45ConnectorWrite, c46WarehouseReplication,
-    c47StreamingWriteDirect, c48WarehousePurge)
+    c47StreamingWriteDirect, c48WarehousePurge, c49ClusteredWrite)
 }

@@ -93,18 +93,49 @@ class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo)
     val seq = Option(o.get("seq")).flatMap(_.toLongOption)
     val seqBase = Option(o.get("seqBase")).flatMap(_.toLongOption)
       .getOrElse(1L)
+    val clusterBy = Option(o.get("clusterBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    clusterBy.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"clusterBy column '$c' is not in the written schema"))
     new WarehouseWrite(dir, seq, seqBase, info.schema(),
-      Option(o.get("statsKey")), statsCols, Option(o.get("bloomKey")))
+      Option(o.get("statsKey")), statsCols, Option(o.get("bloomKey")),
+      clusterBy, o.getInt("writePartitions", 0))
   }
 }
 
 class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
     schema: StructType, statsKey: Option[String], statsCols: Seq[String],
-    bloomKey: Option[String]) extends Write with BatchWrite
-    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+    bloomKey: Option[String], clusterBy: Seq[String] = Nil,
+    writePartitions: Int = 0)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
 
   override def toBatch: BatchWrite = this
+
+  /** `.option("clusterBy", "a,b")` — the engine RANGE-partitions and
+    * sorts the rows on the named columns BEFORE the sink sees them
+    * (Spark's own `RequiresDistributionAndOrdering` contract, the API
+    * Iceberg's sorted tables use): each part file then holds one tight
+    * key slice, so parquet row-group min/max stats are disjoint and the
+    * read side's row-group pushdown skips almost everything — the
+    * CLUSTER BY half of c10's z-order story, owned by the sink instead
+    * of the query author. Empty = no requirement (rows land as
+    * distributed). */
+  private def sortOrders: Array[V2SortOrder] =
+    clusterBy.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      .toArray
+  override def requiredDistribution(): Distribution =
+    if (clusterBy.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(sortOrders)
+  override def requiredOrdering(): Array[V2SortOrder] = sortOrders
+  /** `.option("writePartitions", n)` pins the clustered shuffle's
+    * partition count (= part files per epoch); 0 lets AQE size it. */
+  override def requiredNumPartitions(): Int = writePartitions
 
   // BatchWrite and StreamingWrite both default this; diamond rule wants
   // an explicit pick (same value either way)

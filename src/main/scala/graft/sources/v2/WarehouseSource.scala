@@ -447,7 +447,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(required)
+    new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters)
 
   override def description(): String =
     s"graft-warehouse($dir v$resolvedVersion) " +
@@ -468,7 +468,8 @@ final case class WarehouseFilePartition(path: String,
   * evolution means a requested column may be absent, served as null),
   * then a PROJECTED read of exactly the requested-and-present columns.
   * Hive partition values ride in from the path. */
-class WarehouseReaderFactory(required: StructType)
+class WarehouseReaderFactory(required: StructType,
+    filters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -479,6 +480,111 @@ class WarehouseReaderFactory(required: StructType)
   import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
 
   private val JulianDayOfEpoch = 2440588L
+
+  /** Pushed filters → a parquet [[org.apache.parquet.filter2.predicate
+    * .FilterPredicate]] for ROW-GROUP skipping inside each file — the
+    * third pruning level under epochs and hive partitions, and the one
+    * `clusterBy` writes exist to feed (sorted files → disjoint row-group
+    * min/max → a point/range predicate reads one group instead of the
+    * file). Sound by approximation-downward: any conjunct that cannot be
+    * translated exactly is DROPPED (weaker predicate = more rows read,
+    * Spark re-filters them); an Or with an untranslatable side drops
+    * entirely. Long/int/date/string columns translate; timestamps and
+    * anything absent from this file's footer do not (additive
+    * evolution). */
+  private[v2] def rowGroupPredicate(
+      schema: MessageType): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+
+    def prim(c: String): Option[PrimitiveType] =
+      if (!schema.containsField(c)) None
+      else {
+        val t = schema.getType(schema.getFieldIndex(c))
+        if (t.isPrimitive) Some(t.asPrimitiveType()) else None
+      }
+
+    def longLit(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def intLit(v: Any): Option[Int] = v match {
+      case i: Int => Some(i)
+      case s: Short => Some(s.toInt)
+      case b: Byte => Some(b.toInt)
+      case l: Long if l.isValidInt => Some(l.toInt)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+      case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+      case _ => None
+    }
+
+    sealed trait Cmp
+    case object Eq extends Cmp; case object Gt extends Cmp
+    case object GtEq extends Cmp; case object Lt extends Cmp
+    case object LtEq extends Cmp
+
+    def cmp(c: String, v: Any, op: Cmp): Option[FilterPredicate] =
+      prim(c).flatMap { pt =>
+        (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+          case (INT64, null) => longLit(v).map { l =>
+            val col = FilterApi.longColumn(c); val lit = java.lang.Long.valueOf(l)
+            op match {
+              case Eq => FilterApi.eq(col, lit); case Gt => FilterApi.gt(col, lit)
+              case GtEq => FilterApi.gtEq(col, lit); case Lt => FilterApi.lt(col, lit)
+              case LtEq => FilterApi.ltEq(col, lit)
+            }
+          }
+          case (INT32, null | _: LogicalTypeAnnotation.DateLogicalTypeAnnotation |
+              _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+            intLit(v).map { i =>
+              val col = FilterApi.intColumn(c); val lit = java.lang.Integer.valueOf(i)
+              op match {
+                case Eq => FilterApi.eq(col, lit); case Gt => FilterApi.gt(col, lit)
+                case GtEq => FilterApi.gtEq(col, lit); case Lt => FilterApi.lt(col, lit)
+                case LtEq => FilterApi.ltEq(col, lit)
+              }
+            }
+          case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+            v match {
+              case s: String =>
+                val col = FilterApi.binaryColumn(c)
+                val lit = Binary.fromString(s)
+                Some(op match {
+                  case Eq => FilterApi.eq(col, lit); case Gt => FilterApi.gt(col, lit)
+                  case GtEq => FilterApi.gtEq(col, lit); case Lt => FilterApi.lt(col, lit)
+                  case LtEq => FilterApi.ltEq(col, lit)
+                })
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+
+    def translate(f: Filter): Option[FilterPredicate] = f match {
+      case EqualTo(c, v) if v != null => cmp(c, v, Eq)
+      case GreaterThan(c, v) if v != null => cmp(c, v, Gt)
+      case GreaterThanOrEqual(c, v) if v != null => cmp(c, v, GtEq)
+      case LessThan(c, v) if v != null => cmp(c, v, Lt)
+      case LessThanOrEqual(c, v) if v != null => cmp(c, v, LtEq)
+      case In(c, vs) if vs.nonEmpty && vs.length <= 20 && vs.forall(_ != null) =>
+        val parts = vs.toSeq.map(v => cmp(c, v, Eq))
+        if (parts.forall(_.isDefined))
+          parts.flatten.reduceLeftOption(FilterApi.or)
+        else None
+      case And(l, r) => (translate(l), translate(r)) match {
+        case (Some(a), Some(b)) => Some(FilterApi.and(a, b))
+        case (a, b) => a.orElse(b) // drop the untranslatable conjunct
+      }
+      case Or(l, r) => for { a <- translate(l); b <- translate(r) }
+        yield FilterApi.or(a, b)
+      case _ => None
+    }
+
+    filters.flatMap(translate(_)).reduceLeftOption(FilterApi.and)
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -574,9 +680,15 @@ class WarehouseReaderFactory(required: StructType)
 
     new PartitionReader[InternalRow] {
       @SuppressWarnings(Array("deprecation"))
-      private val reader: ParquetReader[Group] =
-        ParquetReader.builder(new GroupReadSupport(), inPath)
-          .withConf(conf).build()
+      private val reader: ParquetReader[Group] = {
+        val b = ParquetReader.builder(new GroupReadSupport(), inPath)
+          .withConf(conf)
+        rowGroupPredicate(footerSchema) match {
+          case Some(p) => b.withFilter(
+            org.apache.parquet.filter2.compat.FilterCompat.get(p)).build()
+          case None => b.build()
+        }
+      }
       private var cur: Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
       override def get(): InternalRow =
@@ -704,7 +816,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(required)
+    new WarehouseReaderFactory(required, pruneFilters)
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()

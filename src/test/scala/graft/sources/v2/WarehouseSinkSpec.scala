@@ -161,6 +161,71 @@ class WarehouseSinkSpec extends SparkSuite {
       .load().count() == 20)
   }
 
+  test("clusterBy range-partitions and sorts: part files hold disjoint key slices") {
+    val dir = freshDir("cluster")
+    // shuffled input across 4 partitions; the SINK's declared
+    // distribution+ordering must reorganize it, not the query author
+    val shuffled = rows(1, 4000, 1L)
+      .withColumn("r", expr("md5(cast(k as string))"))
+      .repartition(4, col("r")).drop("r")
+    shuffled.write.format("graft-warehouse")
+      .option("path", dir).option("seq", "1")
+      .option("clusterBy", "k").option("writePartitions", "4")
+      .mode("append").save()
+    val parts = new java.io.File(s"$dir/epoch_1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(parts.length > 1, "need multiple part files to prove disjointness")
+    val ranges = parts.map { p =>
+      val r = spark.read.parquet(p).agg(min("k"), max("k")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // non-overlapping ranges = range partitioning + in-task sort landed
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, sorted.mkString(","))
+      case _ =>
+    }
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 4000)
+  }
+
+  test("row-group predicate translation: exact where possible, dropped where not") {
+    import org.apache.spark.sql.sources.{EqualTo, And, GreaterThan, Or, StringContains}
+    val msg = WarehouseSink.messageType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+    def pred(fs: org.apache.spark.sql.sources.Filter*) =
+      new WarehouseReaderFactory(
+        org.apache.spark.sql.types.StructType(Nil), fs.toArray)
+        .rowGroupPredicate(msg)
+    assert(pred(EqualTo("k", 5L)).isDefined)
+    assert(pred(GreaterThan("name", "m")).isDefined)
+    // timestamps don't translate (unit semantics) — dropped, not wrong
+    assert(pred(EqualTo("ts", java.sql.Timestamp.valueOf("2024-05-01 00:00:00"))).isEmpty)
+    // a conjunct that can't translate is dropped, the rest kept
+    assert(pred(And(EqualTo("k", 5L), StringContains("name", "x"))).isDefined)
+    // an Or with an untranslatable side drops entirely (weaker != wrong)
+    assert(pred(Or(EqualTo("k", 5L), StringContains("name", "x"))).isEmpty)
+    // absent column (additive evolution): dropped
+    assert(pred(EqualTo("ghost", 1L)).isEmpty)
+  }
+
+  test("a clustered epoch answers point reads with row-group skipping correctness") {
+    val dir = freshDir("rg")
+    rows(1, 5000, 1L).write.format("graft-warehouse")
+      .option("path", dir).option("seq", "1")
+      .option("clusterBy", "k").mode("append").save()
+    val q = spark.read.format("graft-warehouse").option("path", dir)
+      .load().where(col("k").between(2000, 2004))
+    assert(q.select("k").as[Long].collect().toSet ==
+      Set(2000L, 2001L, 2002L, 2003L, 2004L))
+  }
+
   test("timestamps and dates written by the sink decode back exactly") {
     val dir = freshDir("ts")
     val df = Seq(
