@@ -221,6 +221,35 @@ object ScaleProbe {
     println("|---|---|---|---|---|")
     println(f"| $k | $tWrite%.2f | $tFull%.2f | $tRange%.2f | $tPoint%.2f |")
     require(full == k * cust.count(), "connector write/read changed row counts")
+
+    // CLUSTERED vs UNCLUSTERED single-epoch layout: k× the customer
+    // rows in ONE epoch, written shuffled vs clusterBy — a narrow key
+    // slice must get cheaper from row-group skipping alone (same epoch
+    // count, same file count: the only variable is layout)
+    val big = (0 until k).map(r =>
+        cust.withColumn("k", col("k") + lit(r * n)))
+      .reduce(_.unionByName(_))
+      .withColumn("load_seq", lit(1L))
+      .withColumn("__r", expr("md5(cast(k as string))"))
+      .repartition(8, col("__r")).drop("__r")
+    def writeOne(path: String, clustered: Boolean): Double = {
+      val w = big.write.format("graft-warehouse")
+        .option("path", path).option("seq", "1")
+        .option("writePartitions", "8")
+      timeIt((if (clustered) w.option("clusterBy", "k") else w)
+        .mode("append").save())._2
+    }
+    val tPlain = writeOne(s"$base/plain", clustered = false)
+    val tClustered = writeOne(s"$base/clustered", clustered = true)
+    def slice(path: String): Double = timeIt(
+      spark.read.format("graft-warehouse").option("path", path).load()
+        .where(col("k").between(mid * n, mid * n + 999)).count())._2
+    val (tSlicePlain, tSliceClustered) = (slice(s"$base/plain"),
+      slice(s"$base/clustered"))
+    println(s"| layout | write s | 1000-key slice read s |")
+    println("|---|---|---|")
+    println(f"| shuffled | $tPlain%.2f | $tSlicePlain%.2f |")
+    println(f"| clusterBy k | $tClustered%.2f | $tSliceClustered%.2f |")
   }
 
   private def densifyProbe(spark: SparkSession, sfDir: String, k: Int): Unit = {

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-6 widening, part 63: two time-series curation operators the
+  * battery lacked — OHLC bar aggregation (the canonical irregular→bar
+  * downsample) and the embargoed temporal split (leakage-safe
+  * train/test partitioning for time-ordered corpora).
+  */
+object Extended63 {
+
+  /** E48 — OHLC BAR AGGREGATION: irregular per-event values rolled to
+    * one bar per (event_type, day) — open = first value in (ts,
+    * event_id) order, close = last, high/low = extrema, volume = count.
+    * The open/close selection rides the same two-window row_number
+    * pattern on BOTH engines (Spark's min_by/DuckDB's arg_min have
+    * engine-specific tie rules; an explicit total order does not). One
+    * shuffle for the windows, map-side-combinable aggregates on top.
+    *
+    * Scale: the canonical downsample of a 100 TB event log to
+    * dashboard granularity — output is O(types × days) however large
+    * the input; the window partitions by the same key the groupBy
+    * shuffles on, so Catalyst reuses one exchange. */
+  val e48OhlcBars = q("e48_ohlc_bars",
+    """WITH x AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+      |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                            ORDER BY ts, event_id) AS rna,
+      |         row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                            ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM events)
+      |SELECT event_type, day,
+      |       max(CASE WHEN rna = 1 THEN value END) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       max(CASE WHEN rnd = 1 THEN value END) AS close,
+      |       count(*) AS volume
+      |FROM x GROUP BY event_type, day""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("value"))
+    val asc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("rna") === 1, col("value"))).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("volume"))
+  }
+
+  /** P18 — EMBARGOED TEMPORAL SPLIT: time-ordered data split into
+    * train (before the cutoff minus the embargo), test (after the
+    * cutoff) and an EXCLUDED embargo gap between them — the
+    * leakage-safe backtest split (a gap-less temporal split leaks
+    * boundary-window context: any feature computed over a trailing
+    * window crosses the cut). The cutoff is the 80th percentile event
+    * time and the embargo is 7 days, both computed IN-QUERY so the
+    * split is a pure function of the data. Output: per (split,
+    * event_type) counts — the class-balance audit read before
+    * training.
+    *
+    * Scale: one percentile aggregate (partial-merge) + one stateless
+    * classify + one count rollup; nothing is data-size-bound but the
+    * scan. */
+  val p18TemporalSplit = q("p18_temporal_split",
+    """WITH cut AS (
+      |  SELECT quantile_cont(epoch_us(ts::TIMESTAMP), 0.8) AS c FROM events),
+      |tagged AS (
+      |  SELECT event_type,
+      |         CASE WHEN epoch_us(ts::TIMESTAMP) > (SELECT c FROM cut)
+      |                THEN 'test'
+      |              WHEN epoch_us(ts::TIMESTAMP)
+      |                   <= (SELECT c FROM cut) - CAST(604800000000 AS BIGINT)
+      |                THEN 'train'
+      |              ELSE 'embargo' END AS split
+      |  FROM events)
+      |SELECT split, event_type, count(*) AS n
+      |FROM tagged GROUP BY split, event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(
+      expr("percentile(us, 0.8)").as("c")).select(col("c"))
+    val embargoUs = 7L * 86400 * 1000000
+    ev.crossJoin(broadcast(cut))
+      .withColumn("split",
+        when(col("us") > col("c"), lit("test"))
+          .when(col("us") <= col("c") - embargoUs, lit("train"))
+          .otherwise(lit("embargo")))
+      .groupBy("split", "event_type").agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(e48OhlcBars, p18TemporalSplit)
+}
