@@ -134,8 +134,12 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
     else Distributions.ordered(sortOrders)
   override def requiredOrdering(): Array[V2SortOrder] = sortOrders
   /** `.option("writePartitions", n)` pins the clustered shuffle's
-    * partition count (= part files per epoch); 0 lets AQE size it. */
-  override def requiredNumPartitions(): Int = writePartitions
+    * partition count (= part files per epoch); 0 lets AQE size it.
+    * Only meaningful WITH clusterBy — Spark rejects a partition count
+    * on an unspecified distribution (an unclustered write's layout is
+    * the query plan's own). */
+  override def requiredNumPartitions(): Int =
+    if (clusterBy.isEmpty) 0 else writePartitions
 
   // BatchWrite and StreamingWrite both default this; diamond rule wants
   // an explicit pick (same value either way)
