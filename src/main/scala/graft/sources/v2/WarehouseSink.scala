@@ -88,6 +88,27 @@ class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo)
   override def build(): Write = {
     val o = info.options()
     WarehouseSink.messageType(info.schema()) // fail unsupported types NOW
+    // SCHEMA ENFORCEMENT at planning: additive evolution may add
+    // columns, never retype them — an incompatible epoch would commit
+    // fine and then fail EVERY subsequent read at schema resolution,
+    // the worst possible failure point. Checked against the CURRENT
+    // manifest (a racing evolver can still slip through the
+    // read-check-write window; the read side's resolution error is the
+    // backstop, this check is the ergonomics).
+    locally {
+      val spark = SparkSession.active
+      val existing = WarehouseConnector.snapshotSchema(spark, dir,
+        graft.sinks.AtomicWarehouse.currentVersion(spark, dir))
+      info.schema().fields.foreach { f =>
+        existing.fields.find(_.name == f.name).foreach { prev =>
+          require(prev.dataType == f.dataType,
+            s"graft-warehouse write to $dir: column '${f.name}' is " +
+              s"${prev.dataType} in the warehouse but ${f.dataType} in " +
+              "the written data — additive evolution may add columns, " +
+              "never retype them")
+        }
+      }
+    }
     val statsCols = Option(o.get("statsCols")).toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     val seq = Option(o.get("seq")).flatMap(_.toLongOption)

@@ -91,6 +91,24 @@ class WarehouseSinkSpec extends SparkSuite {
     assert(AtomicWarehouse.currentVersion(spark, dir) == 0L)
   }
 
+  test("a retyping write is refused at planning; additive columns pass") {
+    val dir = freshDir("enforce")
+    write(rows(1, 10, 1L), dir, 1L)
+    // retype: score double -> string
+    val e = intercept[Exception] {
+      rows(11, 20, 2L).withColumn("score", col("score").cast("string"))
+        .write.format("graft-warehouse")
+        .option("path", dir).option("seq", "2").mode("append").save()
+    }
+    assert(e.getMessage.contains("never retype"), e.getMessage)
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 1L)
+    // additive evolution still works
+    write(rows(11, 20, 2L).withColumn("extra", lit(7L)), dir, 2L)
+    val back = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(back.count() == 20)
+    assert(back.where(col("extra").isNull).count() == 10)
+  }
+
   test("a failing write leaves the warehouse untouched") {
     val dir = freshDir("abort")
     write(rows(1, 50, 1L), dir, 1L)
