@@ -610,7 +610,18 @@ object AtomicWarehouse {
   def purgeKeys(spark: SparkSession, dir: String, key: String,
       keys: Seq[Long], statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      bloomKey: Option[String] = None): (Int, Long) = {
+      bloomKey: Option[String] = None): (Int, Long) =
+    purgeKeysImpl(spark, dir, key, keys, statsKey, statsCols, bloomKey,
+      () => ())
+
+  /** [[purgeKeys]] with a test seam between the rewrites and the
+    * manifest commit — the window a concurrent drain or fold can land
+    * in; specs use it to pin the carry-over/retry behavior
+    * deterministically. */
+  private[sinks] def purgeKeysImpl(spark: SparkSession, dir: String,
+      key: String, keys: Seq[Long], statsKey: Option[String],
+      statsCols: Seq[String], bloomKey: Option[String],
+      beforeCommit: () => Unit): (Int, Long) = {
     require(keys.nonEmpty, "no keys to purge")
     val wanted = (statsKey.toSeq ++ statsCols).distinct
     var attempt = 0
@@ -636,6 +647,7 @@ object AtomicWarehouse {
             bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$newName", k))
           name -> (newName, stats)
         }.toMap
+      beforeCommit()
       var stale = false
       commitManifest(spark, dir, s"purge of ${keys.size} keys") { entries =>
         if (entries.exists(e => rewritten.valuesIterator

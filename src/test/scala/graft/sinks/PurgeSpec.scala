@@ -79,6 +79,52 @@ class PurgeSpec extends SparkSuite {
     assert(left.where(col("name") === "orphan").count() == 1)
   }
 
+  test("a drain landing between rewrite and commit is carried over") {
+    val dir = freshDir("race_drain")
+    commit(dir, 1, 50, 1L)
+    val (epochs, purged) = AtomicWarehouse.purgeKeysImpl(spark, dir, "k",
+      Seq(10L), Some("k"), Nil, Some("k"),
+      beforeCommit = () => commit(dir, 100, 120, 2L)) // racing drain
+    assert(epochs == 1 && purged == 1L)
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    // the swap applied AND the racing epoch survived the CAS loop
+    assert(names.exists(_.startsWith("epoch_1_p")))
+    assert(names.contains("epoch_2"))
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 70) // 49 surviving + 21 from the racing drain
+    assert(read.where(col("k") === 10).isEmpty)
+  }
+
+  test("a fold landing between rewrite and commit forces a clean retry") {
+    val dir = freshDir("race_fold")
+    commit(dir, 1, 50, 1L)
+    commit(dir, 40, 80, 2L)
+    var folded = false
+    val (epochs, purged) = AtomicWarehouse.purgeKeysImpl(spark, dir, "k",
+      Seq(45L), Some("k"), Nil, Some("k"),
+      beforeCommit = () => if (!folded) {
+        folded = true
+        AtomicWarehouse.compact(spark, dir, "k") // structural race
+      })
+    // the retry re-planned against the fold: ONE affected entry (the
+    // compact dir), both versions of key 45 gone
+    assert(epochs == 1 && purged == 1L)
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 79) // 80 distinct keys - 1 purged
+    assert(read.where(col("k") === 45).isEmpty)
+  }
+
+  test("replaying an identical purge converges without double-rewrite") {
+    val dir = freshDir("replay")
+    commit(dir, 1, 30, 1L)
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(7L))
+    val v = AtomicWarehouse.currentVersion(spark, dir)
+    // same keys again: nothing left to purge (bloom excludes), no-op
+    val (epochs, purged) = AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(7L))
+    assert(epochs <= 1 && purged == 0L)
+    assert(AtomicWarehouse.read(spark, dir, "k").count() == 29)
+  }
+
   test("a mid-stream purge fails the tail unless ignoreDeletes") {
     val dir = freshDir("stream")
     val base = java.nio.file.Files.createTempDirectory("purge_tail").toString
