@@ -94,5 +94,52 @@ object Extended63 {
       .groupBy("split", "event_type").agg(count(lit(1)).as("n"))
   }
 
-  val all: Seq[Q] = Seq(e48OhlcBars, p18TemporalSplit)
+  /** C50 — the OLAP family ON THE ENGINE'S OWN STORAGE: lineitem is
+    * drained into an AtomicWarehouse through the connector's CLUSTERED
+    * write (`clusterBy l_shipdate`, shipdate zone maps in the
+    * manifest), the warehouse is mounted via the catalog plugin, and a
+    * TPC-H-Q4-shaped priority/revenue rollup runs as ONE `spark.sql`
+    * statement joining the catalog table against the raw orders view —
+    * the full stack in one statement: SQL → catalog → DSv2 scan →
+    * manifest zone-map pruning on the date window → row-group skipping
+    * inside the clustered files → broadcast star join. The oracle runs
+    * the same query on the raw parquet: storage must never change
+    * answers.
+    *
+    * Scale: exactly how a 100 TB deployment serves its analysts — facts
+    * live in the clustered warehouse, queries arrive as SQL by name,
+    * and the date predicate prunes at three levels before the join. */
+  val c50OlapOnWarehouse = q("c50_olap_on_warehouse",
+    s"""SELECT o.o_orderpriority,
+       |       ${rnd("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       |       count(DISTINCT l.l_orderkey) AS n_orders
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE l.l_shipdate >= TIMESTAMP '1995-03-01'
+       |  AND l.l_shipdate < TIMESTAMP '1995-09-01'
+       |GROUP BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    val root = freshScratch("c50")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_shipdate"),
+        lit(1L).as("load_seq"))
+      .write.format("graft-warehouse")
+      .option("path", s"$root/lineitem").option("seq", "1")
+      .option("clusterBy", "l_shipdate")
+      .option("statsKey", "l_orderkey").option("statsCols", "l_shipdate")
+      .mode("append").save()
+    s.conf.set("spark.sql.catalog.whc50", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc50.root", root)
+    Tables.orders(s, d).createOrReplaceTempView("c50_orders")
+    s.sql(
+      """SELECT o.o_orderpriority,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(DISTINCT l.l_orderkey) AS n_orders
+        |FROM whc50.lineitem l JOIN c50_orders o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l.l_shipdate < TIMESTAMP '1995-09-01'
+        |GROUP BY o.o_orderpriority""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(e48OhlcBars, p18TemporalSplit, c50OlapOnWarehouse)
 }
