@@ -193,6 +193,21 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
       if (!committed.contains(n) && n != "_SUCCESS")
         f.delete(st.getPath, false)
     }
+    // an all-empty batch write still commits its epoch (the caller asked
+    // for seq N to exist — replay idempotence depends on it), but a
+    // parquet-less dir would break every union read: write one
+    // schema-only empty part so the epoch reads as 0 rows
+    if (committed.isEmpty) {
+      val conf = new Configuration()
+      val msg = WarehouseSink.messageType(schema)
+      GroupWriteSupport.setSchema(msg, conf)
+      ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(s"$stage/part-00000-empty.parquet"), conf))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build().close()
+    }
     AtomicWarehouse.commitStagedEpoch(spark, dir, new Path(stage), s,
       statsKey, statsCols, bloomKey)
   }

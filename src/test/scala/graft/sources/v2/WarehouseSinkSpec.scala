@@ -163,6 +163,23 @@ class WarehouseSinkSpec extends SparkSuite {
     assert(stray.isEmpty, stray.mkString(","))
   }
 
+  test("an empty batch write commits a readable zero-row epoch") {
+    val dir = freshDir("empty")
+    write(rows(1, 10, 1L), dir, 1L)
+    write(rows(1, 10, 2L).where(col("k") > 100), dir, 2L) // zero rows
+    assert(AtomicWarehouse.committedEpochs(spark, dir) ==
+      Seq("epoch_1", "epoch_2"))
+    // the union read survives the empty epoch, schema intact
+    val back = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(back.count() == 10)
+    assert(AtomicWarehouse.read(spark, dir, "k").count() == 10)
+    // replaying seq 2 with data later is refused by idempotence (the
+    // committed empty epoch wins), keeping the seq contract strict
+    write(rows(50, 60, 2L), dir, 2L)
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 10)
+  }
+
   test("vacuum reclaims an abandoned write stage after the grace window") {
     val dir = freshDir("stage_gc")
     write(rows(1, 20, 1L), dir, 1L)
