@@ -428,7 +428,8 @@ object Extended62 {
       |SELECT k, c_name, seg, load_seq FROM (
       |  SELECT *, row_number() OVER (PARTITION BY k
       |                               ORDER BY load_seq DESC) AS rn
-      |  FROM u) WHERE rn = 1 AND k % 97 <> 13""".stripMargin) { (s, d) =>
+      |  FROM u) WHERE rn = 1
+      |  AND NOT (k % 97 = 13 AND k < 3000)""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
     val wh = freshScratch("c48") + "/wh"
     val base = Tables.customer(s, d).select(
@@ -442,8 +443,10 @@ object Extended62 {
         lit("REFETCHED").as("seg"), lit(2L).as("load_seq"))
     AtomicWarehouse.commitEpoch(s, wh, refetch, 2L,
       statsKey = Some("k"), bloomKey = Some("k"))
-    // deterministic purge set; driver-side list is O(keys), bounded
-    val doomed = base.where(col("k") % 97 === 13)
+    // deterministic purge set, BOUNDED at every SF (k < 3000 caps the
+    // driver-side key list — purgeKeys' contract is an O(keys) list,
+    // the GDPR/decontamination shape, never a corpus-proportional one)
+    val doomed = base.where(col("k") % 97 === 13 && col("k") < 3000)
       .select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect().toSeq
     AtomicWarehouse.purgeKeys(s, wh, "k", doomed,
