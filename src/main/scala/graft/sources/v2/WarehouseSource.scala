@@ -808,7 +808,18 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     val e = end.asInstanceOf[WarehouseVersionOffset].v
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // pushed filters prune SERVED epochs too (zone maps/blooms from the
+    // end-version manifest): rows a pruned epoch could contribute cannot
+    // match the filter, and Spark re-applies it row-level regardless —
+    // a filtered tail of a big warehouse opens O(matching) dirs, and the
+    // INITIAL SNAPSHOT (the whole manifest) prunes like a batch read.
+    // Offsets are unaffected: pruning drops files, never versions.
+    val byName = AtomicWarehouse.committedEntriesAt(spark, dir, e)
+      .map(en => en.name -> en).toMap
     entriesToServe(s, e)
+      .filter(n => byName.get(n).forall(en =>
+        pruneFilters.forall(fl =>
+          WarehouseConnector.epochMayMatch(en, mergeKey, fl))))
       .flatMap(listEpochFiles(f, dir, _))
       .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
       .map(file => WarehouseFilePartition(file.path, file.partValues.toArray)

@@ -285,6 +285,33 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("a filtered tail prunes epochs in the initial snapshot") {
+    val dir = freshDir("tailprune")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 100, 1L), 1L,
+      statsKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1000, 1100, 2L), 2L,
+      statsKey = Some("k"))
+    val cur = AtomicWarehouse.currentVersion(spark, dir)
+    val stream = new WarehouseMicroBatchStream(dir,
+      typedRows(1, 1, 1L).schema,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1000L)),
+      "", 0)
+    val parts = stream.planInputPartitions(
+      WarehouseVersionOffset(0L), WarehouseVersionOffset(cur))
+    assert(parts.nonEmpty && parts.forall(
+      _.asInstanceOf[WarehouseFilePartition].path.contains("epoch_2")))
+    // end-to-end: the filtered tail's sink holds only matching rows
+    val base = java.nio.file.Files.createTempDirectory("tailprune").toString
+    val q = spark.readStream.format("graft-warehouse").option("path", dir)
+      .load().where(col("k") >= 1000).select("k")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$base/out").count() == 101)
+  }
+
   test("admission control bounds versions per batch") {
     val dir = freshDir("adm")
     for (s <- 1L to 4L)
