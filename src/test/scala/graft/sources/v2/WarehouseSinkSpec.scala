@@ -163,6 +163,31 @@ class WarehouseSinkSpec extends SparkSuite {
     assert(stray.isEmpty, stray.mkString(","))
   }
 
+  test("a torn job (published dir, no manifest) is adopted by the re-run") {
+    val dir = freshDir("torn")
+    write(rows(1, 10, 1L), dir, 1L)
+    // simulate a writer that crashed AFTER publishing epoch_2 but BEFORE
+    // its manifest commit: the dir is complete (has _SUCCESS) yet
+    // invisible — exactly the commitStagedEpoch crash window
+    val epoch2 = new java.io.File(s"$dir/epoch_2")
+    rows(11, 25, 2L).coalesce(1).write.parquet(epoch2.toString)
+    assert(new java.io.File(epoch2, "_SUCCESS").exists())
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 1L)
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 10) // still invisible
+    // the re-run writes its own stage; the commit ADOPTS the published
+    // dir (same seq = same logical content by the replay contract) and
+    // finishes the manifest half
+    write(rows(11, 25, 2L), dir, 2L)
+    assert(AtomicWarehouse.committedEpochs(spark, dir) ==
+      Seq("epoch_1", "epoch_2"))
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 25)
+    val stray = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(stray.isEmpty, stray.mkString(","))
+  }
+
   test("an empty batch write commits a readable zero-row epoch") {
     val dir = freshDir("empty")
     write(rows(1, 10, 1L), dir, 1L)
