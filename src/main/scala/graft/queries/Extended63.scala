@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -141,5 +142,57 @@ object Extended63 {
         |GROUP BY o.o_orderpriority""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(e48OhlcBars, p18TemporalSplit, c50OlapOnWarehouse)
+  /** C51 — the warehouse DESCRIBE report
+    * ([[graft.sinks.AtomicWarehouse.describe]], every table format's
+    * `DESCRIBE DETAIL`): after a full maintenance lifecycle — two
+    * drains, a compaction fold, a post-fold drain, and a key purge —
+    * the report must show exactly the surviving manifest entries with
+    * their kinds and footer-derived row counts (no data scan), plus
+    * which pruning artifacts (zone-map columns, key bloom) each entry
+    * carries. The oracle computes each entry's expected population
+    * declaratively; a report row that misses a purge or a fold
+    * hash-mismatches.
+    *
+    * Scale: the report is O(entries) metadata reads — the first thing
+    * an operator looks at before compacting/vacuuming a 100 TB store. */
+  val c51WarehouseDescribe = q("c51_warehouse_describe",
+    """WITH total AS (SELECT count(*) AS n FROM customer),
+      |doomed AS (
+      |  SELECT count(*) AS n FROM customer
+      |  WHERE c_custkey % 101 = 17 AND c_custkey < 3000)
+      |SELECT * FROM (
+      |  SELECT 'compact_v2_p4' AS entry_name, 'purged' AS kind,
+      |         (SELECT n FROM total) - (SELECT n FROM doomed) AS n_rows,
+      |         'k' AS stats_cols, true AS has_bloom
+      |  UNION ALL
+      |  SELECT 'epoch_4', 'epoch', (SELECT n FROM total),
+      |         'k', true)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c51") + "/wh"
+    val cust = Tables.customer(s, d)
+    def ep(seq: Long, dfv: DataFrame): Unit =
+      AtomicWarehouse.commitEpoch(s, wh,
+        dfv.select(col("k"), col("c_name"), lit(seq).as("load_seq")), seq,
+        statsKey = Some("k"), bloomKey = Some("k"))
+    val base = cust.withColumn("k", col("c_custkey").cast("long"))
+    ep(1L, base)
+    ep(2L, base.where(col("c_nationkey") < 10))
+    AtomicWarehouse.compact(s, wh, "k",                  // [compact_v2]
+      statsKey = Some("k"), bloomKey = Some("k"))
+    // "new arrivals": keys shifted +1e6, so the purge's zone maps
+    // exclude epoch_4 STRUCTURALLY (range-disjoint — the report's entry
+    // set can never flip on a bloom false positive)
+    ep(4L, base.withColumn("k", col("k") + lit(1000000L)))
+    val doomed = base
+      .where(col("k") % 101 === 17 && col("k") < 3000)
+      .select(col("k"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+    AtomicWarehouse.purgeKeys(s, wh, "k", doomed,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.describe(s, wh)
+      .select("entry_name", "kind", "n_rows", "stats_cols", "has_bloom")
+  }
+
+  val all: Seq[Q] = Seq(e48OhlcBars, p18TemporalSplit, c50OlapOnWarehouse,
+    c51WarehouseDescribe)
 }

@@ -579,6 +579,37 @@ object AtomicWarehouse {
         "races — another maintainer is re-folding continuously")
   }
 
+  /** Operational report of the CURRENT snapshot — the `DESCRIBE DETAIL`
+    * every table format ships: one row per manifest entry with its kind
+    * (`epoch` / `compact` fold / `purged` rewrite), row and file counts,
+    * which columns carry zone-map stats, and whether a key bloom rides
+    * along. Row counts come from parquet footers (Spark's metadata-only
+    * count), so the report never scans data; file counts are one
+    * directory listing per entry. O(entries) planning jobs — compaction
+    * keeps that small by design. */
+  def describe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+    val f = fs(spark, dir)
+    entries.map { e =>
+      val kind =
+        if (e.name.matches(".*_p\\d+$")) "purged"
+        else if (e.name.startsWith("compact_")) "compact"
+        else "epoch"
+      def countFiles(p: Path): Long =
+        f.listStatus(p).map { st =>
+          if (st.isDirectory) countFiles(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+        }.sum
+      val statsCols = e.stats.keys.filterNot(_.startsWith("bloom("))
+        .toSeq.sorted.mkString(",")
+      (e.name, kind, spark.read.parquet(s"$dir/${e.name}").count(),
+        countFiles(new Path(s"$dir/${e.name}")), statsCols,
+        e.stats.keys.exists(_.startsWith("bloom(")))
+    }.toDF("entry_name", "kind", "n_rows", "n_files", "stats_cols",
+      "has_bloom")
+  }
+
   /** ROW-LEVEL PURGE: remove every version of the given merge keys from
     * the warehouse — the right-to-be-forgotten / contaminated-document
     * removal a long-lived corpus store must support, as a SELECTIVE
