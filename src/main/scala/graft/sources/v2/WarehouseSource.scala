@@ -317,6 +317,21 @@ class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
   override def name(): String =
     s"graft-warehouse($dir${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = schema0
+
+  /** Surfaced in `DESCRIBE TABLE EXTENDED`: where the table lives, the
+    * manifest version served, and the committed entry count — the
+    * at-a-glance facts before reaching for the full
+    * [[graft.sinks.AtomicWarehouse.describe]] report. */
+  override def properties(): java.util.Map[String, String] = {
+    val spark = SparkSession.active
+    val v = version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
+    val entries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
+    java.util.Map.of(
+      "location", dir,
+      "manifestVersion", v.toString,
+      "committedEntries", entries.size.toString,
+      "provider", "graft-warehouse")
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,

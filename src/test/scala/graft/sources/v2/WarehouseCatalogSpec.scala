@@ -60,6 +60,16 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(!names.contains("not_a_warehouse"))
   }
 
+  test("DESCRIBE EXTENDED surfaces warehouse facts as table properties") {
+    AtomicWarehouse.commitEpoch(spark, s"$root/props", rows(1, 5, 1L), 1L)
+    AtomicWarehouse.commitEpoch(spark, s"$root/props", rows(6, 9, 2L), 2L)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED whcat.props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = desc.getOrElse("Table Properties", "")
+    assert(props.contains("manifestVersion=2") &&
+      props.contains("committedEntries=2"), props)
+  }
+
   test("DDL through the catalog refuses with a drain pointer") {
     AtomicWarehouse.commitEpoch(spark, s"$root/fixed", rows(1, 3, 1L), 1L)
     val e = intercept[Exception](
