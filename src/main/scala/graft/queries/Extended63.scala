@@ -193,6 +193,55 @@ object Extended63 {
       .select("entry_name", "kind", "n_rows", "stats_cols", "has_bloom")
   }
 
+  /** C52 — SQL `DELETE FROM` through the catalog: the right-to-be-
+    * forgotten purge addressed the way an operator actually issues it —
+    * `DELETE FROM whc52.parts WHERE k IN (…)` resolves through
+    * [[graft.sources.v2.WarehouseTable]]'s SupportsDelete into
+    * [[graft.sinks.AtomicWarehouse.purgeKeys]] (selective pruning-driven
+    * rewrite + one manifest swap); only key-identity predicates qualify
+    * and the refusal path is analysis-time (WarehouseCatalogSpec pins
+    * both). The hashed result is the post-DELETE merged snapshot read
+    * back BY SQL; the oracle replays both epochs minus the keys.
+    *
+    * Scale: the DELETE rewrites O(matching epochs), the same contract
+    * as c48 — now reachable from any SQL client with zero engine API. */
+  val c52SqlDeletePurge = q("c52_sql_delete_purge",
+    """WITH e1 AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name,
+      |         CAST(1 AS BIGINT) AS load_seq FROM part),
+      |e2 AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, 'REFETCHED' AS p_name,
+      |         CAST(2 AS BIGINT) AS load_seq FROM part
+      |  WHERE p_partkey % 4 = 0),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |SELECT k, p_name, load_seq FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY k
+      |                               ORDER BY load_seq DESC) AS rn
+      |  FROM u) WHERE rn = 1 AND k NOT IN (3, 17, 41)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c52")
+    val base = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name"))
+    AtomicWarehouse.commitEpoch(s, s"$root/parts",
+      base.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.commitEpoch(s, s"$root/parts",
+      base.where(col("k") % 4 === 0)
+        .withColumn("p_name", lit("REFETCHED"))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    s.conf.set("spark.sql.catalog.whc52", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc52.root", root)
+    s.conf.set("spark.sql.catalog.whc52.mergeKey", "k")
+    s.sql("DELETE FROM whc52.parts WHERE k IN (3, 17, 41)")
+    s.sql(
+      """SELECT k, p_name, load_seq FROM (
+        |  SELECT k, p_name, load_seq,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY load_seq DESC) AS rn
+        |  FROM whc52.parts) WHERE rn = 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(e48OhlcBars, p18TemporalSplit, c50OlapOnWarehouse,
-    c51WarehouseDescribe)
+    c51WarehouseDescribe, c52SqlDeletePurge)
 }

@@ -313,10 +313,54 @@ object WarehouseConnector {
 
 class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
     mergeKey: String) extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graft-warehouse($dir${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType = schema0
+
+  /** `DELETE FROM <catalog>.<table> WHERE <mergeKey> = v | IN (…)` maps
+    * to [[AtomicWarehouse.purgeKeys]] — the SQL face of the
+    * right-to-be-forgotten purge: every version of the named keys is
+    * removed by the selective pruning-driven rewrite, committed by one
+    * manifest swap. ONLY key-identity predicates qualify (a purge is
+    * addressed at row identities; an arbitrary-predicate delete would
+    * have to rewrite every epoch and silently break the merge's
+    * version-stability reasoning), and the catalog must be configured
+    * with `mergeKey` — everything else is refused at analysis via
+    * [[canDeleteWhere]], so Spark reports "cannot delete" instead of
+    * half-running. History keeps the rows until vacuum, exactly like
+    * the API purge. */
+  private def deleteKeys(filters: Array[Filter]): Option[Seq[Long]] = {
+    if (mergeKey.isEmpty || version.isDefined) return None
+    def keysOf(f: Filter): Option[Seq[Long]] = f match {
+      case EqualTo(c, v: Number) if c == mergeKey => Some(Seq(v.longValue()))
+      case In(c, vs) if c == mergeKey &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+        Some(vs.toSeq.map(_.asInstanceOf[Number].longValue()))
+      case Or(l, r) => for { a <- keysOf(l); b <- keysOf(r) } yield a ++ b
+      // Spark adds the implied null guard alongside the key predicate;
+      // null keys are never purge targets, so it constrains nothing
+      case IsNotNull(c) if c == mergeKey => Some(Nil)
+      case _ => None
+    }
+    filters.toSeq.foldLeft(Option(Seq.empty[Long])) { (acc, f) =>
+      for { a <- acc; b <- keysOf(f) } yield a ++ b
+    }.filter(_.nonEmpty)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteKeys(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val keys = deleteKeys(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-warehouse DELETE supports only $mergeKey = v / IN (...) " +
+          "key-identity predicates (configure the catalog's mergeKey); " +
+          "arbitrary-predicate deletes need an epoch rewrite pipeline"))
+    AtomicWarehouse.purgeKeys(SparkSession.active, dir, mergeKey, keys,
+      statsKey = Some(mergeKey), bloomKey = Some(mergeKey))
+  }
 
   /** Surfaced in `DESCRIBE TABLE EXTENDED`: where the table lives, the
     * manifest version served, and the committed entry count — the

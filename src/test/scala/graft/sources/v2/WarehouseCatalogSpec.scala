@@ -70,6 +70,31 @@ class WarehouseCatalogSpec extends SparkSuite {
       props.contains("committedEntries=2"), props)
   }
 
+  test("SQL DELETE maps to the key purge; arbitrary predicates refuse") {
+    val delRoot = java.nio.file.Files.createTempDirectory("wh_del").toString
+    spark.conf.set("spark.sql.catalog.whdel",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whdel.root", delRoot)
+    spark.conf.set("spark.sql.catalog.whdel.mergeKey", "k")
+    AtomicWarehouse.commitEpoch(spark, s"$delRoot/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, s"$delRoot/t", rows(5, 20, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+
+    spark.sql("DELETE FROM whdel.t WHERE k IN (3, 7, 15)")
+    val left = spark.sql("SELECT DISTINCT k FROM whdel.t")
+      .as[Long].collect().toSet
+    assert(left == (1L to 20L).toSet -- Set(3L, 7L, 15L))
+
+    // not a key-identity predicate → refused at analysis
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM whdel.t WHERE name = 'n4'"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    // nothing changed
+    assert(spark.sql("SELECT count(DISTINCT k) AS c FROM whdel.t")
+      .head.getLong(0) == 17)
+  }
+
   test("DDL through the catalog refuses with a drain pointer") {
     AtomicWarehouse.commitEpoch(spark, s"$root/fixed", rows(1, 3, 1L), 1L)
     val e = intercept[Exception](
