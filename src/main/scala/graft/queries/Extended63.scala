@@ -159,9 +159,15 @@ object Extended63 {
     """WITH total AS (SELECT count(*) AS n FROM customer),
       |doomed AS (
       |  SELECT count(*) AS n FROM customer
-      |  WHERE c_custkey % 101 = 17 AND c_custkey < 3000)
+      |  WHERE c_custkey % 101 = 17 AND c_custkey < 3000),
+      |dig AS (
+      |  SELECT substr(md5(string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)),
+      |                1, 8) AS dg
+      |  FROM (SELECT DISTINCT c_custkey AS k FROM customer
+      |        WHERE c_custkey % 101 = 17 AND c_custkey < 3000))
       |SELECT * FROM (
-      |  SELECT 'compact_v2_p4' AS entry_name, 'purged' AS kind,
+      |  SELECT 'compact_v2_p4_' || (SELECT dg FROM dig) AS entry_name,
+      |         'purged' AS kind,
       |         (SELECT n FROM total) - (SELECT n FROM doomed) AS n_rows,
       |         'k' AS stats_cols, true AS has_bloom
       |  UNION ALL

@@ -295,7 +295,7 @@ object AtomicWarehouse {
     * `statsKey`/`statsCols` name the columns whose min/max are recorded
     * in the manifest entry (the zone map [[readRange]]/[[readRangeOn]]
     * prune on); integral columns record numeric stats, string/date/
-    * timestamp columns lexicographic ones — see [[colStatsOf]].
+    * timestamp columns lexicographic ones — see [[statsAndBloomOf]].
     *
     * CONCURRENT writers are fenced: each attempt re-reads the latest
     * manifest, appends this epoch, and publishes version N+1 via a
@@ -352,8 +352,7 @@ object AtomicWarehouse {
       afterPublish()
       val stats =
         if (f.exists(epochPath))
-          colStatsOf(spark, s"$dir/$epoch", wanted) ++
-            bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$epoch", k))
+          statsAndBloomOf(spark, s"$dir/$epoch", wanted, bloomKey)._1
         else Map.empty[String, ColStats] // vanished: the compute will notice
       var vanished = false
       commitManifest(spark, dir, s"epoch $epoch") { entries =>
@@ -410,8 +409,7 @@ object AtomicWarehouse {
       }
     }
     val wanted = (statsKey.toSeq ++ statsCols).distinct
-    val stats = colStatsOf(spark, s"$dir/$epoch", wanted) ++
-      bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$epoch", k))
+    val stats = statsAndBloomOf(spark, s"$dir/$epoch", wanted, bloomKey)._1
     commitManifest(spark, dir, s"staged epoch $epoch") { entries =>
       if (entries.exists(_.name == epoch)) None // a concurrent replay won
       else if (!f.exists(epochPath)) throw new java.io.IOException(
@@ -429,9 +427,21 @@ object AtomicWarehouse {
     * ("10.0" < "9.0") so stats over them would prune wrongly. Columns
     * that are entirely null contribute no stats (conservative: the epoch
     * is always scanned). */
-  private def colStatsOf(spark: SparkSession, path: String,
-      cols: Seq[String]): Map[String, ColStats] = {
-    if (cols.isEmpty) return Map.empty
+  /** Zone-map min/max for `cols` PLUS (when `bloomKey` is set) the key
+    * Bloom filter and the non-null key count, over ONE
+    * `spark.read.parquet` of the published dir and at most TWO jobs:
+    * one aggregate computes every min/max, the total row count and the
+    * bloom key's non-null count together (the pre-round-7 shape ran a
+    * separate scan+agg for stats, a count job and a bloom job — 3 scans
+    * of the same data per epoch commit, a fixed overhead that compounded
+    * at 2 drains/day × years of epochs); the bloom construction itself
+    * stays a second pass because its size must be EXACT-n-sized before
+    * it runs. Returns (stats entries, total row count). */
+  private def statsAndBloomOf(spark: SparkSession, path: String,
+      cols: Seq[String], bloomKey: Option[String],
+      needCount: Boolean = false): (Map[String, ColStats], Long) = {
+    if (cols.isEmpty && bloomKey.isEmpty && !needCount)
+      return (Map.empty, 0L)
     val df = spark.read.parquet(path)
     val typed: Seq[(String, String)] = cols.map { c =>
       df.schema(c).dataType match {
@@ -444,15 +454,31 @@ object AtomicWarehouse {
             "(lexicographic ISO order) columns prune soundly")
       }
     }
-    val aggs = typed.flatMap { case (c, typ) =>
+    val statAggs = typed.flatMap { case (c, typ) =>
       val cast = if (typ == "long") col(c).cast("long") else col(c).cast("string")
       Seq(min(cast).cast("string").as(s"__mn_$c"), max(cast).cast("string").as(s"__mx_$c"))
     }
+    val aggs = statAggs ++ Seq(count(lit(1)).as("__n")) ++
+      bloomKey.toSeq.map(k => count(col(k).cast("long")).as("__bloom_n"))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
-    typed.zipWithIndex.flatMap { case ((c, typ), i) =>
+    val colStats = typed.zipWithIndex.flatMap { case ((c, typ), i) =>
       val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
       if (mn == null) None else Some(c -> ColStats(typ, mn, mx))
     }.toMap
+    val total = r.getLong(statAggs.size)
+    val bloom = bloomKey.flatMap { k =>
+      val n = r.getLong(statAggs.size + 1)
+      // ~9.6 bits/key at 1% fpp → stay under the manifest-size cap
+      if (n == 0 || n > (MaxBloomBytes.toLong * 8 / 10)) None
+      else {
+        val keyed = df.select(col(k).cast("long").as("__k"))
+          .where(col("__k").isNotNull)
+        val bf = keyed.stat.bloomFilter("__k", math.max(1000L, n), 0.01)
+        Some(bloomStatsCol(k) ->
+          ColStats("bloom", serializeBloom(bf), n.toString))
+      }
+    }
+    (colStats ++ bloom, total)
   }
 
   /** Write `df` to a unique hidden stage dir and move it to `$dir/$name`
@@ -562,8 +588,7 @@ object AtomicWarehouse {
       if (base.size <= 1) return // nothing to fold
       val name = s"compact_v$baseV"
       publishData(spark, dir, readVersion(spark, dir, key, baseV), name)
-      val stats = colStatsOf(spark, s"$dir/$name", wanted) ++
-        bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$name", k))
+      val stats = statsAndBloomOf(spark, s"$dir/$name", wanted, bloomKey)._1
       var stale = false
       commitManifest(spark, dir, s"compaction $name") { entries =>
         if (entries.exists(_.name == name)) None // identical fold already won
@@ -593,7 +618,7 @@ object AtomicWarehouse {
     val f = fs(spark, dir)
     entries.map { e =>
       val kind =
-        if (e.name.matches(".*_p\\d+$")) "purged"
+        if (isPurgeRewrite(e.name)) "purged"
         else if (e.name.startsWith("compact_")) "compact"
         else "epoch"
       def countFiles(p: Path): Long =
@@ -645,6 +670,27 @@ object AtomicWarehouse {
     purgeKeysImpl(spark, dir, key, keys, statsKey, statsCols, bloomKey,
       () => ())
 
+  /** Is `n` a purge-rewrite entry name? Matches both the digest-suffixed
+    * form (`<name>_p<V>_<8 hex>`) and the legacy digest-less `_p<V>`
+    * names older manifests hold. */
+  private[graft] def isPurgeRewrite(n: String): Boolean =
+    n.matches(".*_p\\d+(_[0-9a-f]{8})?$")
+
+  /** Deterministic 8-hex-char digest of a purge's key SET (md5 of the
+    * sorted distinct keys, comma-joined) — rides in the rewrite dir name
+    * so two purges of DIFFERENT key sets planned at the same base
+    * version can never adopt each other's rewrite: same-name adoption is
+    * sound only for deterministic recomputations, which a keyed purge is
+    * only when the name pins the keys. Expressible in ANSI SQL
+    * (`substr(md5(string_agg(k, ',' ORDER BY k)), 1, 8)`) so oracles can
+    * predict the name. */
+  private[sinks] def purgeDigest(keys: Seq[Long]): String = {
+    val s = keys.distinct.sorted.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+  }
+
   /** [[purgeKeys]] with a test seam between the rewrites and the
     * manifest commit — the window a concurrent drain or fold can land
     * in; specs use it to pin the carry-over/retry behavior
@@ -655,6 +701,7 @@ object AtomicWarehouse {
       beforeCommit: () => Unit): (Int, Long) = {
     require(keys.nonEmpty, "no keys to purge")
     val wanted = (statsKey.toSeq ++ statsCols).distinct
+    val digest = purgeDigest(keys)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val baseV = currentVersion(spark, dir)
@@ -671,16 +718,23 @@ object AtomicWarehouse {
           // over null is UNKNOWN, and WHERE would silently drop the row)
           val kept = df.where(
             coalesce(!col(key).cast("long").isin(keys: _*), lit(true)))
-          val newName = s"${name}_p$baseV"
-          purged += df.count() - kept.count()
+          val newName = s"${name}_p${baseV}_$digest"
           publishData(spark, dir, kept, newName)
-          val stats = colStatsOf(spark, s"$dir/$newName", wanted) ++
-            bloomKey.flatMap(k => bloomStatsOf(spark, s"$dir/$newName", k))
+          // the kept count rides the stats aggregate over the published
+          // rewrite — one job instead of a separate kept.count()
+          val (stats, keptCount) =
+            statsAndBloomOf(spark, s"$dir/$newName", wanted, bloomKey,
+              needCount = true)
+          purged += df.count() - keptCount
           name -> (newName, stats)
         }.toMap
       beforeCommit()
       var stale = false
       commitManifest(spark, dir, s"purge of ${keys.size} keys") { entries =>
+        // the rewrite names carry (baseV, key-set digest), so a match
+        // proves THIS purge (same base, same keys) already committed —
+        // a different purge's rewrite of the same epoch has a different
+        // name and falls through to the structural-stale retry below
         if (entries.exists(e => rewritten.valuesIterator
             .exists(_._1 == e.name))) None // identical purge already won
         else if (!affected.forall(entries.map(_.name).contains)) {
@@ -857,23 +911,6 @@ object AtomicWarehouse {
   /** Manifest column slot a key's bloom rides in — distinct from the
     * key's min/max slot so both coexist in one entry. */
   private def bloomStatsCol(key: String) = s"bloom($key)"
-
-  /** Build the epoch's key bloom (long-cast key, 1% fpp). None — a
-    * conservative always-scan entry — for empty epochs and for deltas
-    * whose filter would exceed [[MaxBloomBytes]] (put the bloom in the
-    * parquet footers at that size instead of every manifest read). */
-  private def bloomStatsOf(spark: SparkSession, path: String,
-      key: String): Option[(String, ColStats)] = {
-    val keyed = spark.read.parquet(path)
-      .select(col(key).cast("long").as("__k")).where(col("__k").isNotNull)
-    val n = keyed.count()
-    // ~9.6 bits/key at 1% fpp → stay under the manifest-size cap
-    if (n == 0 || n > (MaxBloomBytes.toLong * 8 / 10)) None
-    else {
-      val bf = keyed.stat.bloomFilter("__k", math.max(1000L, n), 0.01)
-      Some(bloomStatsCol(key) -> ColStats("bloom", serializeBloom(bf), n.toString))
-    }
-  }
 
   private[sinks] val MaxBloomBytes = 4 << 20
 

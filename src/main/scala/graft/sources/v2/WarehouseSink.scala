@@ -198,7 +198,7 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
     // parquet-less dir would break every union read: write one
     // schema-only empty part so the epoch reads as 0 rows
     if (committed.isEmpty) {
-      val conf = new Configuration()
+      val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
       val msg = WarehouseSink.messageType(schema)
       GroupWriteSupport.setSchema(msg, conf)
       ExampleParquetWriter
@@ -212,10 +212,17 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
       statsKey, statsCols, bloomKey)
   }
 
+  // the session's Hadoop configuration, shipped to executor-side
+  // writers — a fresh Configuration() there would drop session-configured
+  // fs.* settings (ABFS credentials etc.) on any non-default filesystem
+  private def serializableConf =
+    new org.apache.spark.util.SerializableConfiguration(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     fsOf(SparkSession.active).mkdirs(new Path(stageFor(seq)))
-    new WarehouseWriterFactory(stageFor(seq), schema)
+    new WarehouseWriterFactory(stageFor(seq), schema, serializableConf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -238,7 +245,7 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new WarehouseStreamingWriterFactory(dir, seqBase, writeId.toString,
-      schema)
+      schema, serializableConf)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -263,24 +270,26 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
 }
 
 class WarehouseStreamingWriterFactory(dir: String, seqBase: Long,
-    writeId: String, schema: StructType) extends
+    writeId: String, schema: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration) extends
     org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val stage = s"$dir/.stage_epoch_${seqBase + epochId}_$writeId"
-    val f = new Path(stage).getFileSystem(new Configuration())
+    val f = new Path(stage).getFileSystem(hadoopConf.value)
     f.mkdirs(new Path(stage))
-    new WarehouseDataWriter(stage, schema, partitionId, taskId)
+    new WarehouseDataWriter(stage, schema, partitionId, taskId, hadoopConf)
   }
 }
 
 final case class WhPartFile(name: Option[String]) extends WriterCommitMessage
 
-class WarehouseWriterFactory(stage: String, schema: StructType)
+class WarehouseWriterFactory(stage: String, schema: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new WarehouseDataWriter(stage, schema, partitionId, taskId)
+    new WarehouseDataWriter(stage, schema, partitionId, taskId, hadoopConf)
 }
 
 /** One parquet part per task, created LAZILY (an empty partition commits
@@ -288,7 +297,13 @@ class WarehouseWriterFactory(stage: String, schema: StructType)
   * dropped at job commit because only the committed attempt's name
   * reaches the driver. */
 class WarehouseDataWriter(stage: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration = null)
+    extends DataWriter[InternalRow] {
+  // copied per writer: GroupWriteSupport.setSchema mutates the conf
+  private def newConf(): Configuration =
+    if (hadoopConf == null) new Configuration()
+    else new Configuration(hadoopConf.value)
   private val fileName =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID}.parquet"
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
@@ -314,7 +329,7 @@ class WarehouseDataWriter(stage: String, schema: StructType,
     }
 
   private def open(): Unit = {
-    val conf = new Configuration()
+    val conf = newConf()
     val msg = WarehouseSink.messageType(schema)
     GroupWriteSupport.setSchema(msg, conf)
     factory = new SimpleGroupFactory(msg)
@@ -344,7 +359,7 @@ class WarehouseDataWriter(stage: String, schema: StructType,
 
   override def abort(): Unit = {
     if (writer != null) writer.close()
-    val conf = new Configuration()
+    val conf = newConf()
     val p = new Path(s"$stage/$fileName")
     val f = p.getFileSystem(conf)
     if (f.exists(p)) f.delete(p, false)

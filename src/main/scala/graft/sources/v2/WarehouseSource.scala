@@ -133,9 +133,10 @@ object WarehouseConnector {
 
   /** One data file of one epoch: absolute path plus the hive partition
     * values parsed from `col=value` path segments between the epoch dir
-    * and the file (empty for unpartitioned epochs). */
+    * and the file (empty for unpartitioned epochs). `len` rides along
+    * from the listing so size statistics never re-stat files. */
   final case class WhFile(path: String, epoch: String,
-      partValues: Seq[(String, String)])
+      partValues: Seq[(String, String)], len: Long = 0L)
 
   /** Hive-style %-unescape (Spark escapes path-hostile chars on write).
     * Decodes to BYTES first and UTF-8-decodes once at the end — a
@@ -176,7 +177,7 @@ object WarehouseConnector {
           }
           walk(st.getPath, parts ++ kv)
         } else if (n.endsWith(".parquet"))
-          Seq(WhFile(st.getPath.toString, epoch, parts))
+          Seq(WhFile(st.getPath.toString, epoch, parts, st.getLen))
         else Nil
       }
     walk(new Path(s"$dir/$epoch"), Nil)
@@ -220,7 +221,12 @@ object WarehouseConnector {
     * bound keeps the epoch, which only ever over-scans. */
   private def mayHold(e: EpochEntry, mergeKey: String, c: String, v: Any,
       atLeast: Boolean, atMost: Boolean): Boolean =
-    e.statsFor(c, if (mergeKey.nonEmpty) mergeKey else c) match {
+    // with NO configured merge key, pass a sentinel no column can equal:
+    // passing `c` itself would let statsFor fall back to the legacy `*`
+    // stats entry (which records the MERGE KEY's min/max) for ANY
+    // filtered column, wrongly pruning epochs on an unrelated column's
+    // filter — degrade conservatively to no pruning instead
+    e.statsFor(c, if (mergeKey.nonEmpty) mergeKey else "\u0000") match {
       case None => true
       case Some(st) if st.typ == "long" =>
         longLit(v) match {
@@ -333,20 +339,43 @@ class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
     * the API purge. */
   private def deleteKeys(filters: Array[Filter]): Option[Seq[Long]] = {
     if (mergeKey.isEmpty || version.isDefined) return None
-    def keysOf(f: Filter): Option[Seq[Long]] = f match {
-      case EqualTo(c, v: Number) if c == mergeKey => Some(Seq(v.longValue()))
+    // Per-filter verdict: None = unsupported shape (refuse the whole
+    // DELETE); Some(None) = no key constraint (the implied IsNotNull
+    // guard); Some(Some(ks)) = exactly the rows whose key ∈ ks. Spark
+    // passes the filter array as a CONJUNCTION, so key sets INTERSECT
+    // across top-level filters (and And nodes): `k = 5 AND k = 6`
+    // matches nothing and must purge nothing — the old union semantics
+    // over-deleted both keys.
+    def keysOf(f: Filter): Option[Option[Set[Long]]] = f match {
+      case EqualTo(c, v: Number) if c == mergeKey =>
+        Some(Some(Set(v.longValue())))
       case In(c, vs) if c == mergeKey &&
           vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
-        Some(vs.toSeq.map(_.asInstanceOf[Number].longValue()))
-      case Or(l, r) => for { a <- keysOf(l); b <- keysOf(r) } yield a ++ b
-      // Spark adds the implied null guard alongside the key predicate;
-      // null keys are never purge targets, so it constrains nothing
-      case IsNotNull(c) if c == mergeKey => Some(Nil)
+        Some(Some(vs.map(_.asInstanceOf[Number].longValue()).toSet))
+      // null keys are never purge targets, so IsNotNull(key) constrains
+      // nothing — but ONLY as a conjunct: inside an Or it would match
+      // every non-null-key row, which no key set can express
+      case IsNotNull(c) if c == mergeKey => Some(None)
+      case And(l, r) => (keysOf(l), keysOf(r)) match {
+        case (Some(Some(x)), Some(Some(y))) => Some(Some(x intersect y))
+        case (Some(a), Some(b)) => Some(a.orElse(b))
+        case _ => None
+      }
+      case Or(l, r) => (keysOf(l), keysOf(r)) match {
+        case (Some(Some(x)), Some(Some(y))) => Some(Some(x union y))
+        case _ => None // an unconstrained Or side matches non-key rows
+      }
       case _ => None
     }
-    filters.toSeq.foldLeft(Option(Seq.empty[Long])) { (acc, f) =>
-      for { a <- acc; b <- keysOf(f) } yield a ++ b
-    }.filter(_.nonEmpty)
+    filters.toSeq.foldLeft(Option(Option.empty[Set[Long]])) { (acc, f) =>
+      (acc, keysOf(f)) match {
+        case (Some(Some(x)), Some(Some(y))) => Some(Some(x intersect y))
+        case (Some(a), Some(b)) => Some(a.orElse(b))
+        case _ => None
+      }
+    }.flatten.map(_.toSeq.sorted) // None when only IsNotNull / no filters:
+    // "all rows" is not key-addressable. An EMPTY intersection is kept —
+    // the predicate matches nothing, so the delete is a no-op success.
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -358,8 +387,9 @@ class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
         s"graft-warehouse DELETE supports only $mergeKey = v / IN (...) " +
           "key-identity predicates (configure the catalog's mergeKey); " +
           "arbitrary-predicate deletes need an epoch rewrite pipeline"))
-    AtomicWarehouse.purgeKeys(SparkSession.active, dir, mergeKey, keys,
-      statsKey = Some(mergeKey), bloomKey = Some(mergeKey))
+    if (keys.nonEmpty)
+      AtomicWarehouse.purgeKeys(SparkSession.active, dir, mergeKey, keys,
+        statsKey = Some(mergeKey), bloomKey = Some(mergeKey))
   }
 
   /** Surfaced in `DESCRIBE TABLE EXTENDED`: where the table lives, the
@@ -444,15 +474,16 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     * `autoBroadcastJoinThreshold` gets planned as the BROADCAST side
     * with no hint — the decision Delta/Iceberg feed the same way. Row
     * count comes from the bloom entries' recorded key counts when every
-    * planned epoch carries one (conservative: absent otherwise). */
+    * planned epoch carries one (conservative: absent otherwise).
+    *
+    * Catalyst may ask repeatedly during planning; the O(files) listing
+    * is computed ONCE per runtime-filter state via [[listPlannedFiles]]
+    * (shared with [[planInputPartitions]]) and file lengths ride the
+    * listing itself — no per-file stat round trips. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val f = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    private val planned = plannedEpochs()
-    private val bytes: Long = planned.map { e =>
-      listEpochFiles(f, dir, e)
-        .map(w => f.getFileStatus(new Path(w.path)).getLen).sum
-    }.sum
+    private val files = listPlannedFiles()
+    private val planned = files.map(_.epoch).toSet
+    private val bytes: Long = files.map(_.len).sum
     private val rowCounts: Seq[Option[Long]] =
       entries.filter(e => planned.contains(e.name)).map(_.stats.collectFirst {
         case (c, ColStats("bloom", _, n)) if c.startsWith("bloom(") =>
@@ -471,6 +502,22 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
   private lazy val entries: Seq[EpochEntry] =
     AtomicWarehouse.committedEntriesAt(spark, dir, resolvedVersion)
+
+  // listing cache, keyed by the planned epoch set (runtime filters can
+  // shrink it after planning — filter() invalidates by key mismatch)
+  private var filesCache: Option[(Seq[String], Seq[WhFile])] = None
+  private def listPlannedFiles(): Seq[WhFile] = synchronized {
+    val planned = plannedEpochs()
+    filesCache match {
+      case Some((p, fl)) if p == planned => fl
+      case _ =>
+        val f = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val fl = planned.flatMap(listEpochFiles(f, dir, _))
+        filesCache = Some((planned, fl))
+        fl
+    }
+  }
 
   /** Epochs surviving the static + runtime filters — exposed for spec
     * pinning (the connector's analogue of `scanListForRangeOn`). */
@@ -495,10 +542,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     runtimeFilters = filters
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val f = new Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val all = pruneFilters ++ runtimeFilters
-    val files = plannedEpochs().flatMap(listEpochFiles(f, dir, _))
+    val files = listPlannedFiles()
       .filter(file => all.forall(fileMayMatch(file, _)))
     files.map(file =>
       WarehouseFilePartition(file.path, file.partValues.toArray)
@@ -506,7 +551,9 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters)
+    new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
 
   override def description(): String =
     s"graft-warehouse($dir v$resolvedVersion) " +
@@ -528,7 +575,8 @@ final case class WarehouseFilePartition(path: String,
   * then a PROJECTED read of exactly the requested-and-present columns.
   * Hive partition values ride in from the path. */
 class WarehouseReaderFactory(required: StructType,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration = null)
     extends PartitionReaderFactory {
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
@@ -648,7 +696,13 @@ class WarehouseReaderFactory(required: StructType,
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WarehouseFilePartition]
-    val conf = new Configuration()
+    // the session's Hadoop configuration rides the (serializable) factory
+    // to executors — a fresh Configuration() would drop session-configured
+    // fs.* settings (ABFS credentials etc.). Copied per reader: the read
+    // schema set below must not leak across concurrent tasks.
+    val conf =
+      if (hadoopConf == null) new Configuration()
+      else new Configuration(hadoopConf.value)
     val inPath = new Path(p.path)
 
     val footerSchema: MessageType = {
@@ -850,7 +904,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
       val prev = AtomicWarehouse.committedEpochsAt(spark, dir, v - 1).toSet
       val added = AtomicWarehouse.committedEpochsAt(spark, dir, v)
         .filterNot(prev)
-      val purgeSwaps = added.filter(_.matches(".*_p\\d+$"))
+      val purgeSwaps = added.filter(AtomicWarehouse.isPurgeRewrite)
       if (purgeSwaps.nonEmpty && !ignoreDeletes)
         throw new UnsupportedOperationException(
           s"graft-warehouse tail hit a PURGE at manifest v$v " +
@@ -858,7 +912,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
             "cannot retract already-served rows — restart the stream " +
             "fresh, or set .option(\"ignoreDeletes\", true) to skip " +
             "purge rewrites")
-      added.filter(n => n.startsWith("epoch_") && !n.matches(".*_p\\d+$"))
+      added.filter(n => n.startsWith("epoch_") &&
+        !AtomicWarehouse.isPurgeRewrite(n))
     }.distinct
 
   override def planInputPartitions(start: StreamOffset,
@@ -886,7 +941,9 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(required, pruneFilters)
+    new WarehouseReaderFactory(required, pruneFilters,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
