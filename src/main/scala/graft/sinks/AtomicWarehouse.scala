@@ -195,10 +195,42 @@ object AtomicWarehouse {
   private def mergedRead(spark: SparkSession, dir: String, key: String,
       entries: Seq[EpochEntry], scanned: Set[String],
       preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val union = entries.map { e =>
+    val (tombs, data) = entries.partition(e => isTombstone(e.name))
+    require(data.nonEmpty,
+      s"warehouse at $dir holds only tombstone entries — no data to read")
+    def dataDf(e: EpochEntry) = {
       val df = spark.read.parquet(s"$dir/${e.name}")
       if (scanned.contains(e.name)) df else df.limit(0)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val union =
+      if (tombs.isEmpty)
+        data.map(dataDf).reduce(_.unionByName(_, allowMissingColumns = true))
+      else {
+        // MERGE-ON-READ deletion vectors: a tombstone suppresses every
+        // version of its keys in entries committed BEFORE it (manifest
+        // order); a later drain re-adding a key is new data and
+        // survives. Tagged per-entry position + ONE broadcast anti-join
+        // (tombstone key lists are O(purged keys), driver-sized by the
+        // purge contract) — zero data rewrites at purge time, exactly
+        // Iceberg's equality-delete read path.
+        val posOf = entries.map(_.name).zipWithIndex.toMap
+        val u = data.map(e =>
+            dataDf(e).withColumn("__eidx", lit(posOf(e.name))))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val tombRows: Seq[(Long, Int)] = tombs.flatMap { t =>
+          spark.read.parquet(s"$dir/${t.name}")
+            .select(col(key).cast("long")).na.drop().collect()
+            .map(r => (r.getLong(0), posOf(t.name)))
+        }
+        import spark.implicits._
+        val tombDf = tombRows.toDF("__tk", "__tpos")
+        // null merge keys never match a tombstone (k === null is UNKNOWN
+        // → anti-join keeps the row), matching purgeKeys' null contract
+        u.join(broadcast(tombDf),
+            col(key).cast("long") === col("__tk") &&
+              col("__tpos") > col("__eidx"), "left_anti")
+          .drop("__eidx")
+      }
     // the range predicate applies BELOW the merge window: a filter above
     // it could never push past the Window (its partitioning is the merge
     // key, not the filtered column), which would defeat partition and
@@ -618,7 +650,8 @@ object AtomicWarehouse {
     val f = fs(spark, dir)
     entries.map { e =>
       val kind =
-        if (isPurgeRewrite(e.name)) "purged"
+        if (isTombstone(e.name)) "tombstone"
+        else if (isPurgeRewrite(e.name)) "purged"
         else if (e.name.startsWith("compact_")) "compact"
         else "epoch"
       def countFiles(p: Path): Long =
@@ -676,6 +709,13 @@ object AtomicWarehouse {
   private[graft] def isPurgeRewrite(n: String): Boolean =
     n.matches(".*_p\\d+(_[0-9a-f]{8})?$")
 
+  /** Is `n` a TOMBSTONE entry — a deletion-vector commit holding purged
+    * KEYS instead of rewritten data? Tombstone entries are never read as
+    * data: every read path splits them out and applies them as an
+    * anti-join (merge-on-read). */
+  private[graft] def isTombstone(n: String): Boolean =
+    n.startsWith("tombstone_")
+
   /** Deterministic 8-hex-char digest of a purge's key SET (md5 of the
     * sorted distinct keys, comma-joined) — rides in the rewrite dir name
     * so two purges of DIFFERENT key sets planned at the same base
@@ -707,7 +747,10 @@ object AtomicWarehouse {
       val baseV = currentVersion(spark, dir)
       if (baseV == 0L) return (0, 0L)
       val base = committedEntriesAt(spark, dir, baseV)
-      val affected = base.filter(e =>
+      // tombstones are key lists, not data — never rewrite targets (a
+      // tombstone listing a CoW-purged key stays; suppressing already-
+      // removed rows is a no-op)
+      val affected = base.filter(e => !isTombstone(e.name) &&
         keys.exists(k => scanListForPoint(Seq(e), key, k).nonEmpty)).map(_.name)
       if (affected.isEmpty) return (0, 0L)
       var purged = 0L
@@ -752,6 +795,49 @@ object AtomicWarehouse {
     throw new java.io.IOException(
       s"purge at $dir lost $MaxCommitAttempts consecutive structural " +
         "races — a maintainer is re-folding continuously")
+  }
+
+  /** DELETION-VECTOR purge (merge-on-read): commit the purged keys as a
+    * TOMBSTONE entry instead of rewriting epochs — the Delta/Iceberg
+    * deletion-vector/equality-delete pattern. Purge-time cost is O(keys)
+    * (one tiny parquet write + one manifest CAS), ZERO epoch rewrites;
+    * the read paths apply the tombstone as a broadcast anti-join, and
+    * [[compact]] folds tombstones into its rewrite (the merged snapshot
+    * it materializes has them applied), so read-side cost is bounded by
+    * compaction cadence. Contrast [[purgeKeys]] (copy-on-write): at
+    * 100 TB a handful of right-to-be-forgotten keys scattered across old
+    * epochs forces full epoch rewrites there; here the same purge is one
+    * metadata commit, with the data destruction deferred to
+    * compact+vacuum (a COMPLIANCE purge is therefore tombstone → compact
+    * → vacuum, same end state as CoW purge → vacuum).
+    *
+    * Semantics match [[purgeKeys]] exactly: every version of the named
+    * keys committed BEFORE the tombstone is suppressed; a drain that
+    * re-adds a key AFTER it is new data and survives (the tombstone's
+    * manifest position orders it against epochs). NULL merge keys are
+    * never purge targets. Replaying the same key set against the same
+    * base version converges by name; the tombstone entry carries the
+    * keys' min/max under the key column so point/range reads can skip
+    * loading irrelevant tombstones. Returns the distinct key count
+    * tombstoned (0 on an empty warehouse). */
+  def purgeKeysDeferred(spark: SparkSession, dir: String, key: String,
+      keys: Seq[Long]): Int = {
+    require(keys.nonEmpty, "no keys to purge")
+    val ks = keys.distinct.sorted
+    val digest = purgeDigest(ks)
+    val baseV = currentVersion(spark, dir)
+    if (baseV == 0L) return 0
+    val name = s"tombstone_v${baseV}_$digest"
+    import spark.implicits._
+    publishData(spark, dir,
+      ks.toDF(key).select(col(key).cast("long").as(key)), name)
+    val stats = Map(key ->
+      ColStats("long", ks.head.toString, ks.last.toString))
+    commitManifest(spark, dir, s"tombstone of ${ks.size} keys") { entries =>
+      if (entries.exists(_.name == name)) None // identical replay converged
+      else Some(entries :+ EpochEntry(name, stats))
+    }
+    ks.size
   }
 
   /** Retention pass: keep the latest `retainVersions` manifests, delete

@@ -115,8 +115,11 @@ object WarehouseConnector {
   def snapshotSchema(spark: SparkSession, dir: String, v: Long): StructType = {
     // an EMPTY warehouse (first write's target) has nothing to infer:
     // an empty schema lets the write path proceed (it brings its own
-    // schema via supportsExternalMetadata); a read of it is just empty
+    // schema via supportsExternalMetadata); a read of it is just empty.
+    // Tombstone entries are key lists, not data — never part of the
+    // table schema.
     val entries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
+      .filterNot(e => AtomicWarehouse.isTombstone(e.name))
     entries.foldLeft(new StructType()) { (acc, e) =>
       spark.read.parquet(s"$dir/${e.name}").schema.foldLeft(acc) { (a, f) =>
         a.fields.find(_.name == f.name) match {
@@ -287,6 +290,36 @@ object WarehouseConnector {
       .ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS"))
     s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
   }
+
+  /** One tombstone entry's payload: its position in the manifest entry
+    * list (tombstones suppress keys only in entries ordered BEFORE them),
+    * the key column it addresses (the tombstone parquet's own column
+    * name) and the purged key values. O(purged keys) — driver-sized by
+    * the purge contract. */
+  final case class TombstoneKeys(pos: Int, keyCol: String, keys: Array[Long])
+
+  /** Load every tombstone entry's key list, tagged with its manifest
+    * position. One tiny parquet read per tombstone. */
+  def loadTombstones(spark: SparkSession, dir: String,
+      allEntries: Seq[EpochEntry]): Seq[TombstoneKeys] =
+    allEntries.zipWithIndex.collect {
+      case (e, i) if AtomicWarehouse.isTombstone(e.name) =>
+        val df = spark.read.parquet(s"$dir/${e.name}")
+        val keyCol = df.schema.fieldNames.head
+        val keys = df.select(
+            org.apache.spark.sql.functions.col(keyCol).cast("long"))
+          .na.drop().collect().map(_.getLong(0))
+        TombstoneKeys(i, keyCol, keys)
+    }
+
+  /** The key-drop lists a file of the entry at `pos` must apply: every
+    * tombstone ordered AFTER it, grouped by key column. Empty for a
+    * tombstone-free warehouse — the common fast path. */
+  def dropsFor(tombstones: Seq[TombstoneKeys], pos: Int)
+      : Array[(String, Array[Long])] =
+    tombstones.filter(_.pos > pos).groupBy(_.keyCol)
+      .map { case (c, ts) => (c, ts.flatMap(_.keys).distinct.toArray) }
+      .toArray
 
   /** Does the file's hive partition value satisfy `filter`? Only exact
     * column matches prune; comparisons run on the RAW path string for
@@ -500,8 +533,14 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   private def spark = SparkSession.active
   private lazy val resolvedVersion: Long =
     version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
-  private lazy val entries: Seq[EpochEntry] =
+  private lazy val allEntries: Seq[EpochEntry] =
     AtomicWarehouse.committedEntriesAt(spark, dir, resolvedVersion)
+  // DATA entries only — tombstones are split out and applied as per-file
+  // key-drop lists (merge-on-read deletion vectors)
+  private lazy val entries: Seq[EpochEntry] =
+    allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
+  private lazy val tombstones: Seq[TombstoneKeys] =
+    WarehouseConnector.loadTombstones(spark, dir, allEntries)
 
   // listing cache, keyed by the planned epoch set (runtime filters can
   // shrink it after planning — filter() invalidates by key mismatch)
@@ -543,11 +582,12 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = pruneFilters ++ runtimeFilters
+    val posOf = allEntries.map(_.name).zipWithIndex.toMap
     val files = listPlannedFiles()
       .filter(file => all.forall(fileMayMatch(file, _)))
     files.map(file =>
-      WarehouseFilePartition(file.path, file.partValues.toArray)
-        : InputPartition).toArray
+      WarehouseFilePartition(file.path, file.partValues.toArray,
+        dropsFor(tombstones, posOf(file.epoch))): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -567,7 +607,9 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
 }
 
 final case class WarehouseFilePartition(path: String,
-    partValues: Array[(String, String)]) extends InputPartition
+    partValues: Array[(String, String)],
+    drops: Array[(String, Array[Long])] = Array.empty)
+    extends InputPartition
 
 /** Executor-side parquet decode via the public parquet-hadoop Group
   * reader: footer first (for the file's actual columns — additive
@@ -712,9 +754,16 @@ class WarehouseReaderFactory(required: StructType,
     val partMap = p.partValues.toMap
     val present: Seq[StructField] = required.fields.toSeq.filter(f =>
       !partMap.contains(f.name) && footerSchema.containsField(f.name))
+    // tombstone key-drop columns must be DECODED to filter on, even when
+    // the query didn't project them — appended to the read schema (and
+    // never emitted); a column absent from this file's footer means the
+    // epoch predates it, so its rows hold null keys and no drop applies
+    val dropExtra: Seq[String] = p.drops.map(_._1).toSeq.distinct
+      .filter(c => !partMap.contains(c) && footerSchema.containsField(c) &&
+        !present.exists(_.name == c))
     val projected = new MessageType("spark_schema",
-      present.map(f =>
-        footerSchema.getType(footerSchema.getFieldIndex(f.name))): _*)
+      (present.map(_.name) ++ dropExtra).map(n =>
+        footerSchema.getType(footerSchema.getFieldIndex(n))): _*)
     conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projected.toString)
 
@@ -791,6 +840,48 @@ class WarehouseReaderFactory(required: StructType,
       }
     }
 
+    // TOMBSTONE key drops (merge-on-read): a row whose key column value
+    // is in a drop list is suppressed at scan time — the connector's
+    // deletion-vector application. One check per drop list; rows with
+    // null/unparseable keys never match (null keys are never purge
+    // targets).
+    val dropChecks: Array[Group => Boolean] = p.drops.flatMap {
+      case (c, keys) =>
+        val keySet: java.util.HashSet[Long] = {
+          val s = new java.util.HashSet[Long](keys.length * 2)
+          keys.foreach(s.add)
+          s
+        }
+        partMap.get(c) match {
+          case Some(raw) => // constant per file: all rows match or none
+            raw.toLongOption match {
+              case Some(v) if keySet.contains(v) => Some((_: Group) => true)
+              case _ => None
+            }
+          case None =>
+            val idx = present.indexWhere(_.name == c) match {
+              case -1 =>
+                val j = dropExtra.indexOf(c)
+                if (j < 0) -1 else present.size + j
+              case i => i
+            }
+            if (idx < 0) None // epoch predates the key column: null keys
+            else {
+              val pt = projected.getType(idx).asPrimitiveType()
+                .getPrimitiveTypeName
+              val toLong: Group => Option[Long] = pt match {
+                case INT64 => g => Some(g.getLong(idx, 0))
+                case INT32 => g => Some(g.getInteger(idx, 0).toLong)
+                case BINARY | FIXED_LEN_BYTE_ARRAY => // all-string drains
+                  g => g.getString(idx, 0).toLongOption
+                case _ => _ => None
+              }
+              Some((g: Group) => g.getFieldRepetitionCount(idx) > 0 &&
+                toLong(g).exists(keySet.contains))
+            }
+        }
+    }
+
     new PartitionReader[InternalRow] {
       @SuppressWarnings(Array("deprecation"))
       private val reader: ParquetReader[Group] = {
@@ -803,7 +894,12 @@ class WarehouseReaderFactory(required: StructType,
         }
       }
       private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def next(): Boolean = {
+        cur = reader.read()
+        while (cur != null && dropChecks.exists(_(cur)))
+          cur = reader.read()
+        cur != null
+      }
       override def get(): InternalRow =
         new GenericInternalRow(getters.map(_(cur)))
       override def close(): Unit = reader.close()
@@ -891,20 +987,24 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     WarehouseVersionOffset(AtomicWarehouse.currentVersion(spark, dir))
 
   /** Entries to serve for (start, end] under the version-stepping rule.
-    * Additions classify three ways: plain `epoch_*` → serve;
+    * Additions classify four ways: plain `epoch_*` → serve;
     * `compact_*` folds → skip (already-served content); `*_p<V>` PURGE
-    * rewrites → an append-only stream cannot express the retraction, so
-    * by default the tail FAILS LOUDLY at the purge boundary (Delta's
-    * readStream-on-delete contract) — `.option("ignoreDeletes", true)`
-    * opts into skipping them (downstream keeps the purged rows it
-    * already saw; new consumers never see them). */
+    * rewrites and `tombstone_*` deletion-vector commits → an append-only
+    * stream cannot express the retraction, so by default the tail FAILS
+    * LOUDLY at the purge boundary (Delta's readStream-on-delete
+    * contract) — `.option("ignoreDeletes", true)` opts into skipping
+    * them (downstream keeps the purged rows it already saw; new
+    * consumers' initial snapshot never sees them — batch 0 applies
+    * tombstones as scan-time key drops). */
   private[v2] def entriesToServe(s: Long, e: Long): Seq[String] =
     if (s == 0L) AtomicWarehouse.committedEpochsAt(spark, dir, e)
+      .filterNot(AtomicWarehouse.isTombstone)
     else (s + 1 to e).flatMap { v =>
       val prev = AtomicWarehouse.committedEpochsAt(spark, dir, v - 1).toSet
       val added = AtomicWarehouse.committedEpochsAt(spark, dir, v)
         .filterNot(prev)
-      val purgeSwaps = added.filter(AtomicWarehouse.isPurgeRewrite)
+      val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
+        AtomicWarehouse.isTombstone(n))
       if (purgeSwaps.nonEmpty && !ignoreDeletes)
         throw new UnsupportedOperationException(
           s"graft-warehouse tail hit a PURGE at manifest v$v " +
@@ -928,15 +1028,24 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     // a filtered tail of a big warehouse opens O(matching) dirs, and the
     // INITIAL SNAPSHOT (the whole manifest) prunes like a batch read.
     // Offsets are unaffected: pruning drops files, never versions.
-    val byName = AtomicWarehouse.committedEntriesAt(spark, dir, e)
-      .map(en => en.name -> en).toMap
+    val allEntries = AtomicWarehouse.committedEntriesAt(spark, dir, e)
+    val byName = allEntries.map(en => en.name -> en).toMap
+    // batch 0's INITIAL SNAPSHOT applies tombstones as scan-time key
+    // drops (its contract is the warehouse's logical content); stepped
+    // batches never carry drops — a tombstone addition either failed
+    // the tail loudly or was ignoreDeletes-skipped above
+    val posOf = allEntries.map(_.name).zipWithIndex.toMap
+    val tombs =
+      if (s == 0L) WarehouseConnector.loadTombstones(spark, dir, allEntries)
+      else Nil
     entriesToServe(s, e)
       .filter(n => byName.get(n).forall(en =>
         pruneFilters.forall(fl =>
           WarehouseConnector.epochMayMatch(en, mergeKey, fl))))
       .flatMap(listEpochFiles(f, dir, _))
       .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
-      .map(file => WarehouseFilePartition(file.path, file.partValues.toArray)
+      .map(file => WarehouseFilePartition(file.path, file.partValues.toArray,
+        WarehouseConnector.dropsFor(tombs, posOf.getOrElse(file.epoch, 0)))
         : InputPartition).toArray
   }
 

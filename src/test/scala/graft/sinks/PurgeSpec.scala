@@ -168,4 +168,133 @@ class PurgeSpec extends SparkSuite {
     assert(fresh.count() == 30) // 19 surviving + 11
     assert(fresh.where(col("k") === 3L).isEmpty)
   }
+
+  test("deferred purge tombstones keys with ZERO epoch rewrites") {
+    val dir = freshDir("dv_basic")
+    commit(dir, 1, 100, 1L)
+    commit(dir, 50, 120, 2L)
+    val n = AtomicWarehouse.purgeKeysDeferred(spark, dir, "k",
+      Seq(60L, 70L, 110L))
+    assert(n == 3)
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    // every epoch dir untouched — the merge-on-read contract
+    assert(names.contains("epoch_1") && names.contains("epoch_2"))
+    assert(names.exists(_.startsWith("tombstone_")))
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 117)
+    assert(read.where(col("k").isin(60L, 70L, 110L)).isEmpty)
+    assert(read.where(col("k") === 80).head.getAs[Long]("load_seq") == 2L)
+    // a drain RE-ADDING a tombstoned key after the purge is new data
+    commit(dir, 60, 60, 3L)
+    val after = AtomicWarehouse.read(spark, dir, "k")
+    assert(after.where(col("k") === 60).count() == 1)
+    assert(after.where(col("k") === 60).head.getAs[Long]("load_seq") == 3L)
+    assert(after.where(col("k") === 70).isEmpty) // still suppressed
+  }
+
+  test("deferred purge result hash-equals the copy-on-write purge") {
+    val cow = freshDir("dv_cow"); val dv = freshDir("dv_mor")
+    for (d <- Seq(cow, dv)) { commit(d, 1, 80, 1L); commit(d, 40, 90, 2L) }
+    AtomicWarehouse.purgeKeys(spark, cow, "k", Seq(5L, 45L, 85L))
+    AtomicWarehouse.purgeKeysDeferred(spark, dv, "k", Seq(5L, 45L, 85L))
+    val a = AtomicWarehouse.read(spark, cow, "k")
+      .orderBy("k").collect().toSeq
+    val b = AtomicWarehouse.read(spark, dv, "k")
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
+  test("compaction folds tombstones into the rewrite") {
+    val dir = freshDir("dv_fold")
+    commit(dir, 1, 50, 1L)
+    commit(dir, 30, 60, 2L)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(10L, 35L))
+    AtomicWarehouse.compact(spark, dir, "k",
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.size == 1 && names.head.startsWith("compact_"))
+    // the fold MATERIALIZED the tombstone: purged keys absent from data
+    assert(spark.read.parquet(s"$dir/${names.head}")
+      .where(col("k").isin(10L, 35L)).isEmpty)
+    assert(AtomicWarehouse.read(spark, dir, "k").count() == 58) // 60 - 2
+  }
+
+  test("the connector scan applies tombstones (long and string keys)") {
+    val dir = freshDir("dv_conn")
+    commit(dir, 1, 40, 1L)
+    commit(dir, 20, 50, 2L)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(25L))
+    // the LOG view drops every version of the key at scan time
+    val log = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(log.where(col("k") === 25L).isEmpty)
+    assert(log.count() == 69) // 40 + 31 - 2 versions of key 25
+    // column pruning that does NOT select the key still applies the drop
+    assert(log.select("name").count() == 69)
+    // all-string epochs (the drained F19/F20 shape): string keys parse
+    val sdir = freshDir("dv_conn_str")
+    AtomicWarehouse.commitEpoch(spark, sdir,
+      rows(1, 10, 1L).select(col("k").cast("string").as("k"), col("name"),
+        col("load_seq")), 1L)
+    AtomicWarehouse.purgeKeysDeferred(spark, sdir, "k", Seq(4L))
+    val slog = spark.read.format("graft-warehouse").option("path", sdir).load()
+    assert(slog.count() == 9)
+    assert(slog.where(col("k") === "4").isEmpty)
+    assert(AtomicWarehouse.read(spark, sdir, "k").count() == 9)
+  }
+
+  test("time travel to the pre-tombstone version shows the rows") {
+    val dir = freshDir("dv_history")
+    commit(dir, 1, 30, 1L)
+    val vBefore = AtomicWarehouse.currentVersion(spark, dir)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(9L))
+    assert(AtomicWarehouse.readVersion(spark, dir, "k", vBefore)
+      .where(col("k") === 9).count() == 1)
+    // CoW purge alongside a tombstone: rewrites the epoch, leaves the
+    // tombstone entry intact (it is a key list, not data)
+    val (epochs, purged) = AtomicWarehouse.purgeKeys(spark, dir, "k",
+      Seq(15L))
+    assert(epochs == 1 && purged == 1L)
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.exists(_.startsWith("tombstone_")))
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 28 && read.where(col("k").isin(9L, 15L)).isEmpty)
+  }
+
+  test("a mid-stream tombstone fails the tail unless ignoreDeletes") {
+    val dir = freshDir("dv_stream")
+    val base = java.nio.file.Files.createTempDirectory("dv_tail").toString
+    commit(dir, 1, 20, 1L)
+
+    def drain(ck: String, out: String, ignoreDeletes: Boolean): Unit = {
+      val q = spark.readStream.format("graft-warehouse").option("path", dir)
+        .option("ignoreDeletes", ignoreDeletes.toString)
+        .load().select("k", "name", "load_seq")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val ex = q.exception
+      if (ex.isDefined) throw ex.get
+    }
+
+    drain(s"$base/ck", s"$base/out", ignoreDeletes = false)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(3L))
+    commit(dir, 100, 105, 2L)
+
+    val e = intercept[Exception](
+      drain(s"$base/ck", s"$base/out", ignoreDeletes = false))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("PURGE")), msgs(e).take(3).mkString("; "))
+
+    drain(s"$base/ck", s"$base/out", ignoreDeletes = true)
+    assert(spark.read.parquet(s"$base/out").count() == 26) // 20 + 6
+
+    // a FRESH tail's initial snapshot applies the tombstone at scan time
+    drain(s"$base/ck2", s"$base/out2", ignoreDeletes = false)
+    val fresh = spark.read.parquet(s"$base/out2")
+    assert(fresh.count() == 25) // 19 surviving + 6
+    assert(fresh.where(col("k") === 3L).isEmpty)
+  }
 }
