@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PushFoldableIntoBranches have already rewritten it beyond template
     // equality
     ext.injectPostHocResolutionRule(_ => graft.plans.FuseTitleCode)
+    // MERGE INTO on graft-warehouse catalog tables → one appended upsert
+    // epoch (the K4 scatter-update as SQL); must run at analysis, before
+    // Spark's own row-level-operation rewrite refuses the table
+    ext.injectPostHocResolutionRule(_ => graft.plans.RewriteWarehouseMerge)
     // physical planning for the native top-k-per-group logical node
     // (graft.plans.TopKPerGroup → partial/final bounded-heap pair)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -86,5 +86,111 @@ object Extended64 {
     AtomicWarehouse.read(s, wh, "k").select("k", "p_name", "load_seq")
   }
 
-  val all: Seq[Q] = Seq(c53TombstonePurge)
+  /** C54 — SQL `MERGE INTO` through the catalog: the reference's K4
+    * scatter-update (ref: Python-pipeline/dataprocessing.py:120-163,
+    * fetched metrics written back into matched rows) issued the way an
+    * operator actually writes it — `MERGE INTO wh.t USING updates ON
+    * t.k = s.k WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN
+    * INSERT ...` resolves through [[graft.plans.RewriteWarehouseMerge]]
+    * into ONE appended upsert epoch (merge-on-read: the new rows win
+    * the keyed last-wins merge by load_seq; nothing is rewritten —
+    * WarehouseCatalogSpec pins the epoch layout and the refusal
+    * surface). This entry takes the GENERAL path: `p_brand` is not
+    * assigned, so matched rows must keep their old brand (one
+    * left-outer join against the merged snapshot supplies it) and
+    * inserted rows take NULL. The oracle computes the post-merge state
+    * declaratively.
+    *
+    * Scale: merge cost is O(|updates| + matched-key lookups), never a
+    * table rewrite — the same reason the reference's scatter-update
+    * stays cheap against its spreadsheet. */
+  val c54SqlMergeUpsert = q("c54_sql_merge_upsert",
+    """WITH base AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name, p_brand FROM part),
+      |upd AS (SELECT k FROM base WHERE k % 7 = 0),
+      |ins AS (SELECT k + 1000000 AS k FROM base WHERE k % 500 = 0)
+      |SELECT k, p_name, p_brand, load_seq FROM (
+      |  SELECT k, p_name, p_brand, CAST(1 AS BIGINT) AS load_seq
+      |  FROM base WHERE k NOT IN (SELECT k FROM upd)
+      |  UNION ALL
+      |  SELECT k, 'MERGED', p_brand, CAST(2 AS BIGINT)
+      |  FROM base WHERE k IN (SELECT k FROM upd)
+      |  UNION ALL
+      |  SELECT k, 'NEWPART', NULL, CAST(2 AS BIGINT) FROM ins)""".stripMargin
+    ) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c54")
+    val base = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name"), col("p_brand"))
+    AtomicWarehouse.commitEpoch(s, s"$root/parts",
+      base.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    s.conf.set("spark.sql.catalog.whc54", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc54.root", root)
+    s.conf.set("spark.sql.catalog.whc54.mergeKey", "k")
+    base.where(col("k") % 7 === 0)
+      .select(col("k"), lit("MERGED").as("p_name"))
+      .unionByName(base.where(col("k") % 500 === 0)
+        .select((col("k") + 1000000L).as("k"), lit("NEWPART").as("p_name")))
+      .createOrReplaceTempView("c54_updates")
+    s.sql(
+      """MERGE INTO whc54.parts t USING c54_updates s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET p_name = s.p_name
+        |WHEN NOT MATCHED THEN INSERT (k, p_name) VALUES (s.k, s.p_name)
+        |""".stripMargin)
+    s.sql(
+      """SELECT k, p_name, p_brand, load_seq FROM (
+        |  SELECT k, p_name, p_brand, load_seq,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY load_seq DESC) AS rn
+        |  FROM whc54.parts) WHERE rn = 1""".stripMargin)
+  }
+
+  /** C55 — AGGREGATE PUSHDOWN on the warehouse connector: an unfiltered
+    * global `COUNT(*) / MIN / MAX` over a warehouse table is answered
+    * FROM THE MANIFEST ALONE — exact per-entry row counts (`#rows`,
+    * recorded in the same commit-time aggregate as the zone maps) and
+    * the entries' min/max stats, composed driver-side into one
+    * pre-aggregated row; the scan opens ZERO data files (PlanAuditSpec
+    * pins `PushedAggregates` + a single metadata partition; the refusal
+    * surface — filters, tombstones, stat-less columns — is pinned in
+    * WarehouseSourceSpec). Mirrors the video connector's COMPLETE
+    * report pushdown, and what Delta answers `SELECT count(*)` with
+    * from its transaction log. The oracle computes the same aggregates
+    * by scanning the replayed union — metadata must equal data.
+    *
+    * Scale: `SELECT count(*) FROM wh.t` on a 100 TB store becomes an
+    * O(entries) manifest read — the operator sanity-check loop stops
+    * costing a full scan. */
+  val c55AggPushdown = q("c55_warehouse_agg_pushdown",
+    """WITH e1 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name FROM customer),
+      |e2 AS (
+      |  SELECT CAST(c_custkey AS BIGINT) + 1000000 AS k,
+      |         'SHADOW-' || c_name AS c_name FROM customer
+      |  WHERE c_custkey % 2 = 0),
+      |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      |SELECT count(*) AS n_rows, min(k) AS mn_k, max(k) AS mx_k,
+      |       min(c_name) AS mn_name, max(c_name) AS mx_name
+      |FROM u""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c55") + "/wh"
+    val base = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("k"), col("c_name"))
+    AtomicWarehouse.commitEpoch(s, wh,
+      base.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), statsCols = Seq("c_name"))
+    AtomicWarehouse.commitEpoch(s, wh,
+      base.where(col("k") % 2 === 0)
+        .select((col("k") + 1000000L).as("k"),
+          concat(lit("SHADOW-"), col("c_name")).as("c_name"),
+          lit(2L).as("load_seq")), 2L,
+      statsKey = Some("k"), statsCols = Seq("c_name"))
+    s.read.format("graft-warehouse").option("path", wh).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min("k").as("mn_k"), max("k").as("mx_k"),
+        min("c_name").as("mn_name"), max("c_name").as("mx_name"))
+  }
+
+  val all: Seq[Q] = Seq(c53TombstonePurge, c54SqlMergeUpsert, c55AggPushdown)
 }

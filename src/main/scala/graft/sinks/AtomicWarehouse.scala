@@ -104,6 +104,15 @@ object AtomicWarehouse {
     }
   }
 
+  /** Reserved stats slot holding an entry's EXACT row count (min = max =
+    * count). `#` can never collide with a real column: every stats
+    * column is validated against the epoch's schema at commit time, and
+    * the pruning lookups go through [[EpochEntry.statsFor]] with real
+    * column names. Lets the connector answer COUNT(*) (and
+    * estimateStatistics.numRows, null keys included) from the manifest
+    * alone. */
+  private[graft] val RowCountStat = "#rows"
+
   /** The column name legacy single-stat manifest lines are parsed under:
     * old manifests recorded exactly one (long) stat and it was by
     * construction the merge key's, so lookups treat `*` as "the merge
@@ -496,7 +505,10 @@ object AtomicWarehouse {
     val colStats = typed.zipWithIndex.flatMap { case ((c, typ), i) =>
       val (mn, mx) = (r.getString(2 * i), r.getString(2 * i + 1))
       if (mn == null) None else Some(c -> ColStats(typ, mn, mx))
-    }.toMap
+    }.toMap + // exact row count rides the same entry (the RowCountStat
+      // slot), so COUNT(*) over the connector can answer from metadata
+      (RowCountStat -> ColStats("long", r.getLong(statAggs.size).toString,
+        r.getLong(statAggs.size).toString))
     val total = r.getLong(statAggs.size)
     val bloom = bloomKey.flatMap { k =>
       val n = r.getLong(statAggs.size + 1)
@@ -660,6 +672,7 @@ object AtomicWarehouse {
           else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
         }.sum
       val statsCols = e.stats.keys.filterNot(_.startsWith("bloom("))
+        .filterNot(_.startsWith("#")) // reserved slots (row count), not columns
         .toSeq.sorted.mkString(",")
       (e.name, kind, spark.read.parquet(s"$dir/${e.name}").count(),
         countFiles(new Path(s"$dir/${e.name}")), statsCols,

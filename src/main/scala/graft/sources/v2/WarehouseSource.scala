@@ -350,12 +350,15 @@ object WarehouseConnector {
   }
 }
 
-class WarehouseTable(dir: String, version: Option[Long], schema0: StructType,
-    mergeKey: String) extends Table with SupportsRead
+class WarehouseTable(val dir: String, version: Option[Long],
+    schema0: StructType, val mergeKey: String) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graft-warehouse($dir${version.fold("")(v => s"@v$v")})"
+  /** The pinned time-travel version, None for the live table (named to
+    * avoid Table's own `version()` metadata method). */
+  def timeTravelVersion: Option[Long] = version
   override def schema(): StructType = schema0
 
   /** `DELETE FROM <catalog>.<table> WHERE <mergeKey> = v | IN (…)` maps
@@ -457,9 +460,93 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int,
     ignoreDeletes: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   private var pruneFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+
+  /** METADATA-ONLY aggregation: unfiltered global `COUNT(*)` /
+    * `MIN(col)` / `MAX(col)` answered from the manifest alone — COUNT
+    * from the exact per-entry row counts ([[AtomicWarehouse
+    * .RowCountStat]]), MIN/MAX from the zone-map stats the entries
+    * already carry (they are computed FROM the data at commit time, so
+    * they are exact, not estimates) — zero data files opened, the
+    * `SELECT count(*) FROM wh.t` an operator fires constantly against a
+    * 100 TB store for free. COMPLETE pushdown (Spark plans no aggregate
+    * of its own), mirroring the video connector's report pushdown.
+    *
+    * Sound only when nothing can perturb the metadata view, so every
+    * condition below refuses otherwise: no filters (all our pushed
+    * filters stay residual, so a filtered scan can never be
+    * metadata-answered), no GROUP BY, no tombstones (suppressed rows
+    * are not reflected in entry stats), and EVERY entry must carry the
+    * needed stat — an entry committed without stats, or an all-null
+    * column (which records no min/max), degrades to a normal scan. */
+  private def translateAgg(a: Aggregation): Option[(StructType, Array[Any])] = {
+    if (a.groupByExpressions.nonEmpty || pruneFilters.nonEmpty) return None
+    val spark = SparkSession.active
+    val v = version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
+    val all = AtomicWarehouse.committedEntriesAt(spark, dir, v)
+    if (all.isEmpty || all.exists(e => AtomicWarehouse.isTombstone(e.name)))
+      return None
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    /** (field, internal value) for MIN/MAX of `c`, or None to refuse. */
+    def minMax(c: String, wantMin: Boolean): Option[(StructField, Any)] = {
+      val field = fullSchema.fields.find(_.name == c).getOrElse(return None)
+      val stats = all.map(_.statsFor(c,
+        if (mergeKey.nonEmpty) mergeKey else " "))
+      if (stats.exists(_.isEmpty)) return None
+      val sts = stats.flatten
+      val internal: Any = (field.dataType, sts.head.typ) match {
+        case (LongType, "long") =>
+          val vs = sts.map(s => (if (wantMin) s.mn else s.mx).toLong)
+          if (wantMin) vs.min else vs.max
+        case (IntegerType, "long") =>
+          val vs = sts.map(s => (if (wantMin) s.mn else s.mx).toLong)
+          (if (wantMin) vs.min else vs.max).toInt
+        case (StringType, "string") =>
+          val vs = sts.map(s => if (wantMin) s.mn else s.mx)
+          UTF8String.fromString(if (wantMin) vs.min else vs.max)
+        case (DateType, "string") =>
+          val vs = sts.map(s => if (wantMin) s.mn else s.mx)
+          java.time.LocalDate.parse(if (wantMin) vs.min else vs.max)
+            .toEpochDay.toInt
+        case _ => return None // timestamps etc: rendering round-trip unsafe
+      }
+      Some((StructField(s"${if (wantMin) "min" else "max"}($c)",
+        field.dataType), internal))
+    }
+    val parts: Seq[(StructField, Any)] = a.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        val counts = all.map(_.stats.get(AtomicWarehouse.RowCountStat))
+        if (counts.exists(_.isEmpty)) return None
+        (StructField("count(*)", LongType, nullable = false),
+          counts.flatten.map(_.mn.toLong).sum: Any)
+      case m: Min =>
+        colName(m.column).flatMap(minMax(_, wantMin = true))
+          .getOrElse(return None)
+      case m: Max =>
+        colName(m.column).flatMap(minMax(_, wantMin = false))
+          .getOrElse(return None)
+      case _ => return None
+    }
+    Some((StructType(parts.map(_._1)), parts.map(_._2).toArray))
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    translateAgg(a).isDefined
+  override def pushAggregation(a: Aggregation): Boolean =
+    translateAgg(a) match {
+      case some @ Some(_) => pushedAgg = some; true
+      case None => false
+    }
 
   /** Filters the MANIFEST can prune on. All pushed filters stay residual
     * (pruning is epoch/file-granular; Spark re-applies row-level), so
@@ -486,19 +573,21 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
 
   override def build(): Scan =
     new WarehouseScan(dir, version, mergeKey, required, pruneFilters,
-      maxVersionsPerBatch, ignoreDeletes)
+      maxVersionsPerBatch, ignoreDeletes, pushedAgg)
 }
 
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     required: StructType, pruneFilters: Array[Filter],
-    maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false)
+    maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false,
+    pushedAgg: Option[(StructType, Array[Any])] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import WarehouseConnector._
 
   private var runtimeFilters: Array[Filter] = Array.empty
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    pushedAgg.map(_._1).getOrElse(required)
   override def toBatch: Batch = this
 
   /** POST-PRUNING size statistics from the manifest + file lengths, so
@@ -518,10 +607,14 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     private val planned = files.map(_.epoch).toSet
     private val bytes: Long = files.map(_.len).sum
     private val rowCounts: Seq[Option[Long]] =
-      entries.filter(e => planned.contains(e.name)).map(_.stats.collectFirst {
-        case (c, ColStats("bloom", _, n)) if c.startsWith("bloom(") =>
-          n.toLong
-      })
+      entries.filter(e => planned.contains(e.name)).map(e =>
+        // exact row count when the entry carries one (null keys
+        // included); bloom key counts as the legacy fallback
+        e.stats.get(AtomicWarehouse.RowCountStat).map(_.mn.toLong)
+          .orElse(e.stats.collectFirst {
+            case (c, ColStats("bloom", _, n)) if c.startsWith("bloom(") =>
+              n.toLong
+          }))
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =
@@ -570,40 +663,72 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     * keeps stats or blooms for — the merge key and declared stats
     * columns. */
   override def filterAttributes(): Array[NamedReference] =
-    entries.flatMap(_.stats.keys).distinct.collect {
+    if (pushedAgg.isDefined) Array.empty
+    else entries.flatMap(_.stats.keys).distinct.collect {
       case c if c.startsWith("bloom(") && c.endsWith(")") =>
         c.stripPrefix("bloom(").stripSuffix(")")
       case "*" if mergeKey.nonEmpty => mergeKey
-      case c if c != "*" && !c.startsWith("bloom(") => c
+      case c if c != "*" && !c.startsWith("bloom(") &&
+        !c.startsWith("#") => c // "#rows" is a reserved slot, not a column
     }.distinct.map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val all = pruneFilters ++ runtimeFilters
-    val posOf = allEntries.map(_.name).zipWithIndex.toMap
-    val files = listPlannedFiles()
-      .filter(file => all.forall(fileMayMatch(file, _)))
-    files.map(file =>
-      WarehouseFilePartition(file.path, file.partValues.toArray,
-        dropsFor(tombstones, posOf(file.epoch))): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    pushedAgg match {
+      case Some((_, values)) =>
+        // metadata-answered aggregate: ONE partition, ONE precomputed
+        // row, ZERO data files opened
+        Array(WarehouseAggPartition(values))
+      case None =>
+        val all = pruneFilters ++ runtimeFilters
+        val posOf = allEntries.map(_.name).zipWithIndex.toMap
+        val files = listPlannedFiles()
+          .filter(file => all.forall(fileMayMatch(file, _)))
+        files.map(file =>
+          WarehouseFilePartition(file.path, file.partValues.toArray,
+            dropsFor(tombstones, posOf(file.epoch))): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters,
+    if (pushedAgg.isDefined) new WarehouseAggReaderFactory
+    else new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters,
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
 
   override def description(): String =
     s"graft-warehouse($dir v$resolvedVersion) " +
       s"PushedFilters: [${pruneFilters.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}"
+      pushedAgg.map { case (sch, _) =>
+        s"PushedAggregates: [${sch.fieldNames.mkString(", ")}], "
+      }.getOrElse("") +
+      s"ReadSchema: ${readSchema().simpleString}"
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pushedAgg.isEmpty,
+      "graft-warehouse streaming read supports filter/column pushdown only")
     new WarehouseMicroBatchStream(dir, required, pruneFilters, mergeKey,
       maxVersionsPerBatch, ignoreDeletes)
+  }
+}
+
+/** The single metadata-computed row of a pushed-down aggregate. */
+final case class WarehouseAggPartition(values: Array[Any])
+    extends InputPartition
+
+class WarehouseAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarehouseAggPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = new GenericInternalRow(p.values)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class WarehouseFilePartition(path: String,

@@ -91,6 +91,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("c55: aggregate answered from the manifest, zero data partitions") {
+    val df = SparkEntry.queries("c55_warehouse_agg_pushdown")(spark, sf)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("PushedAggregates"), p)
+    // the scan serves ONE metadata-computed row — no parquet file opened
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(
+      _.isInstanceOf[graft.sources.v2.WarehouseAggPartition]), scans)
+  }
+
   test("chunking / frame sampling / stratified sample are scan-side — zero shuffles") {
     for (q <- Seq("t9_doc_chunking", "m2_frame_sample", "p6_stratified_sample")) {
       val p = plan(q)

@@ -95,6 +95,119 @@ class WarehouseCatalogSpec extends SparkSuite {
       .head.getLong(0) == 17)
   }
 
+  test("DELETE with contradictory conjuncts purges nothing") {
+    val delRoot = java.nio.file.Files.createTempDirectory("wh_del2").toString
+    spark.conf.set("spark.sql.catalog.whdel2",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whdel2.root", delRoot)
+    spark.conf.set("spark.sql.catalog.whdel2.mergeKey", "k")
+    AtomicWarehouse.commitEpoch(spark, s"$delRoot/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    // `k = 5 AND k = 6` matches NOTHING: the conjunction must intersect
+    // (the pre-round-7 union semantics purged both keys)
+    spark.sql("DELETE FROM whdel2.t WHERE k = 5 AND k = 6")
+    assert(spark.sql("SELECT count(*) AS c FROM whdel2.t")
+      .head.getLong(0) == 10)
+    spark.sql("DELETE FROM whdel2.t WHERE k = 5 AND k IN (5, 6)")
+    assert(spark.sql("SELECT DISTINCT k FROM whdel2.t").as[Long]
+      .collect().toSet == (1L to 10L).toSet - 5L)
+  }
+
+  // one catalog name per test: Spark caches catalog instances on first
+  // use, so re-pointing an existing name's root would silently no-op
+  private def mergeRoot(cat: String): String = {
+    val r = java.nio.file.Files.createTempDirectory(s"wh_$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", r)
+    spark.conf.set(s"spark.sql.catalog.$cat.mergeKey", "k")
+    r
+  }
+
+  test("MERGE INTO upserts as one appended epoch (fast path)") {
+    val r = mergeRoot("whmrg1")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    Seq((5L, "UPD"), (6L, "UPD"), (100L, "NEW"))
+      .toDF("k", "name").createOrReplaceTempView("mrg_src_fast")
+    spark.sql(
+      """MERGE INTO whmrg1.t t USING mrg_src_fast s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET k = s.k, name = s.name
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+        |""".stripMargin)
+    // the merge appended ONE epoch; nothing was rewritten
+    val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    assert(names == Seq("epoch_1", "epoch_2"), names)
+    val after = spark.sql("SELECT k, name FROM (SELECT k, name, load_seq,"
+      + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
+      + " FROM whmrg1.t) WHERE rn = 1")
+      .as[(Long, String)].collect().toMap
+    assert(after.size == 11)
+    assert(after(5L) == "UPD" && after(6L) == "UPD" && after(100L) == "NEW")
+    assert(after(3L) == "n3")
+  }
+
+  test("MERGE INTO partial update keeps unassigned columns (general path)") {
+    val r = mergeRoot("whmrg2")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t",
+      (1 to 10).map(i => (i.toLong, s"n$i", s"seg$i", 1L))
+        .toDF("k", "name", "seg", "load_seq"), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    Seq((4L, "UPD"), (200L, "NEW")).toDF("k", "name")
+      .createOrReplaceTempView("mrg_src_part")
+    spark.sql(
+      """MERGE INTO whmrg2.t t USING mrg_src_part s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+        |""".stripMargin)
+    val after = spark.sql("SELECT k, name, seg FROM (SELECT *,"
+      + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
+      + " FROM whmrg2.t) WHERE rn = 1")
+      .as[(Long, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(after.size == 11)
+    assert(after(4L) == ("UPD", "seg4")) // unassigned seg kept its value
+    assert(after(200L) == ("NEW", null)) // unassigned seg inserts NULL
+    assert(after(7L) == ("n7", "seg7"))
+  }
+
+  test("MERGE INTO update-only and unsupported shapes") {
+    val r = mergeRoot("whmrg3")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 5, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    Seq((2L, "UPD"), (300L, "IGNORED")).toDF("k", "name")
+      .createOrReplaceTempView("mrg_src_upd")
+    // update-only: unmatched source rows are NOT inserted
+    spark.sql(
+      """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    val ks = spark.sql("SELECT DISTINCT k FROM whmrg3.t").as[Long]
+      .collect().toSet
+    assert(ks == (1L to 5L).toSet) // 300 not inserted
+
+    def refused(sql: String, hint: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("graft-warehouse MERGE")),
+        s"$hint: " + msgs(e).take(3).mkString("; "))
+    }
+    refused(
+      """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.name = s.name
+        |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin,
+      "non-key ON condition")
+    refused(
+      """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
+        |WHEN MATCHED AND s.name = 'UPD' THEN UPDATE SET name = s.name
+        |""".stripMargin,
+      "conditional matched clause")
+    refused(
+      """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "not matched by source")
+  }
+
   test("DDL through the catalog refuses with a drain pointer") {
     AtomicWarehouse.commitEpoch(spark, s"$root/fixed", rows(1, 3, 1L), 1L)
     val e = intercept[Exception](

@@ -312,6 +312,53 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(spark.read.parquet(s"$base/out").count() == 101)
   }
 
+  test("COUNT/MIN/MAX push down to the manifest: zero data partitions") {
+    val dir = freshDir("aggpd")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 40, 1L), 1L,
+      statsKey = Some("k"), statsCols = Seq("name", "d"))
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(100, 130, 2L), 2L,
+      statsKey = Some("k"), statsCols = Seq("name", "d"))
+    val df = connRead(dir)
+      .agg(count(lit(1)).as("n"), min("k").as("mnk"), max("k").as("mxk"),
+        min("name").as("mnn"), max("d").as("mxd"))
+    val row = df.head
+    assert(row.getLong(0) == 71 && row.getLong(1) == 1L &&
+      row.getLong(2) == 130L)
+    assert(row.getString(3) == "name 1") // lexicographic min
+    assert(row.getDate(4) == java.sql.Date.valueOf("2024-05-28"))
+    // COMPLETE pushdown: the plan's scan serves the aggregate row and
+    // opens NO data file
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    assert(!plan.contains("HashAggregate") || // Spark may keep a trivial
+      scanOf(df).planInputPartitions().forall(
+        _.isInstanceOf[WarehouseAggPartition]))
+    assert(scanOf(df).planInputPartitions().length == 1)
+  }
+
+  test("agg pushdown refuses filters, tombstones and stat-less columns") {
+    val dir = freshDir("aggpd_no")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 20, 1L), 1L,
+      statsKey = Some("k"))
+    // filtered: must scan (and still be correct)
+    val filtered = connRead(dir).where(col("k") > 10)
+      .agg(count(lit(1)).as("n"))
+    assert(filtered.head.getLong(0) == 10)
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    // stat-less column: score has no zone map → normal scan
+    val noStats = connRead(dir).agg(min("score").as("m"))
+    assert(noStats.head.getDouble(0) == 1.5)
+    assert(!noStats.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    // a tombstone invalidates metadata answers
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(5L))
+    val afterTomb = connRead(dir).agg(count(lit(1)).as("n"))
+    assert(afterTomb.head.getLong(0) == 19)
+    assert(!afterTomb.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+  }
+
   test("admission control bounds versions per batch") {
     val dir = freshDir("adm")
     for (s <- 1L to 4L)
