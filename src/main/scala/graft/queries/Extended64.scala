@@ -192,5 +192,48 @@ object Extended64 {
         min("c_name").as("mn_name"), max("c_name").as("mx_name"))
   }
 
-  val all: Seq[Q] = Seq(c53TombstonePurge, c54SqlMergeUpsert, c55AggPushdown)
+  /** C56 — Z-ORDERED epoch write + two-column pruned read:
+    * `commitEpoch(..., zorderBy = (l_partkey, l_suppkey))` lays the
+    * epoch on the Morton curve ([[graft.sinks.AtomicWarehouse
+    * .zorderFrame]]: equal-width 12-bit buckets from one min/max job,
+    * codegen interleave, range-partition + local sort), so parquet
+    * row-group min/max are narrow in BOTH columns — and the read back
+    * drives predicates on BOTH through the connector's row-group
+    * pushdown, which single-key `clusterBy` (c49) can only serve for
+    * its one sort chain (ZOrderSpec measures the per-column span
+    * narrowing that funds this). The oracle filters the raw table —
+    * layout must never change answers.
+    *
+    * Scale: the curve write costs one extra min/max job + the same
+    * range shuffle clusterBy pays; the payoff is every analyst filter
+    * on EITHER dimension of a 100 TB fact table skipping most row
+    * groups. Compaction takes the same `zorderBy` — Delta's
+    * OPTIMIZE ZORDER as a maintenance pass. */
+  val c56ZorderWrite = q("c56_zorder_write",
+    """SELECT CAST(l_partkey AS BIGINT) AS pk,
+      |       CAST(l_suppkey AS BIGINT) AS sk,
+      |       CAST(sum(l_quantity) AS DOUBLE) AS qty,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 10 AND 120
+      |  AND l_suppkey BETWEEN 2 AND 8
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val wh = freshScratch("c56") + "/wh"
+    AtomicWarehouse.commitEpoch(s, wh,
+      Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"),
+        col("l_quantity").cast("double").as("qty"),
+        lit(1L).as("load_seq")),
+      1L, statsKey = Some("pk"), statsCols = Seq("sk"),
+      zorderBy = Seq("pk", "sk"))
+    s.read.format("graft-warehouse").option("path", wh).load()
+      .where(col("pk").between(10L, 120L) && col("sk").between(2L, 8L))
+      .groupBy("pk", "sk")
+      .agg(sum("qty").as("qty"), count(lit(1)).as("n"))
+  }
+
+  val all: Seq[Q] = Seq(c53TombstonePurge, c54SqlMergeUpsert, c55AggPushdown,
+    c56ZorderWrite)
 }

@@ -369,9 +369,59 @@ object AtomicWarehouse {
       seq: Long, statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil,
-      bloomKey: Option[String] = None): Unit =
+      bloomKey: Option[String] = None,
+      zorderBy: Seq[String] = Nil): Unit =
     commitEpochImpl(spark, dir, df, seq, statsKey, statsCols, () => (),
-      partitionBy, bloomKey)
+      partitionBy, bloomKey, zorderBy)
+
+  /** Z-ORDER layout pass: bucket both columns to 12 bits (equal-width
+    * from one min/max job), Morton-interleave the buckets
+    * ([[graft.queries.Extended38.zval]] — pure codegen arithmetic), then
+    * range-partition + locally sort on the curve value and drop it. Each
+    * part file then covers one tight curve segment, so its parquet
+    * row-group min/max are narrow in BOTH columns and a predicate on
+    * EITHER prunes row groups — the two-column counterpart of
+    * `clusterBy`'s single-chain sort (which leaves the second column
+    * full-span in every file). The same trade Delta's OPTIMIZE ZORDER
+    * makes; ZOrderSpec measures the per-column span narrowing.
+    *
+    * Columns must be integral, date or timestamp (bucketing needs a
+    * numeric embedding; equal-width buckets are sound for pruning under
+    * any distribution — skew only costs selectivity, never rows). */
+  private[graft] def zorderFrame(spark: SparkSession, df: DataFrame,
+      cols: Seq[String], partitions: Int = 0): DataFrame = {
+    require(cols.size == 2,
+      s"zorderBy interleaves exactly 2 columns; got ${cols.mkString(",")}")
+    def asLong(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c).cast("long")
+        case DateType => datediff(col(c), to_date(lit("1970-01-01")))
+          .cast("long")
+        case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+        case other => throw new IllegalArgumentException(
+          s"zorderBy column '$c' of type $other is unsupported: integral, " +
+            "date and timestamp columns have the numeric embedding " +
+            "bucketing needs")
+      }
+    val bounds = df.agg(
+      min(asLong(cols.head)), max(asLong(cols.head)),
+      min(asLong(cols(1))), max(asLong(cols(1)))).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) return df // all-null: no layout
+    def bucket(c: String, mnI: Int): org.apache.spark.sql.Column = {
+      val (mn, mx) = (bounds.getLong(mnI), bounds.getLong(mnI + 1))
+      (width_bucket(asLong(c), lit(mn), lit(mx + 1), lit(4096)) - 1)
+        .cast("int")
+    }
+    val z = graft.queries.Extended38.zval(bucket(cols.head, 0),
+      bucket(cols(1), 2))
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    df.withColumn("__z", z)
+      .repartitionByRange(p, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 
   /** [[commitEpoch]] with a test seam firing between the data publish and
     * the manifest commit — the window a racing vacuum can delete the
@@ -381,15 +431,18 @@ object AtomicWarehouse {
       df: DataFrame, seq: Long, statsKey: Option[String],
       statsCols: Seq[String], afterPublish: () => Unit,
       partitionBy: Seq[String] = Nil,
-      bloomKey: Option[String] = None): Unit = {
+      bloomKey: Option[String] = None,
+      zorderBy: Seq[String] = Nil): Unit = {
     val epoch = s"epoch_$seq"
     if (committedEpochs(spark, dir).contains(epoch)) return
     val f = fs(spark, dir)
     val epochPath = new Path(s"$dir/$epoch")
     val wanted = (statsKey.toSeq ++ statsCols).distinct
+    val laidOut =
+      if (zorderBy.isEmpty) df else zorderFrame(spark, df, zorderBy)
     var attempt = 0
     while (true) {
-      publishData(spark, dir, df, epoch, partitionBy)
+      publishData(spark, dir, laidOut, epoch, partitionBy)
       afterPublish()
       val stats =
         if (f.exists(epochPath))
@@ -619,10 +672,16 @@ object AtomicWarehouse {
     * drain count — the union stays a handful of dirs no matter how many
     * epochs ever landed, and the fold itself is one merge + one write of
     * the LIVE rows only (dead versions drop out). */
+  /** `zorderBy = Seq(a, b)` writes the fold Z-ORDERED on the two columns
+    * ([[zorderFrame]]) — Delta's `OPTIMIZE ... ZORDER BY` as the
+    * maintenance pass: drains land in arrival order all day, compaction
+    * rewrites the snapshot onto the curve so analyst predicates on
+    * either column prune row groups. */
   def compact(spark: SparkSession, dir: String, key: String,
       statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      bloomKey: Option[String] = None): Unit = {
+      bloomKey: Option[String] = None,
+      zorderBy: Seq[String] = Nil): Unit = {
     val wanted = (statsKey.toSeq ++ statsCols).distinct
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -631,7 +690,10 @@ object AtomicWarehouse {
       val base = committedEntriesAt(spark, dir, baseV)
       if (base.size <= 1) return // nothing to fold
       val name = s"compact_v$baseV"
-      publishData(spark, dir, readVersion(spark, dir, key, baseV), name)
+      val snapshot = readVersion(spark, dir, key, baseV)
+      publishData(spark, dir,
+        if (zorderBy.isEmpty) snapshot
+        else zorderFrame(spark, snapshot, zorderBy), name)
       val stats = statsAndBloomOf(spark, s"$dir/$name", wanted, bloomKey)._1
       var stale = false
       commitManifest(spark, dir, s"compaction $name") { entries =>

@@ -61,4 +61,74 @@ class ZOrderSpec extends SparkSuite {
     assert((z1 >> 8) == (z2 >> 8), s"$z1 vs $z2")
     assert((z1 >> 16) != (z3 >> 16), s"$z1 vs $z3")
   }
+
+  /** For each parquet row group under `dir`, this column's [min,max]
+    * span as a fraction of the global domain — the quantity row-group
+    * pruning keys on: a narrow mean span means a point/range predicate
+    * on the column skips most groups. */
+  private def meanRowGroupSpan(dir: String, column: String,
+      domain: Long): Double = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val spans = files.flatMap { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .map { c =>
+              val st = c.getStatistics
+              val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+              val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+              (mx - mn + 1).toDouble / domain
+            }
+        }
+      } finally r.close()
+    }
+    spans.sum / spans.length
+  }
+
+  test("warehouse zorderBy narrows row-group spans on BOTH columns") {
+    import graft.sinks.AtomicWarehouse
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"),
+        col("l_quantity"), lit(1L).as("load_seq"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zwh_").toString
+    // single-key clusterBy analogue: sorted on pk only
+    AtomicWarehouse.commitEpoch(spark,
+      s"$base/single", li.repartitionByRange(8, col("pk"))
+        .sortWithinPartitions("pk"), 1L, statsKey = Some("pk"))
+    // two-column z-order through the commit path. A curve segment of
+    // fraction f spans ~sqrt(f) of EACH dimension, so the payoff needs
+    // enough segments: 32 files → ~18% span per column; the suite's
+    // default 4 shuffle partitions would leave ~50%.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try AtomicWarehouse.commitEpoch(spark, s"$base/zord", li, 1L,
+      statsKey = Some("pk"), zorderBy = Seq("pk", "sk"))
+    finally spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    val pkDomain = li.agg(max("pk")).head.getLong(0)
+    val skDomain = li.agg(max("sk")).head.getLong(0)
+    val zPk = meanRowGroupSpan(s"$base/zord/epoch_1", "pk", pkDomain)
+    val zSk = meanRowGroupSpan(s"$base/zord/epoch_1", "sk", skDomain)
+    val sPk = meanRowGroupSpan(s"$base/single/epoch_1", "pk", pkDomain)
+    val sSk = meanRowGroupSpan(s"$base/single/epoch_1", "sk", skDomain)
+
+    // single-key layout: pk razor-thin, sk full-domain in every group
+    assert(sPk < 0.5 && sSk > 0.8, f"single: pk=$sPk%.2f sk=$sSk%.2f")
+    // z-order: BOTH columns bounded well below full domain — the
+    // multi-column skipping clusterBy cannot give
+    assert(zPk < 0.4 && zSk < 0.4, f"zord: pk=$zPk%.2f sk=$zSk%.2f")
+    assert(zSk < sSk / 2,
+      f"z-order sk span $zSk%.2f not better than single-key $sSk%.2f")
+    // round-trip: layout changes bytes, never rows
+    assert(spark.read.parquet(s"$base/zord/epoch_1").count() == li.count())
+  }
 }
