@@ -42,6 +42,8 @@ object ScaleProbe {
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
+    if (mode == "manifest") { manifestProbe(spark, base, k); spark.stop(); return }
+    if (mode == "connstream") { connStreamProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
     val emb = Tables.embeddings(spark, sfDir)
@@ -167,6 +169,168 @@ object ScaleProbe {
     println(f"| $k | $tLoad%.2f | $tFull%.2f | $tRange%.2f | $tCompact%.2f | $tFull2%.2f |")
     require(full == full2 && full == k * cust.count(),
       "compaction or replication changed row counts")
+  }
+
+  /** MANIFEST-SCALE probe: a 1000-epoch warehouse (2 drains/day is 700+
+    * epochs/year; 100 TB means thousands) with TINY epochs — the data is
+    * deliberately negligible so every measured cost is the METADATA
+    * path: per-commit latency (manifest list + read + CAS write are all
+    * O(entries)), manifest parse, driver-side scan-list build, connector
+    * planning with pruning, compaction, and vacuum. Milestone rows at
+    * k/10, k/3 and k make superlinear growth visible: per-commit cost
+    * growing ~linearly in entries is expected (each commit reads and
+    * rewrites the manifest), which is exactly why the documented cadence
+    * is COMPACT EVERY ~100 EPOCHS — the fold collapses the entry list,
+    * returning every O(entries) cost to O(1) while drains continue. */
+  private def manifestProbe(spark: SparkSession, base: String, k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    import spark.implicits._
+    val wh = s"$base/manifest_wh"
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val rowsPerEpoch = 100
+    val milestones = Seq(k / 10, k / 3, k).distinct.filter(_ > 0)
+    println("| entries | avg commit ms (last 10) | manifest parse ms | " +
+      "scan-list build ms | pruned plan ms (epochs opened) | " +
+      "full-read plan ms |")
+    println("|---|---|---|---|---|---|")
+    var committed = 0
+    for (m <- milestones) {
+      var lastTen = List.empty[Double]
+      while (committed < m) {
+        val seq = committed + 1L
+        val df = spark.range(rowsPerEpoch)
+          .select((col("id") + lit(committed * rowsPerEpoch)).as("key"),
+            lit(seq).as("load_seq"))
+        val (_, t) = timeIt(AtomicWarehouse.commitEpoch(spark, wh, df, seq,
+          statsKey = Some("key")))
+        lastTen = (t :: lastTen).take(10)
+        committed += 1
+      }
+      val (entries, tParse) = timeIt(AtomicWarehouse.committedEntriesAt(
+        spark, wh, AtomicWarehouse.currentVersion(spark, wh)))
+      val mid = committed / 2
+      val (lo, hi) = (mid.toLong * rowsPerEpoch,
+        mid.toLong * rowsPerEpoch + rowsPerEpoch - 1)
+      val (scanned, tScan) = timeIt(
+        AtomicWarehouse.scanListForRange(entries, "key", lo, hi).size)
+      // connector PLANNING cost (no execution): analyzed+planned pruned read
+      val (openedPruned, tPlanPruned) = timeIt {
+        val df = spark.read.format("graft-warehouse").option("path", wh)
+          .load().where(col("key").between(lo, hi))
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[graft.sources.v2.WarehouseScan]
+              .plannedEpochs().size
+        }.head
+      }
+      val (_, tPlanFull) = timeIt {
+        spark.read.format("graft-warehouse").option("path", wh)
+          .load().queryExecution.executedPlan
+      }
+      println(f"| $committed | ${lastTen.sum / lastTen.size * 1000}%.0f | " +
+        f"${tParse * 1000}%.1f | ${tScan * 1000}%.1f | " +
+        f"${tPlanPruned * 1000}%.0f ($openedPruned/$committed) | " +
+        f"${tPlanFull * 1000}%.0f |")
+      require(scanned <= 2, s"zone maps stopped pruning: $scanned epochs")
+    }
+    val (_, tCompact) = timeIt(AtomicWarehouse.compact(spark, wh, "key",
+      statsKey = Some("key")))
+    val (n, tRead) = timeIt(AtomicWarehouse.read(spark, wh, "key").count())
+    val (dropped, tVacuum) = timeIt(AtomicWarehouse.vacuum(spark, wh,
+      retainVersions = 1, graceMs = 0L))
+    println(f"| compact after $k epochs: $tCompact%.1f s | " +
+      f"post-compact read ($n rows): $tRead%.1f s | " +
+      f"vacuum (${dropped._1} manifests, ${dropped._2} dirs): $tVacuum%.1f s |")
+    require(n == k.toLong * rowsPerEpoch, s"row count drifted: $n")
+  }
+
+  /** CONNECTOR-STREAM state probe (the c37/c42 shapes at 10×): tail a
+    * warehouse manifest as a stream at K and 10K epochs with admission
+    * control, and measure per-batch latency plus the checkpoint offset
+    * footprint — the stream's "cursor memory", which must track the
+    * VERSION COUNTER (bytes, flat) rather than served volume. */
+  private def connStreamProbe(spark: SparkSession, sfDir: String,
+      base: String, k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    println("| epochs tailed | batches | rows | wall s | s/batch | " +
+      "max offset file bytes |")
+    println("|---|---|---|---|---|---|")
+    for (epochs <- Seq(k, 10 * k)) {
+      val wh = s"$base/cs_$epochs"
+      (1 to epochs).foreach { seq =>
+        AtomicWarehouse.commitEpoch(spark, wh,
+          spark.range(50).select(
+            (col("id") + (seq - 1L) * 50).as("key"),
+            lit(seq.toLong).as("load_seq")),
+          seq.toLong, statsKey = Some("key"))
+      }
+      val ck = s"$base/ck_$epochs"
+      val out = s"$base/out_$epochs"
+      val (_, wall) = timeIt {
+        val q = spark.readStream.format("graft-warehouse")
+          .option("path", wh).option("maxVersionsPerBatch", "25")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000)
+      }
+      val rows = spark.read.parquet(out).count()
+      val offsets = new java.io.File(s"$ck/offsets").listFiles()
+      val batches = offsets.length
+      val maxOffsetBytes = offsets.map(_.length()).max
+      println(f"| $epochs | $batches | $rows | $wall%.1f | " +
+        f"${wall / batches}%.2f | $maxOffsetBytes |")
+      require(rows == epochs * 50L, s"tail lost rows: $rows")
+    }
+
+    // the c37 half: the VIDEO connector's micro-batch stream at 1× and
+    // 10× fixture volume, fixed admission (rows/batch) — per-batch
+    // latency must stay bounded by the admission cap and the offset (a
+    // row index) must stay flat in bytes while volume grows 10×
+    println("| video rows | batches | wall s | s/batch | " +
+      "max offset file bytes |")
+    println("|---|---|---|---|---|")
+    for (mult <- Seq(1, 10)) {
+      val dir = s"$base/vids_$mult"
+      val li = Tables.lineitem(spark, sfDir).limit(20000 * mult)
+      li.select(
+          concat(lit("v"), monotonically_increasing_id().cast("string"))
+            .as("video_id"),
+          col("l_shipmode").as("video_title"),
+          date_format(col("l_shipdate").cast("timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
+          concat(lit("ch"), (col("l_suppkey") % 7).cast("string"))
+            .as("channel_id"),
+          monotonically_increasing_id().as("ingest_seq"))
+        .repartition(4)
+        .write.format("graft-videos").option("path", dir)
+        .mode("append").save()
+      val total = spark.read.format("graft-videos").option("path", dir)
+        .load().count()
+      val ck = s"$base/vck_$mult"; val out = s"$base/vout_$mult"
+      val (_, wall) = timeIt {
+        val q = spark.readStream.format("graft-videos").option("path", dir)
+          .option("maxRowsPerBatch", "5000")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000)
+      }
+      val rows = spark.read.parquet(out).count()
+      val offsets = new java.io.File(s"$ck/offsets").listFiles()
+      println(f"| $total | ${offsets.length} | $wall%.1f | " +
+        f"${wall / offsets.length}%.2f | ${offsets.map(_.length()).max} |")
+      require(rows == total, s"video tail lost rows: $rows of $total")
+    }
   }
 
   /** graft-warehouse CONNECTOR probe: does a plain Catalyst `.where`

@@ -208,7 +208,15 @@ object AtomicWarehouse {
     require(data.nonEmpty,
       s"warehouse at $dir holds only tombstone entries — no data to read")
     def dataDf(e: EpochEntry) = {
-      val df = spark.read.parquet(s"$dir/${e.name}")
+      // the cached footer-derived schema skips Spark's per-epoch
+      // inference JOB — without it a 1000-epoch union pays 1000 driver
+      // jobs before the first task runs (the manifest-scale probe's
+      // finding); epoch dirs are publish-once immutable, so the cache
+      // is sound for the session
+      val df = spark.read
+        .schema(graft.sources.v2.WarehouseConnector
+          .epochSchema(spark, dir, e.name))
+        .parquet(s"$dir/${e.name}")
       if (scanned.contains(e.name)) df else df.limit(0)
     }
     val union =
@@ -728,16 +736,31 @@ object AtomicWarehouse {
         else if (isPurgeRewrite(e.name)) "purged"
         else if (e.name.startsWith("compact_")) "compact"
         else "epoch"
-      def countFiles(p: Path): Long =
-        f.listStatus(p).map { st =>
-          if (st.isDirectory) countFiles(st.getPath)
-          else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+      def parquetFiles(p: Path): Seq[Path] =
+        f.listStatus(p).toSeq.flatMap { st =>
+          if (st.isDirectory) parquetFiles(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+          else Nil
+        }
+      val files = parquetFiles(new Path(s"$dir/${e.name}"))
+      // row count: the manifest's exact count when recorded, else summed
+      // parquet footer block counts — either way ZERO Spark jobs, so the
+      // report stays O(entries) metadata reads at any entry count
+      val nRows = e.stats.get(RowCountStat).map(_.mn.toLong).getOrElse {
+        files.map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, f.getConf))
+          try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          } finally r.close()
         }.sum
+      }
       val statsCols = e.stats.keys.filterNot(_.startsWith("bloom("))
         .filterNot(_.startsWith("#")) // reserved slots (row count), not columns
         .toSeq.sorted.mkString(",")
-      (e.name, kind, spark.read.parquet(s"$dir/${e.name}").count(),
-        countFiles(new Path(s"$dir/${e.name}")), statsCols,
+      (e.name, kind, nRows, files.size.toLong, statsCols,
         e.stats.keys.exists(_.startsWith("bloom(")))
     }.toDF("entry_name", "kind", "n_rows", "n_files", "stats_cols",
       "has_bloom")
