@@ -113,6 +113,55 @@ object AtomicWarehouse {
     * alone. */
   private[graft] val RowCountStat = "#rows"
 
+  /** Reserved stats slot holding the entry's READ SCHEMA as Spark
+    * DataType JSON — the schema `spark.read.parquet(epochDir)` would
+    * infer (data columns in footer order, then discovered partition
+    * columns), captured from the same read [[statsAndBloomOf]] already
+    * performs at commit time. Lets connector/engine planning resolve
+    * every epoch's schema from the manifest alone: a 1000-epoch scan
+    * plan goes from 1000 parquet-footer opens (~5 ms each, the
+    * manifest-scale probe's residual O(entries) cost) to zero I/O
+    * beyond the manifest parse. Entries without it (legacy manifests,
+    * stats-less commits) fall back to the footer read. */
+  private[graft] val SchemaStat = "#schema"
+
+  /** Reserved stats slot holding the entry's DATA FILE LIST — one
+    * `len<TAB>relative/path` line per parquet file under the epoch dir,
+    * newline-joined (the whole value is URL-encoded on the manifest
+    * line). The add-file idea of Delta/Iceberg: scan PLANNING resolves
+    * every planned file from the manifest alone instead of walking the
+    * store — on an object store a recursive LIST per epoch is the
+    * planning bottleneck (a 1000-epoch full read paid 1000 walks, ~1 s
+    * even on local fs). Epoch dirs are publish-once immutable, so the
+    * listing recorded at commit time stays true until vacuum destroys
+    * the whole dir. Entries without it fall back to the walk. */
+  private[graft] val FilesStat = "#files"
+
+  /** Relative `(path, length)` of every parquet data file under `path`,
+    * hidden files/markers skipped — the commit-time walk [[FilesStat]]
+    * records. */
+  private def relativeDataFiles(f: org.apache.hadoop.fs.FileSystem,
+      path: Path): Seq[(String, Long)] = {
+    def walk(p: Path, prefix: String): Seq[(String, Long)] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath, s"$prefix$n/")
+        else if (n.endsWith(".parquet")) Seq((s"$prefix$n", st.getLen))
+        else Nil
+      }
+    walk(path, "")
+  }
+
+  private[graft] def filesStatOf(spark: SparkSession,
+      path: String): (String, ColStats) = {
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = relativeDataFiles(f, p)
+      .map { case (rel, len) => s"$len\t$rel" }.mkString("\n")
+    FilesStat -> ColStats("files", body, "-")
+  }
+
   /** The column name legacy single-stat manifest lines are parsed under:
     * old manifests recorded exactly one (long) stat and it was by
     * construction the merge key's, so lookups treat `*` as "the merge
@@ -208,14 +257,14 @@ object AtomicWarehouse {
     require(data.nonEmpty,
       s"warehouse at $dir holds only tombstone entries — no data to read")
     def dataDf(e: EpochEntry) = {
-      // the cached footer-derived schema skips Spark's per-epoch
-      // inference JOB — without it a 1000-epoch union pays 1000 driver
-      // jobs before the first task runs (the manifest-scale probe's
-      // finding); epoch dirs are publish-once immutable, so the cache
-      // is sound for the session
+      // the manifest-recorded (or cached footer-derived) schema skips
+      // Spark's per-epoch inference JOB — without it a 1000-epoch union
+      // pays 1000 driver jobs before the first task runs (the
+      // manifest-scale probe's finding); epoch dirs are publish-once
+      // immutable, so both sources are sound for the session
       val df = spark.read
         .schema(graft.sources.v2.WarehouseConnector
-          .epochSchema(spark, dir, e.name))
+          .entrySchema(spark, dir, e))
         .parquet(s"$dir/${e.name}")
       if (scanned.contains(e.name)) df else df.limit(0)
     }
@@ -543,7 +592,12 @@ object AtomicWarehouse {
       cols: Seq[String], bloomKey: Option[String],
       needCount: Boolean = false): (Map[String, ColStats], Long) = {
     if (cols.isEmpty && bloomKey.isEmpty && !needCount)
-      return (Map.empty, 0L)
+      // no aggregate wanted: still record the read schema (inference
+      // only — no Spark job over the data) so planning never needs this
+      // epoch's footers
+      return (Map(SchemaStat ->
+        ColStats("schema", spark.read.parquet(path).schema.json, "-"),
+        filesStatOf(spark, path)), 0L)
     val df = spark.read.parquet(path)
     val typed: Seq[(String, String)] = cols.map { c =>
       df.schema(c).dataType match {
@@ -569,7 +623,17 @@ object AtomicWarehouse {
     }.toMap + // exact row count rides the same entry (the RowCountStat
       // slot), so COUNT(*) over the connector can answer from metadata
       (RowCountStat -> ColStats("long", r.getLong(statAggs.size).toString,
-        r.getLong(statAggs.size).toString))
+        r.getLong(statAggs.size).toString)) +
+      // the read schema rides along too (SchemaStat): df came from the
+      // same partition-discovering read a future scan would do, so this
+      // is exactly the schema planning needs — recorded here, resolving
+      // it later costs zero I/O
+      // mx is an ignored placeholder — an EMPTY trailing field would be
+      // eaten by the parser's line trim
+      (SchemaStat -> ColStats("schema", df.schema.json, "-")) +
+      // ... and the data file list ([[FilesStat]]), so planning never
+      // walks the store either
+      filesStatOf(spark, path)
     val total = r.getLong(statAggs.size)
     val bloom = bloomKey.flatMap { k =>
       val n = r.getLong(statAggs.size + 1)

@@ -121,7 +121,7 @@ object WarehouseConnector {
     val entries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
       .filterNot(e => AtomicWarehouse.isTombstone(e.name))
     entries.foldLeft(new StructType()) { (acc, e) =>
-      epochSchema(spark, dir, e.name).foldLeft(acc) { (a, f) =>
+      entrySchema(spark, dir, e).foldLeft(acc) { (a, f) =>
         a.fields.find(_.name == f.name) match {
           case None => a.add(f.copy(nullable = true))
           case Some(prev) if prev.dataType == f.dataType => a
@@ -151,6 +151,28 @@ object WarehouseConnector {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, StructType]): Boolean =
         size() > SchemaCacheMax
+    }
+
+  /** Entry-aware schema resolution: the manifest-recorded read schema
+    * ([[AtomicWarehouse.SchemaStat]], zero I/O) when the entry carries
+    * one, the footer read otherwise. Seeds the same LRU so legacy
+    * name-only lookups hit too. */
+  private[graft] def entrySchema(spark: SparkSession, dir: String,
+      e: AtomicWarehouse.EpochEntry): StructType =
+    e.stats.get(AtomicWarehouse.SchemaStat) match {
+      case Some(st) =>
+        val key = s"$dir/${e.name}"
+        schemaCache.synchronized {
+          val hit = schemaCache.get(key)
+          if (hit != null) hit
+          else {
+            val parsed = org.apache.spark.sql.types.DataType
+              .fromJson(st.mn).asInstanceOf[StructType]
+            schemaCache.put(key, parsed)
+            parsed
+          }
+        }
+      case None => epochSchema(spark, dir, e.name)
     }
 
   private[graft] def epochSchema(spark: SparkSession, dir: String,
@@ -269,6 +291,29 @@ object WarehouseConnector {
   /** Recursive listing of an epoch dir's parquet files, collecting
     * partition `col=value` segments along the way. Hidden files/dirs and
     * markers are skipped, as Spark's own file index does. */
+  /** The entry's data files from its manifest-recorded file list
+    * ([[AtomicWarehouse.FilesStat]], zero filesystem calls) when it
+    * carries one, the recursive walk otherwise. Partition `col=value`
+    * segments are parsed from the recorded relative paths exactly as
+    * the walk would parse them. */
+  def entryFiles(f: FileSystem, dir: String,
+      e: AtomicWarehouse.EpochEntry): Seq[WhFile] =
+    e.stats.get(AtomicWarehouse.FilesStat) match {
+      case Some(st) if st.mn.nonEmpty =>
+        st.mn.split('\n').toSeq.map { line =>
+          val Array(len, rel) = line.split("\t", 2)
+          val parts = rel.split('/').dropRight(1).toSeq.flatMap {
+            _.split("=", 2) match {
+              case Array(k, v) => Seq(unescapePath(k) -> unescapePath(v))
+              case _ => Nil
+            }
+          }
+          WhFile(s"$dir/${e.name}/$rel", e.name, parts, len.toLong)
+        }
+      case Some(_) => Nil // recorded-empty epoch: no data files
+      case None => listEpochFiles(f, dir, e.name)
+    }
+
   def listEpochFiles(f: FileSystem, dir: String, epoch: String): Seq[WhFile] = {
     def walk(p: Path, parts: Seq[(String, String)]): Seq[WhFile] =
       f.listStatus(p).toSeq.flatMap { st =>
@@ -746,7 +791,10 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       case _ =>
         val f = new Path(dir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val fl = planned.flatMap(listEpochFiles(f, dir, _))
+        val byName = entries.map(en => en.name -> en).toMap
+        val fl = planned.flatMap(n => byName.get(n)
+          .map(entryFiles(f, dir, _))
+          .getOrElse(listEpochFiles(f, dir, n)))
         filesCache = Some((planned, fl))
         fl
     }
@@ -1268,7 +1316,9 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
       .filter(n => byName.get(n).forall(en =>
         pruneFilters.forall(fl =>
           WarehouseConnector.epochMayMatch(en, mergeKey, fl))))
-      .flatMap(listEpochFiles(f, dir, _))
+      .flatMap(n => byName.get(n)
+        .map(WarehouseConnector.entryFiles(f, dir, _))
+        .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n)))
       .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
       .map(file => WarehouseFilePartition(file.path, file.partValues.toArray,
         WarehouseConnector.dropsFor(tombs, posOf.getOrElse(file.epoch, 0)))
