@@ -588,6 +588,144 @@ object AtomicWarehouse {
     * at 2 drains/day × years of epochs); the bloom construction itself
     * stays a second pass because its size must be EXACT-n-sized before
     * it runs. Returns (stats entries, total row count). */
+  /** Zone-map stats, exact row count and (when `bloomKey` is set) the
+    * key's non-null count derived from the just-written epoch's parquet
+    * FOOTERS — ZERO Spark jobs and zero re-read of the data the write
+    * just produced. Sound because the footers are OUR OWN writes:
+    * parquet-mr records untruncated row-group min/max at its default
+    * statistics config, INT64/INT32 stats order numerically, BINARY
+    * UTF-8 stats order byte-wise unsigned (the same order Spark's
+    * `min(cast(c as string))` uses), and date/timestamp values render
+    * to the identical ISO strings the aggregate path records. Returns
+    * None whenever anything is outside that contract — a wanted column
+    * missing from the footers (partition column), an exotic physical
+    * type, absent/unset statistics — and the caller falls back to the
+    * aggregate scan, so this is purely an I/O optimization, never a
+    * semantics change. */
+  private def footerStatsOf(spark: SparkSession, path: String,
+      cols: Seq[String], bloomKey: Option[String])
+      : Option[(Map[String, ColStats], Long, Option[Long])] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val p = new Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = relativeDataFiles(f, p)
+    if (rels.isEmpty) return None
+    def renderMicros(us: Long): String = {
+      val sec = Math.floorDiv(us, 1000000L)
+      val frac = Math.floorMod(us, 1000000L)
+      val ldt = java.time.LocalDateTime.ofEpochSecond(sec,
+        frac.toInt * 1000, java.time.ZoneOffset.UTC)
+      val base = ldt.format(java.time.format.DateTimeFormatter
+        .ofPattern("uuuu-MM-dd HH:mm:ss"))
+      if (frac == 0L) base
+      else s"$base.${f"$frac%06d".reverse.dropWhile(_ == '0').reverse}"
+    }
+    var total = 0L
+    var bloomNonNull = 0L
+    val watch = (cols ++ bloomKey.filterNot(cols.contains)).distinct
+    // accumulators: col -> (typ, min, max) in the manifest's encoding
+    val acc = scala.collection.mutable.Map.empty[String, ColStats]
+    for ((rel, _) <- rels) {
+      val r = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p, rel), f.getConf))
+      try {
+        val msg = r.getFileMetaData.getSchema
+        for (c <- watch)
+          if (!msg.containsField(c) ||
+              !msg.getType(msg.getFieldIndex(c)).isPrimitive) return None
+        for (b <- r.getFooter.getBlocks.asScala) {
+          total += b.getRowCount
+          for (c <- watch) {
+            val cc = b.getColumns.asScala
+              .find(_.getPath.toDotString == c).getOrElse(return None)
+            val st = cc.getStatistics
+            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+            if (bloomKey.contains(c))
+              bloomNonNull += cc.getValueCount - st.getNumNulls
+            if (cols.contains(c)) {
+              if (!st.hasNonNullValue) {
+                // sound only if genuinely all-null; anything else means
+                // the writer skipped stats — fall back
+                if (st.getNumNulls != cc.getValueCount) return None
+              } else {
+                val pt = msg.getType(msg.getFieldIndex(c)).asPrimitiveType
+                val decoded: (String, String, String) =
+                  (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+                    case (INT32, a: LogicalTypeAnnotation
+                        .DateLogicalTypeAnnotation) =>
+                      ("string",
+                        java.time.LocalDate.ofEpochDay(
+                          st.genericGetMin.asInstanceOf[Number].longValue)
+                          .toString,
+                        java.time.LocalDate.ofEpochDay(
+                          st.genericGetMax.asInstanceOf[Number].longValue)
+                          .toString)
+                    case (INT32, a) if a == null ||
+                        (a.isInstanceOf[LogicalTypeAnnotation
+                          .IntLogicalTypeAnnotation] &&
+                         a.asInstanceOf[LogicalTypeAnnotation
+                          .IntLogicalTypeAnnotation].isSigned) =>
+                      ("long",
+                        st.genericGetMin.asInstanceOf[Number]
+                          .longValue.toString,
+                        st.genericGetMax.asInstanceOf[Number]
+                          .longValue.toString)
+                    case (INT64, a: LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation) =>
+                      if (a.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS)
+                        return None
+                      ("string",
+                        renderMicros(st.genericGetMin
+                          .asInstanceOf[Number].longValue),
+                        renderMicros(st.genericGetMax
+                          .asInstanceOf[Number].longValue))
+                    case (INT64, a) if a == null ||
+                        (a.isInstanceOf[LogicalTypeAnnotation
+                          .IntLogicalTypeAnnotation] &&
+                         a.asInstanceOf[LogicalTypeAnnotation
+                          .IntLogicalTypeAnnotation].isSigned) =>
+                      ("long",
+                        st.genericGetMin.asInstanceOf[Number]
+                          .longValue.toString,
+                        st.genericGetMax.asInstanceOf[Number]
+                          .longValue.toString)
+                    case (BINARY, _: LogicalTypeAnnotation
+                        .StringLogicalTypeAnnotation) =>
+                      ("string",
+                        st.genericGetMin
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8,
+                        st.genericGetMax
+                          .asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .toStringUsingUTF8)
+                    case _ => return None
+                  }
+                val (typ, mn, mx) = decoded
+                acc.get(c) match {
+                  case None => acc(c) = ColStats(typ, mn, mx)
+                  case Some(prev) =>
+                    val (nmn, nmx) =
+                      if (typ == "long")
+                        (math.min(prev.mn.toLong, mn.toLong).toString,
+                          math.max(prev.mx.toLong, mx.toLong).toString)
+                      else
+                        (if (prev.mn <= mn) prev.mn else mn,
+                          if (prev.mx >= mx) prev.mx else mx)
+                    acc(c) = ColStats(typ, nmn, nmx)
+                }
+              }
+            }
+          }
+        }
+      } finally r.close()
+    }
+    Some((acc.toMap, total, bloomKey.map(_ => bloomNonNull)))
+  }
+
   private def statsAndBloomOf(spark: SparkSession, path: String,
       cols: Seq[String], bloomKey: Option[String],
       needCount: Boolean = false): (Map[String, ColStats], Long) = {
@@ -598,6 +736,35 @@ object AtomicWarehouse {
       return (Map(SchemaStat ->
         ColStats("schema", spark.read.parquet(path).schema.json, "-"),
         filesStatOf(spark, path)), 0L)
+    // footer-derived fast path: zero Spark jobs, no re-read of the data
+    // the write just produced (2× the ingest I/O at any real scale, plus
+    // a fixed per-commit latency that compounds at 2 drains/day × years)
+    footerStatsOf(spark, path, cols, bloomKey) match {
+      case Some((fstats, total, bloomN)) =>
+        val p = new Path(path)
+        val schema = graft.sources.v2.WarehouseConnector
+          .epochSchema(spark, p.getParent.toString, p.getName)
+        val base = fstats +
+          (RowCountStat -> ColStats("long", total.toString, total.toString)) +
+          (SchemaStat -> ColStats("schema", schema.json, "-")) +
+          filesStatOf(spark, path)
+        val bloom = bloomKey.flatMap { k =>
+          val n = bloomN.getOrElse(0L)
+          if (n == 0 || n > (MaxBloomBytes.toLong * 8 / 10)) None
+          else {
+            // the one remaining job a bloomed commit pays: the filter's
+            // bit array needs every key hashed
+            val keyed = spark.read.schema(schema).parquet(path)
+              .select(col(k).cast("long").as("__k"))
+              .where(col("__k").isNotNull)
+            val bf = keyed.stat.bloomFilter("__k", math.max(1000L, n), 0.01)
+            Some(bloomStatsCol(k) ->
+              ColStats("bloom", serializeBloom(bf), n.toString))
+          }
+        }
+        return (base ++ bloom, total)
+      case None => // outside the footer contract: aggregate scan below
+    }
     val df = spark.read.parquet(path)
     val typed: Seq[(String, String)] = cols.map { c =>
       df.schema(c).dataType match {
