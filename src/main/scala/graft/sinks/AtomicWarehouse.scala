@@ -973,7 +973,15 @@ object AtomicWarehouse {
           else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
           else Nil
         }
-      val files = parquetFiles(new Path(s"$dir/${e.name}"))
+      // the manifest-recorded file list spares even the dir walk when
+      // the entry carries one (legacy entries: walk)
+      val files = e.stats.get(FilesStat) match {
+        case Some(st) =>
+          if (st.mn.isEmpty) Nil
+          else st.mn.split('\n').toSeq.map(l =>
+            new Path(s"$dir/${e.name}/${l.split("\t", 2)(1)}"))
+        case None => parquetFiles(new Path(s"$dir/${e.name}"))
+      }
       // row count: the manifest's exact count when recorded, else summed
       // parquet footer block counts — either way ZERO Spark jobs, so the
       // report stays O(entries) metadata reads at any entry count
