@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -10,14 +11,15 @@ import org.apache.spark.sql.functions._
 import graft.sinks.AtomicWarehouse
 import graft.sources.v2.WarehouseTable
 
-/** `MERGE INTO wh.t USING updates s ON t.key = s.key WHEN MATCHED THEN
-  * UPDATE ... WHEN NOT MATCHED THEN INSERT ...` on a graft-warehouse
-  * catalog table — the SQL face of the reference's K4 scatter-update
-  * (ref: Python-pipeline/dataprocessing.py:120-163 writes fetched
-  * metrics back into matched staging rows), executed the LOG-STRUCTURED
-  * way: the merge result is ONE appended epoch whose rows win the keyed
-  * last-wins read merge by `load_seq`, so merge cost is O(delta), never
-  * a table rewrite — what Delta/Iceberg call a merge-on-read MERGE.
+/** `MERGE INTO wh.t USING updates s ON t.key = s.key WHEN MATCHED [AND
+  * <cond>] THEN UPDATE ... WHEN NOT MATCHED [AND <cond>] THEN INSERT
+  * ...` on a graft-warehouse catalog table — the SQL face of the
+  * reference's K4 scatter-update (ref:
+  * Python-pipeline/dataprocessing.py:120-163 writes fetched metrics back
+  * into matched staging rows), executed the LOG-STRUCTURED way: the
+  * merge result is ONE appended epoch whose rows win the keyed last-wins
+  * read merge by `load_seq`, so merge cost is O(delta), never a table
+  * rewrite — what Delta/Iceberg call a merge-on-read MERGE.
   *
   * Supported shape (everything else refuses at analysis, naming the
   * violation — half-running a MERGE would corrupt the upsert contract):
@@ -25,26 +27,36 @@ import graft.sources.v2.WarehouseTable
   *  - the ON condition is `t.<mergeKey> = <expr over source>` (the
   *    catalog's configured mergeKey: row identity is what the warehouse
   *    merges by);
-  *  - WHEN MATCHED: at most one, unconditional `UPDATE SET ...` whose
-  *    values reference only source columns (unassigned columns keep the
-  *    matched row's current value — fetched via one pre-merge read);
-  *  - WHEN NOT MATCHED: at most one, unconditional `INSERT ...`
-  *    (unassigned columns insert NULL);
+  *  - WHEN MATCHED: any number of `[AND <cond>] THEN UPDATE SET ...`
+  *    branches, FIRST-MATCH-WINS in clause order (Spark's MERGE
+  *    semantics); conditions and values may reference target AND source
+  *    columns (old values come from one pre-merge snapshot read);
+  *    unassigned columns keep the matched row's current value; a
+  *    matched row no branch accepts is left unchanged (no new version
+  *    appended). `THEN DELETE` refuses: the warehouse is append-only —
+  *    deletion is the purge/tombstone protocol, not a MERGE branch;
+  *  - WHEN NOT MATCHED: any number of `[AND <cond>] THEN INSERT ...`
+  *    branches, first-match-wins; conditions and values over SOURCE
+  *    columns only (there is no target row); unassigned columns insert
+  *    NULL;
   *  - WHEN NOT MATCHED BY SOURCE: unsupported (its delete/update forms
   *    address rows by ABSENCE, which an append cannot express);
   *  - `load_seq` is system-maintained: the new epoch's sequence number
-  *    overrides any assignment to it (drains set load_seq = epoch seq;
-  *    MERGE follows the same convention so its rows win the merge).
+  *    overrides any assignment to it. The sequence is
+  *    [[AtomicWarehouse.maxLoadSeq]]+1 and the epoch commits under the
+  *    collision-free `merge_v<base>_<digest>` entry namespace so it can
+  *    never silently swallow (or be swallowed by) an external drain
+  *    counter's `epoch_<seq>` commit.
   *
   * Execution picks between two plans:
   *
-  *  - FAST PATH (`UPDATE SET *` / full assignment lists where matched
-  *    and not-matched values coincide): the source projection IS the
+  *  - FAST PATH (single unconditional branches whose full assignment
+  *    lists coincide, source-only values): the source projection IS the
   *    epoch — no target read at all, O(|source|);
-  *  - GENERAL PATH (partial assignments or asymmetric branches): one
-  *    left-outer join of the source against the current merged snapshot
-  *    supplies old values for unassigned columns and the matched/not-
-  *    matched branch per row; rows with no applicable action drop out.
+  *  - GENERAL PATH (partial assignments, conditional/multiple branches,
+  *    or target-referencing values): one left-outer join of the source
+  *    against the current merged snapshot supplies old values and the
+  *    per-row branch choice; rows with no applicable branch drop out.
   *    The delta-sized source is the join's small side.
   */
 object RewriteWarehouseMerge extends Rule[LogicalPlan] {
@@ -64,9 +76,9 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"graft-warehouse MERGE INTO supports only `ON t.<mergeKey> = " +
-        "<source expr>` with one unconditional WHEN MATCHED THEN UPDATE " +
-        "and/or one unconditional WHEN NOT MATCHED THEN INSERT, values " +
-        s"over source columns only — $what")
+        "<source expr>` with WHEN MATCHED [AND cond] THEN UPDATE and " +
+        "WHEN NOT MATCHED [AND cond] THEN INSERT branches " +
+        s"(first-match-wins) — $what")
 
   private def rewrite(m: MergeIntoTable): LogicalPlan = {
     val rel = m.targetTable.collectFirst {
@@ -94,84 +106,122 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("WHEN NOT MATCHED BY SOURCE is not supported")
 
-    def assignmentsOf(actions: Seq[MergeAction], label: String)
-        : Option[Map[String, Expression]] = actions match {
-      case Nil => None
-      case Seq(a) =>
-        val (cond, assigns) = a match {
-          case u: UpdateAction => (u.condition, u.assignments)
-          case i: InsertAction => (i.condition, i.assignments)
-          case other => refuse(s"unsupported $label action: $other")
+    val targetIds = targetAttrs.map(_.exprId).toSet
+    // target references resolve per-NAME against the `__t_`-prefixed
+    // snapshot columns the general path joins in; source references keep
+    // their exprIds (the run-time source frame reuses the same plan)
+    def remapTarget(e: Expression): Expression = e.transform {
+      case ar: AttributeReference if targetIds.contains(ar.exprId) =>
+        UnresolvedAttribute(Seq(s"__t_${ar.name}"))
+    }
+    def srcOnly(e: Expression): Boolean = e.references.subsetOf(sourceRefs)
+
+    def branchesOf(actions: Seq[MergeAction], label: String,
+        insert: Boolean): Seq[MergeBranch] = actions.map { a =>
+      val (cond, assigns) = a match {
+        case u: UpdateAction if !insert => (u.condition, u.assignments)
+        case i: InsertAction if insert => (i.condition, i.assignments)
+        case _: DeleteAction => refuse(
+          s"$label THEN DELETE: the warehouse is append-only — use the " +
+            "purge/tombstone protocol (SQL DELETE FROM) for deletion")
+        case other => refuse(s"unsupported $label action: $other")
+      }
+      cond.foreach { c =>
+        if (insert && !srcOnly(c))
+          refuse(s"$label condition references target columns " +
+            "(no target row exists for an INSERT branch)")
+      }
+      val branchSrcOnly = cond.forall(srcOnly) && assigns.forall(a2 => srcOnly(a2.value))
+      val mapped = assigns.map { as =>
+        val name = as.key match {
+          case ar: AttributeReference => ar.name
+          case other => refuse(s"unsupported $label assignment target: $other")
         }
-        if (cond.isDefined)
-          refuse(s"conditional $label clauses are not supported")
-        Some(assigns.map { as =>
-          val name = as.key match {
-            case ar: AttributeReference => ar.name
-            case other => refuse(s"unsupported $label assignment target: $other")
-          }
-          if (!as.value.references.subsetOf(sourceRefs))
-            refuse(s"$label value for '$name' references target columns")
-          name -> as.value
-        }.toMap)
-      case _ => refuse(s"multiple $label clauses are not supported")
+        if (insert && !srcOnly(as.value))
+          refuse(s"$label value for '$name' references target columns")
+        name -> remapTarget(as.value)
+      }.toMap
+      MergeBranch(cond.map(remapTarget), mapped, branchSrcOnly)
     }
 
-    val updateAssigns = assignmentsOf(m.matchedActions, "WHEN MATCHED")
-    val insertAssigns = assignmentsOf(m.notMatchedActions, "WHEN NOT MATCHED")
-    if (updateAssigns.isEmpty && insertAssigns.isEmpty)
+    val matched = branchesOf(m.matchedActions, "WHEN MATCHED", insert = false)
+    val notMatched = branchesOf(m.notMatchedActions, "WHEN NOT MATCHED",
+      insert = true)
+    if (matched.isEmpty && notMatched.isEmpty)
       refuse("no UPDATE or INSERT clause")
 
     WarehouseMergeCommand(table.dir, table.mergeKey,
       targetAttrs.map(a => a.name -> a.dataType.catalogString),
-      m.sourceTable, srcKeyExpr, updateAssigns, insertAssigns)
+      m.sourceTable, srcKeyExpr, matched, notMatched)
   }
 }
 
+/** One WHEN (NOT) MATCHED branch: optional condition, assignment map,
+  * and whether every expression references only source columns (a
+  * fast-path precondition). Expressions referencing the target have been
+  * remapped to `__t_<name>` unresolved attributes at analysis. */
+final case class MergeBranch(cond: Option[Expression],
+    assigns: Map[String, Expression], srcOnly: Boolean)
+
 /** The rewritten MERGE: executes eagerly as a command (the
   * analyzer-produced node [[RewriteWarehouseMerge]] emits). Holds the
-  * resolved source plan and assignment expressions; both resolve against
-  * the source DataFrame rebuilt at run time (same plan, same exprIds). */
+  * resolved source plan and per-branch assignment expressions; source
+  * references resolve against the source DataFrame rebuilt at run time
+  * (same plan, same exprIds), target references by `__t_` name. */
 final case class WarehouseMergeCommand(
     dir: String, mergeKey: String,
     targetCols: Seq[(String, String)],
     source: LogicalPlan,
     srcKeyExpr: Expression,
-    updateAssigns: Option[Map[String, Expression]],
-    insertAssigns: Option[Map[String, Expression]])
+    matched: Seq[MergeBranch],
+    notMatched: Seq[MergeBranch])
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = GraftBridge.ofRows(spark, source)
-    val epochSeqs = AtomicWarehouse.committedEpochs(spark, dir)
-      .flatMap("""epoch_(\d+)""".r.findFirstMatchIn(_).map(_.group(1).toLong))
-    require(epochSeqs.nonEmpty,
-      s"MERGE INTO an empty warehouse at $dir — drain an epoch first " +
-        "(the target schema and merge convention come from committed data)")
-    val newSeq = epochSeqs.max + 1
+    // the floor comes from maxLoadSeq, NOT from epoch_<N> names: a
+    // fully compacted warehouse (only compact_v* entries) is still a
+    // populated merge target, and prior MERGE epochs live outside the
+    // epoch_<N> namespace entirely
+    val maxSeq = AtomicWarehouse.maxLoadSeq(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"MERGE INTO an empty warehouse at $dir — drain an epoch first " +
+          "(the target schema and merge convention come from committed " +
+          "data)"))
+    val newSeq = maxSeq + 1
     val dataCols = targetCols.map(_._1).filter(_ != "load_seq")
 
-    def colExpr(assigns: Option[Map[String, Expression]], name: String) =
-      assigns.flatMap(_.get(name)).map(GraftBridge.column)
+    def colOf(e: Expression): Column = GraftBridge.column(e)
+    // a branch GUARDS on its condition: NULL = false (SQL's WHEN
+    // semantics), absent = always-true
+    def guard(b: MergeBranch): Column =
+      b.cond.map(c => coalesce(colOf(c), lit(false))).getOrElse(lit(true))
 
-    // FAST PATH: both branches exist, assign every data column, and
-    // agree per column — the appended epoch is a pure source projection
-    val symmetric = updateAssigns.isDefined && insertAssigns.isDefined &&
-      dataCols.forall { c =>
-        (updateAssigns.get.get(c), insertAssigns.get.get(c)) match {
-          case (Some(u), Some(i)) => u.semanticEquals(i)
-          case _ => false
-        }
-      }
+    // FAST PATH: exactly one unconditional branch on each side, every
+    // expression source-only, full assignment lists that agree per
+    // column — the appended epoch is a pure source projection
+    val symmetric = (matched, notMatched) match {
+      case (Seq(u), Seq(i)) =>
+        u.cond.isEmpty && i.cond.isEmpty && u.srcOnly && i.srcOnly &&
+          dataCols.forall { c =>
+            (u.assigns.get(c), i.assigns.get(c)) match {
+              case (Some(uv), Some(iv)) => uv.semanticEquals(iv)
+              case _ => false
+            }
+          }
+      case _ => false
+    }
     val newRows =
       if (symmetric)
-        src.select(dataCols.map(c => colExpr(updateAssigns, c).get.as(c)) :+
+        src.select(dataCols.map(c =>
+            colOf(matched.head.assigns(c)).as(c)) :+
           lit(newSeq).as("load_seq"): _*)
       else {
         // GENERAL PATH: old values / branch selection need the matched
         // target row — one left-outer join against the merged snapshot
+        // (the delta-sized source is the join's small side)
         val merged = AtomicWarehouse.read(spark, dir, mergeKey)
         val t = merged.select(merged.columns.toSeq
           .map(c => col(c).as(s"__t_$c")): _*)
@@ -179,20 +229,49 @@ final case class WarehouseMergeCommand(
         val joined = src.join(t, srcKey === col(s"__t_$mergeKey"),
           "left_outer")
         val isMatched = col(s"__t_$mergeKey").isNotNull
-        val actionable = (if (updateAssigns.isDefined) isMatched
-          else lit(false)) ||
-          (if (insertAssigns.isDefined) !isMatched else lit(false))
+        // FIRST-MATCH-WINS branch selection, per Spark MERGE semantics:
+        // nested WHEN chains pick the earliest accepting branch; a row
+        // no branch accepts is not actionable and appends nothing
+        val anyMatched = matched.map(guard)
+          .foldLeft(lit(false))(_ || _)
+        val anyInsert = notMatched.map(guard)
+          .foldLeft(lit(false))(_ || _)
+        val actionable = (isMatched && anyMatched) ||
+          (!isMatched && anyInsert)
         val outCols = dataCols.map { c =>
-          val u = colExpr(updateAssigns, c).getOrElse(col(s"__t_$c"))
-          val i = colExpr(insertAssigns, c)
-            .getOrElse(lit(null).cast(
-              targetCols.find(_._1 == c).get._2))
+          val keep = col(s"__t_$c")
+          val nullOf = lit(null).cast(targetCols.find(_._1 == c).get._2)
+          val u = matched.foldRight(keep) { (b, els) =>
+            when(guard(b), b.assigns.get(c).map(colOf).getOrElse(keep))
+              .otherwise(els)
+          }
+          val i = notMatched.foldRight(nullOf) { (b, els) =>
+            when(guard(b), b.assigns.get(c).map(colOf).getOrElse(nullOf))
+              .otherwise(els)
+          }
           when(isMatched, u).otherwise(i).as(c)
         } :+ lit(newSeq).as("load_seq")
         joined.where(actionable).select(outCols: _*)
       }
-    AtomicWarehouse.commitEpoch(spark, dir, newRows, newSeq,
-      statsKey = Some(mergeKey), bloomKey = Some(mergeKey))
+    // COLLISION-FREE entry namespace: never `epoch_<seq>` — the external
+    // drain counter owns that namespace, and a collision there would let
+    // commitEpoch's name-based idempotence silently no-op the losing
+    // writer (lost update). The name encodes (base version, merge-plan
+    // digest) like purge rewrites do, so only a replay of THIS merge at
+    // THIS base converges by name; any other writer commits under a
+    // different name and manifest order + the load_seq tiebreaker decide
+    // the keyed winner. `load_seq` stats are recorded so the NEXT
+    // self-sequencing writer derives its floor from the manifest alone.
+    val baseV = AtomicWarehouse.currentVersion(spark, dir)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((source.canonicalized.toString + srcKeyExpr.canonicalized +
+          matched.toString + notMatched.toString)
+        .getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    AtomicWarehouse.commitNamedEpoch(spark, dir, newRows,
+      s"merge_v${baseV}_$digest", newSeq,
+      statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
+      bloomKey = Some(mergeKey))
     Nil
   }
 }

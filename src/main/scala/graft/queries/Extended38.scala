@@ -19,6 +19,25 @@ object Extended38 {
         .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i))
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  /** Morton-interleave N (2–4) bucket columns at `bits` bits each
+    * (`bits * n <= 62` keeps the curve value a positive long): bit i of
+    * column j lands at position `n*i + (n-1-j)`, so column order is
+    * significance order within each bit plane — the exact N-column
+    * generalization of [[zval]] (which stays the 12-bit 2-column form
+    * the c10 oracle pins). Pure shift/and/or arithmetic, stays inside
+    * whole-stage codegen. */
+  def zvalN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 4, s"zvalN interleaves 2-4 columns; got $n")
+    require(bits >= 1 && bits * n <= 62,
+      s"$n x $bits-bit interleave overflows a positive long")
+    cols.zipWithIndex.flatMap { case (c, j) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(1), n * i + (n - 1 - j))
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** The same interleave as DuckDB SQL text (same op order). */
   def zvalSql(a: String, b: String): String =
     (0 until 12).map { i =>

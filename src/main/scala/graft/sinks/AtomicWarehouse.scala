@@ -89,6 +89,36 @@ object AtomicWarehouse {
   def committedEpochs(spark: SparkSession, dir: String): Seq[String] =
     committedEpochsAt(spark, dir, currentVersion(spark, dir))
 
+  /** Highest `load_seq` present in the CURRENT snapshot, or None on a
+    * warehouse with no data entries — the floor a self-sequencing writer
+    * (SQL MERGE) must exceed to win the keyed merge. Metadata-only in
+    * every steady-state shape: `epoch_<seq>` names (and their purge
+    * rewrites, which keep the `epoch_<seq>` prefix) encode the seq, and
+    * entries outside that namespace (compaction folds, MERGE epochs)
+    * answer from their recorded `load_seq` zone-map stats. Only a legacy
+    * entry carrying neither costs a scan — one single-column max() over
+    * that entry alone. */
+  def maxLoadSeq(spark: SparkSession, dir: String): Option[Long] = {
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+      .filterNot(e => isTombstone(e.name))
+    if (entries.isEmpty) return None
+    val known: Seq[Option[Long]] = entries.map { e =>
+      """epoch_(\d+)""".r.findFirstMatchIn(e.name).map(_.group(1).toLong)
+        .orElse(e.stats.get("load_seq")
+          .collect { case st if st.typ == "long" => st.mx.toLong })
+    }
+    val scanned: Seq[Long] = entries.zip(known).collect {
+      case (e, None) =>
+        val df = spark.read.parquet(s"$dir/${e.name}")
+        if (!df.columns.contains("load_seq")) 0L
+        else df.agg(max(col("load_seq").cast("long"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    }
+    Some((known.flatten ++ scanned).foldLeft(0L)(math.max))
+  }
+
   /** Typed min/max of one column over one epoch, as recorded in the
     * manifest. `typ` is `"long"` (integral columns, compared numerically)
     * or `"string"` (string/date/timestamp columns, compared
@@ -268,21 +298,27 @@ object AtomicWarehouse {
         .parquet(s"$dir/${e.name}")
       if (scanned.contains(e.name)) df else df.limit(0)
     }
+    // every entry carries its MANIFEST POSITION (a per-entry literal —
+    // free): tombstones anti-join against it, and the merge window uses
+    // it as the load_seq TIEBREAKER. A tie is reachable since SQL MERGE
+    // self-assigns load_seq in its own entry namespace: a drain whose
+    // external counter lands on the same seq commits fine (distinct
+    // entry name), and manifest order — commit order — decides the
+    // winner deterministically, matching wall-clock last-wins.
+    val posOf = entries.map(_.name).zipWithIndex.toMap
+    val union0 = data.map(e =>
+        dataDf(e).withColumn("__pos", lit(posOf(e.name))))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val union =
-      if (tombs.isEmpty)
-        data.map(dataDf).reduce(_.unionByName(_, allowMissingColumns = true))
+      if (tombs.isEmpty) union0
       else {
         // MERGE-ON-READ deletion vectors: a tombstone suppresses every
         // version of its keys in entries committed BEFORE it (manifest
         // order); a later drain re-adding a key is new data and
-        // survives. Tagged per-entry position + ONE broadcast anti-join
+        // survives. Per-entry position + ONE broadcast anti-join
         // (tombstone key lists are O(purged keys), driver-sized by the
         // purge contract) — zero data rewrites at purge time, exactly
         // Iceberg's equality-delete read path.
-        val posOf = entries.map(_.name).zipWithIndex.toMap
-        val u = data.map(e =>
-            dataDf(e).withColumn("__eidx", lit(posOf(e.name))))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
         val tombRows: Seq[(Long, Int)] = tombs.flatMap { t =>
           spark.read.parquet(s"$dir/${t.name}")
             .select(col(key).cast("long")).na.drop().collect()
@@ -292,10 +328,9 @@ object AtomicWarehouse {
         val tombDf = tombRows.toDF("__tk", "__tpos")
         // null merge keys never match a tombstone (k === null is UNKNOWN
         // → anti-join keeps the row), matching purgeKeys' null contract
-        u.join(broadcast(tombDf),
+        union0.join(broadcast(tombDf),
             col(key).cast("long") === col("__tk") &&
-              col("__tpos") > col("__eidx"), "left_anti")
-          .drop("__eidx")
+              col("__tpos") > col("__pos"), "left_anti")
       }
     // the range predicate applies BELOW the merge window: a filter above
     // it could never push past the Window (its partitioning is the merge
@@ -305,9 +340,10 @@ object AtomicWarehouse {
     // filtered column is version-stable per key, so the filter drops ALL
     // versions of a key or none and the merge winner is unchanged.
     val filtered = preFilter.map(union.where).getOrElse(union)
-    val w = Window.partitionBy(col(key)).orderBy(col("load_seq").desc)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("load_seq").desc, col("__pos").desc)
     filtered.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+      .where(col("__rn") === 1).drop("__rn", "__pos")
   }
 
   /** Publish `tmp` as `dst` iff `dst` does not exist — the CAS primitive
@@ -431,24 +467,50 @@ object AtomicWarehouse {
     commitEpochImpl(spark, dir, df, seq, statsKey, statsCols, () => (),
       partitionBy, bloomKey, zorderBy)
 
-  /** Z-ORDER layout pass: bucket both columns to 12 bits (equal-width
-    * from one min/max job), Morton-interleave the buckets
-    * ([[graft.queries.Extended38.zval]] — pure codegen arithmetic), then
-    * range-partition + locally sort on the curve value and drop it. Each
-    * part file then covers one tight curve segment, so its parquet
-    * row-group min/max are narrow in BOTH columns and a predicate on
-    * EITHER prunes row groups — the two-column counterpart of
-    * `clusterBy`'s single-chain sort (which leaves the second column
-    * full-span in every file). The same trade Delta's OPTIMIZE ZORDER
-    * makes; ZOrderSpec measures the per-column span narrowing.
+  /** [[commitEpoch]] under a caller-chosen manifest entry NAME decoupled
+    * from the rows' `load_seq`. Writers that self-assign a sequence
+    * (SQL MERGE) use this so their entry can NEVER collide with the
+    * external drain counter's `epoch_<seq>` namespace — a name collision
+    * would make [[commitEpoch]]'s name-based idempotence silently no-op
+    * the losing writer (a lost update). Same-name adoption remains sound
+    * only when the name encodes the full identity of the write (base
+    * version + content digest), the same contract `purgeDigest` rewrite
+    * names carry. */
+  def commitNamedEpoch(spark: SparkSession, dir: String, df: DataFrame,
+      name: String, loadSeq: Long, statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit = {
+    require(!name.matches("epoch_\\d+"),
+      s"entry name '$name' collides with the drain counter namespace")
+    commitEpochImpl(spark, dir, df, loadSeq, statsKey, statsCols, () => (),
+      Nil, bloomKey, Nil, entryName = Some(name))
+  }
+
+  /** Z-ORDER layout pass over 2–4 columns: bucket each column to
+    * ⌊60/n⌋ bits (equal-width from one min/max job — 30/20/15 bits for
+    * n=2/3/4, so the curve always spends the full 60-bit budget),
+    * Morton-interleave the buckets
+    * ([[graft.queries.Extended38.zvalN]] — pure codegen arithmetic),
+    * then range-partition + locally sort on the curve value and drop
+    * it. Each part file then covers one tight curve segment, so its
+    * parquet row-group min/max are narrow in EVERY interleaved column
+    * and a predicate on ANY of them prunes row groups — the multi-column
+    * counterpart of `clusterBy`'s single-chain sort (which leaves
+    * trailing columns full-span in every file). The same trade Delta's
+    * OPTIMIZE ZORDER makes (2–4 columns is its documented sweet spot —
+    * per-column selectivity degrades as n grows since each column gets
+    * fewer curve bits); ZOrderSpec measures the per-column span
+    * narrowing on 2- and 3-column layouts.
     *
     * Columns must be integral, date or timestamp (bucketing needs a
     * numeric embedding; equal-width buckets are sound for pruning under
     * any distribution — skew only costs selectivity, never rows). */
   private[graft] def zorderFrame(spark: SparkSession, df: DataFrame,
       cols: Seq[String], partitions: Int = 0): DataFrame = {
-    require(cols.size == 2,
-      s"zorderBy interleaves exactly 2 columns; got ${cols.mkString(",")}")
+    require(cols.size >= 2 && cols.size <= 4,
+      s"zorderBy interleaves 2-4 columns; got ${cols.mkString(",")}")
+    val n = cols.size
+    val bits = 60 / n
     def asLong(c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -462,16 +524,18 @@ object AtomicWarehouse {
             "bucketing needs")
       }
     val bounds = df.agg(
-      min(asLong(cols.head)), max(asLong(cols.head)),
-      min(asLong(cols(1))), max(asLong(cols(1)))).head()
-    if (bounds.isNullAt(0) || bounds.isNullAt(2)) return df // all-null: no layout
-    def bucket(c: String, mnI: Int): org.apache.spark.sql.Column = {
-      val (mn, mx) = (bounds.getLong(mnI), bounds.getLong(mnI + 1))
-      (width_bucket(asLong(c), lit(mn), lit(mx + 1), lit(4096)) - 1)
-        .cast("int")
+      cols.flatMap(c => Seq(min(asLong(c)), max(asLong(c)))).head,
+      cols.flatMap(c => Seq(min(asLong(c)), max(asLong(c)))).tail: _*)
+      .head()
+    if (cols.indices.exists(i => bounds.isNullAt(2 * i)))
+      return df // an all-null column: no layout
+    def bucket(c: String, i: Int): org.apache.spark.sql.Column = {
+      val (mn, mx) = (bounds.getLong(2 * i), bounds.getLong(2 * i + 1))
+      (width_bucket(asLong(c), lit(mn), lit(mx + 1), lit(1L << bits)) - 1)
+        .cast("long")
     }
-    val z = graft.queries.Extended38.zval(bucket(cols.head, 0),
-      bucket(cols(1), 2))
+    val z = graft.queries.Extended38.zvalN(
+      cols.zipWithIndex.map { case (c, i) => bucket(c, i) }, bits)
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     df.withColumn("__z", z)
@@ -489,8 +553,9 @@ object AtomicWarehouse {
       statsCols: Seq[String], afterPublish: () => Unit,
       partitionBy: Seq[String] = Nil,
       bloomKey: Option[String] = None,
-      zorderBy: Seq[String] = Nil): Unit = {
-    val epoch = s"epoch_$seq"
+      zorderBy: Seq[String] = Nil,
+      entryName: Option[String] = None): Unit = {
+    val epoch = entryName.getOrElse(s"epoch_$seq")
     if (committedEpochs(spark, dir).contains(epoch)) return
     val f = fs(spark, dir)
     val epochPath = new Path(s"$dir/$epoch")
@@ -678,6 +743,20 @@ object AtomicWarehouse {
                         .TimestampLogicalTypeAnnotation) =>
                       if (a.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS)
                         return None
+                      // renderMicros renders at fixed UTC, but zone-map
+                      // pruning compares against SESSION-timezone
+                      // cast-to-string values — recording UTC-rendered
+                      // stats under a non-UTC session would let pruning
+                      // wrongly skip epochs. Keep the fast path only
+                      // when the session renders identically (UTC);
+                      // otherwise fall back to the aggregate scan,
+                      // which records session-rendered stats.
+                      val tz = spark.sessionState.conf.sessionLocalTimeZone
+                      if (java.time.ZoneId.of(tz).getRules
+                            .isFixedOffset() == false ||
+                          java.time.ZoneId.of(tz).getRules
+                            .getOffset(java.time.Instant.EPOCH)
+                            .getTotalSeconds != 0) return None
                       ("string",
                         renderMicros(st.genericGetMin
                           .asInstanceOf[Number].longValue),
@@ -966,6 +1045,7 @@ object AtomicWarehouse {
         if (isTombstone(e.name)) "tombstone"
         else if (isPurgeRewrite(e.name)) "purged"
         else if (e.name.startsWith("compact_")) "compact"
+        else if (e.name.startsWith("merge_")) "merge"
         else "epoch"
       def parquetFiles(p: Path): Seq[Path] =
         f.listStatus(p).toSeq.flatMap { st =>

@@ -3,8 +3,6 @@ package graft.sources.v2
 import java.util.UUID
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
@@ -45,14 +43,16 @@ import graft.sinks.AtomicWarehouse
   * — warehouse-wide rewrites are [[AtomicWarehouse.compact]]'s job, with
   * its own concurrency story.
   *
-  * Executor-side encoding uses the public parquet-hadoop Group writer
-  * (the mirror of [[WarehouseReaderFactory]]'s decoder): flat
+  * Executor-side encoding streams [[InternalRow]]s STRAIGHT into
+  * parquet-mr's column writers through a custom public-API
+  * `WriteSupport` ([[InternalRowWriteSupport]]) — no intermediate Group
+  * materialization, no per-value name lookups (the pre-round-8 example
+  * Group writer allocated a SimpleGroup per row and resolved every
+  * field by string, the connector probe's dominant write cost). Flat
   * long/int/string/double/float/boolean/date/timestamp(micros) columns,
   * refused loudly at PLANNING time otherwise. Scale: one part file per
   * task, streamed row-by-row (no buffering of the partition), stage →
-  * epoch is one rename, manifest commit is O(delta stats); a production
-  * deployment would swap the row writer for Spark's vectorized parquet
-  * committer and keep the commit protocol unchanged. */
+  * epoch is one rename, manifest commit is O(delta stats). */
 object WarehouseSink {
 
   /** Spark schema → parquet MessageType, the exact inverse of the read
@@ -81,6 +81,68 @@ object WarehouseSink {
     }
     b.named("spark_schema")
   }
+}
+
+/** Parquet `WriteSupport` that encodes Spark [[InternalRow]]s directly
+  * via the RecordConsumer API — public parquet-mr surface, zero
+  * intermediate allocation per row beyond the string-bytes copy parquet
+  * requires anyway. Per-column closures are resolved ONCE from the
+  * schema; the hot loop is index-addressed primitive appends, the same
+  * shape parquet-mr's own column writers expect. */
+class InternalRowWriteSupport(schema: StructType)
+    extends org.apache.parquet.hadoop.api.WriteSupport[InternalRow] {
+  import org.apache.parquet.io.api.RecordConsumer
+
+  private val msg = WarehouseSink.messageType(schema)
+  private var consumer: RecordConsumer = _
+  private val names = schema.fieldNames
+  private val appenders: Array[(RecordConsumer, InternalRow, Int) => Unit] =
+    schema.fields.map { f =>
+      f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          (c, r, i) => c.addLong(r.getLong(i))
+        case IntegerType | DateType => (c, r, i) => c.addInteger(r.getInt(i))
+        case StringType => (c, r, i) =>
+          c.addBinary(Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
+        case DoubleType => (c, r, i) => c.addDouble(r.getDouble(i))
+        case FloatType => (c, r, i) => c.addFloat(r.getFloat(i))
+        case BooleanType => (c, r, i) => c.addBoolean(r.getBoolean(i))
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed builder validation")
+      }
+    }
+
+  override def init(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+    new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(msg,
+      java.util.Collections.emptyMap[String, String]())
+
+  override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+
+  override def write(row: InternalRow): Unit = {
+    consumer.startMessage()
+    var i = 0
+    while (i < appenders.length) {
+      if (!row.isNullAt(i)) {
+        consumer.startField(names(i), i)
+        appenders(i)(consumer, row, i)
+        consumer.endField(names(i), i)
+      }
+      i += 1
+    }
+    consumer.endMessage()
+  }
+}
+
+/** Public-API `ParquetWriter` builder over [[InternalRowWriteSupport]]. */
+class InternalRowParquetWriterBuilder(
+    file: org.apache.parquet.io.OutputFile, schema: StructType)
+    extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+      InternalRow, InternalRowParquetWriterBuilder](file) {
+  override def self(): InternalRowParquetWriterBuilder = this
+  override def getWriteSupport(conf: Configuration)
+      : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+    new InternalRowWriteSupport(schema)
 }
 
 class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo)
@@ -118,16 +180,24 @@ class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo)
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     clusterBy.foreach(c => require(info.schema().fieldNames.contains(c),
       s"clusterBy column '$c' is not in the written schema"))
+    val zorderBy = Option(o.get("zorderBy")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    zorderBy.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"zorderBy column '$c' is not in the written schema"))
+    require(zorderBy.isEmpty || clusterBy.isEmpty,
+      "clusterBy and zorderBy are alternative layouts — pick one")
+    require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),
+      s"zorderBy interleaves 2-4 columns; got ${zorderBy.mkString(",")}")
     new WarehouseWrite(dir, seq, seqBase, info.schema(),
       Option(o.get("statsKey")), statsCols, Option(o.get("bloomKey")),
-      clusterBy, o.getInt("writePartitions", 0))
+      clusterBy, o.getInt("writePartitions", 0), zorderBy)
   }
 }
 
 class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
     schema: StructType, statsKey: Option[String], statsCols: Seq[String],
     bloomKey: Option[String], clusterBy: Seq[String] = Nil,
-    writePartitions: Int = 0)
+    writePartitions: Int = 0, zorderBy: Seq[String] = Nil)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.streaming.StreamingWrite
     with RequiresDistributionAndOrdering {
@@ -199,16 +269,32 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
     // schema-only empty part so the epoch reads as 0 rows
     if (committed.isEmpty) {
       val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-      val msg = WarehouseSink.messageType(schema)
-      GroupWriteSupport.setSchema(msg, conf)
-      ExampleParquetWriter
-        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-          new Path(s"$stage/part-00000-empty.parquet"), conf))
+      new InternalRowParquetWriterBuilder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(s"$stage/part-00000-empty.parquet"), conf), schema)
         .withConf(conf)
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build().close()
     }
-    AtomicWarehouse.commitStagedEpoch(spark, dir, new Path(stage), s,
+    // `.option("zorderBy", "a,b[,c[,d]]")`: the V2 write API can declare
+    // a SORT (clusterBy rides RequiresDistributionAndOrdering) but not a
+    // Morton-curve shuffle — the curve value is a derived expression the
+    // API cannot resolve. So z-order is a COMMIT-TIME layout pass on the
+    // staged delta: one read + range-partitioned rewrite of the epoch's
+    // own rows (O(delta), exactly what OPTIMIZE ZORDER costs after any
+    // ingest), swapped in before the atomic publish. Crash anywhere
+    // leaves only unreferenced stage dirs, same as today.
+    val finalStage =
+      if (zorderBy.isEmpty || committed.isEmpty) stage
+      else {
+        val staged = spark.read.schema(schema).parquet(stage)
+        val z = s"${stage}_z"
+        AtomicWarehouse.zorderFrame(spark, staged, zorderBy)
+          .write.mode("overwrite").parquet(z)
+        f.delete(new Path(stage), true)
+        z
+      }
+    AtomicWarehouse.commitStagedEpoch(spark, dir, new Path(finalStage), s,
       statsKey, statsCols, bloomKey)
   }
 
@@ -300,42 +386,18 @@ class WarehouseDataWriter(stage: String, schema: StructType,
     partitionId: Int, taskId: Long,
     hadoopConf: org.apache.spark.util.SerializableConfiguration = null)
     extends DataWriter[InternalRow] {
-  // copied per writer: GroupWriteSupport.setSchema mutates the conf
   private def newConf(): Configuration =
     if (hadoopConf == null) new Configuration()
     else new Configuration(hadoopConf.value)
   private val fileName =
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID}.parquet"
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = _
-  private var factory: SimpleGroupFactory = _
-
-  private val appenders: Array[(org.apache.parquet.example.data.Group,
-      InternalRow, Int) => Unit] =
-    schema.fields.zipWithIndex.map { case (f, _) =>
-      val n = f.name
-      f.dataType match {
-        case LongType | TimestampType | TimestampNTZType =>
-          (g, r, i) => g.add(n, r.getLong(i))
-        case IntegerType | DateType => (g, r, i) => g.add(n, r.getInt(i))
-        case StringType => (g, r, i) =>
-          g.add(n, Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
-        case DoubleType => (g, r, i) => g.add(n, r.getDouble(i))
-        case FloatType => (g, r, i) => g.add(n, r.getFloat(i))
-        case BooleanType => (g, r, i) => g.add(n, r.getBoolean(i))
-        case other => throw new IllegalStateException(
-          s"unreachable: $other passed builder validation")
-      }
-    }
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
 
   private def open(): Unit = {
     val conf = newConf()
-    val msg = WarehouseSink.messageType(schema)
-    GroupWriteSupport.setSchema(msg, conf)
-    factory = new SimpleGroupFactory(msg)
-    writer = ExampleParquetWriter
-      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-        new Path(s"$stage/$fileName"), conf))
+    writer = new InternalRowParquetWriterBuilder(
+      org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new Path(s"$stage/$fileName"), conf), schema)
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
@@ -343,13 +405,7 @@ class WarehouseDataWriter(stage: String, schema: StructType,
 
   override def write(row: InternalRow): Unit = {
     if (writer == null) open()
-    val g = factory.newGroup()
-    var i = 0
-    while (i < appenders.length) {
-      if (!row.isNullAt(i)) appenders(i)(g, row, i)
-      i += 1
-    }
-    writer.write(g)
+    writer.write(row)
   }
 
   override def commit(): WriterCommitMessage = {

@@ -647,7 +647,7 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     def minMax(c: String, wantMin: Boolean): Option[(StructField, Any)] = {
       val field = fullSchema.fields.find(_.name == c).getOrElse(return None)
       val stats = all.map(_.statsFor(c,
-        if (mergeKey.nonEmpty) mergeKey else " "))
+        if (mergeKey.nonEmpty) mergeKey else "\u0000"))
       if (stats.exists(_.isEmpty)) return None
       val sts = stats.flatten
       val internal: Any = (field.dataType, sts.head.typ) match {
@@ -658,8 +658,19 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
           val vs = sts.map(s => (if (wantMin) s.mn else s.mx).toLong)
           (if (wantMin) vs.min else vs.max).toInt
         case (StringType, "string") =>
-          val vs = sts.map(s => if (wantMin) s.mn else s.mx)
-          UTF8String.fromString(if (wantMin) vs.min else vs.max)
+          // Compare candidates as UTF-8 bytes (UTF8String's ordering),
+          // matching how the stats were RECORDED (Spark min/max over
+          // UTF8String = unsigned byte order). Scala's String.min would
+          // use UTF-16 code-unit order, which disagrees for non-BMP
+          // characters (surrogates sort above U+E000..U+FFFF in UTF-16
+          // but below them in UTF-8).
+          val vs = sts.map(s => UTF8String.fromString(
+            if (wantMin) s.mn else s.mx))
+          import scala.math.Ordering.comparatorToOrdering
+          implicit val ord: Ordering[UTF8String] =
+            comparatorToOrdering(
+              java.util.Comparator.naturalOrder[UTF8String]())
+          if (wantMin) vs.min else vs.max
         case (DateType, "string") =>
           val vs = sts.map(s => if (wantMin) s.mn else s.mx)
           java.time.LocalDate.parse(if (wantMin) vs.min else vs.max)

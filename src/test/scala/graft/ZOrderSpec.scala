@@ -131,4 +131,54 @@ class ZOrderSpec extends SparkSuite {
     // round-trip: layout changes bytes, never rows
     assert(spark.read.parquet(s"$base/zord/epoch_1").count() == li.count())
   }
+
+  test("3-column z-order through the SINK option narrows all three spans") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"),
+        col("l_orderkey").cast("long").as("ok"),
+        lit(1L).as("load_seq"))
+    val base = java.nio.file.Files.createTempDirectory("graft_z3_").toString
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // 64 partitions = 6 fixed curve bits = 2 bits per column at n=3, so
+    // EVERY column's expected span is ~1/4 of its domain (a cut depth
+    // that is not a multiple of n shortchanges the last column — 5 bits
+    // would leave ok at ~1/2 span)
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    // through the DSv2 sink's commit-time layout pass — the user-facing
+    // form (`.option("zorderBy", ...)`), not the engine API
+    try {
+      li.write.format("graft-warehouse")
+        .option("path", s"$base/wh").option("seq", "1")
+        .option("zorderBy", "pk,sk,ok").option("statsKey", "pk")
+        .mode("append").save()
+      li.write.format("graft-warehouse")
+        .option("path", s"$base/wh2").option("seq", "1")
+        .option("zorderBy", "pk,sk").option("statsKey", "pk")
+        .mode("append").save()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    def dom(c: String) = li.agg(max(c)).head.getLong(0)
+    val (zPk, zSk, zOk) = (
+      meanRowGroupSpan(s"$base/wh/epoch_1", "pk", dom("pk")),
+      meanRowGroupSpan(s"$base/wh/epoch_1", "sk", dom("sk")),
+      meanRowGroupSpan(s"$base/wh/epoch_1", "ok", dom("ok")))
+    // every column — including the THIRD — must sit well under full
+    // span (sampling-based range boundaries blur the exact fraction)
+    assert(zPk < 0.55 && zSk < 0.55 && zOk < 0.55,
+      f"3-col zord: pk=$zPk%.2f sk=$zSk%.2f ok=$zOk%.2f")
+    // and the third column must beat what a 2-column curve leaves it at
+    // (uninterleaved = near-full span in every row group)
+    val twoColOk = meanRowGroupSpan(s"$base/wh2/epoch_1", "ok", dom("ok"))
+    assert(zOk < twoColOk / 1.5,
+      f"3-col ok span $zOk%.2f vs 2-col $twoColOk%.2f — interleaving ok bought nothing")
+    assert(spark.read.parquet(s"$base/wh/epoch_1").count() == li.count())
+    // 5 columns refuse loudly
+    val e = intercept[Exception](
+      li.withColumn("x", lit(1L)).withColumn("y", lit(2L))
+        .write.format("graft-warehouse")
+        .option("path", s"$base/wh5").option("seq", "1")
+        .option("zorderBy", "pk,sk,ok,x,y").mode("append").save())
+    assert(e.getMessage.contains("2-4"), e.getMessage)
+  }
 }

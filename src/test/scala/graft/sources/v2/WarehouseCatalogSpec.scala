@@ -135,9 +135,12 @@ class WarehouseCatalogSpec extends SparkSuite {
         |WHEN MATCHED THEN UPDATE SET k = s.k, name = s.name
         |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
         |""".stripMargin)
-    // the merge appended ONE epoch; nothing was rewritten
+    // the merge appended ONE entry in its own collision-free namespace
+    // (never epoch_<N>: an external drain counter's next seq must not be
+    // silently consumed); nothing was rewritten
     val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
-    assert(names == Seq("epoch_1", "epoch_2"), names)
+    assert(names.size == 2 && names.head == "epoch_1" &&
+      names(1).startsWith("merge_v1_"), names)
     val after = spark.sql("SELECT k, name FROM (SELECT k, name, load_seq,"
       + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
       + " FROM whmrg1.t) WHERE rn = 1")
@@ -198,14 +201,95 @@ class WarehouseCatalogSpec extends SparkSuite {
       "non-key ON condition")
     refused(
       """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
-        |WHEN MATCHED AND s.name = 'UPD' THEN UPDATE SET name = s.name
-        |""".stripMargin,
-      "conditional matched clause")
-    refused(
-      """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET name = s.name
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
       "not matched by source")
+    refused(
+      """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
+        |WHEN MATCHED AND s.name = 'UPD' THEN DELETE""".stripMargin,
+      "matched delete (append-only)")
+  }
+
+  test("MERGE INTO conditional branches pick first match in clause order") {
+    val r = mergeRoot("whmrg4")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t",
+      (1 to 6).map(i => (i.toLong, s"n$i", i * 10L, 1L))
+        .toDF("k", "name", "score", "load_seq"), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    Seq((1L, "a", 5L), (2L, "b", 25L), (3L, "c", 100L), (400L, "d", 7L),
+      (500L, "e", 99L)).toDF("k", "name", "score")
+      .createOrReplaceTempView("mrg_src_cond")
+    // branch order matters: k=3 (target score 30) satisfies BOTH matched
+    // conditions; the FIRST branch must win. k=1 (target score 10)
+    // satisfies only the second. k=2 (target score 20, source 25)
+    // satisfies neither -> left unchanged, no new version appended.
+    // Unmatched: 400 (score<50) inserts via the conditional branch with
+    // a marker name; 500 (score>=50) falls to the final branch.
+    spark.sql(
+      """MERGE INTO whmrg4.t t USING mrg_src_cond s ON t.k = s.k
+        |WHEN MATCHED AND t.score >= 30 THEN UPDATE SET name = concat('hi_', s.name)
+        |WHEN MATCHED AND t.score <= 10 THEN UPDATE SET name = concat('lo_', s.name)
+        |WHEN NOT MATCHED AND s.score < 50 THEN INSERT (k, name, score) VALUES (s.k, concat('small_', s.name), s.score)
+        |WHEN NOT MATCHED THEN INSERT (k, name, score) VALUES (s.k, s.name, s.score)
+        |""".stripMargin)
+    val after = spark.sql("SELECT k, name, score FROM (SELECT *,"
+      + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
+      + " FROM whmrg4.t) WHERE rn = 1")
+      .as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(after.size == 8, after)
+    assert(after(3L) == ("hi_c", 30L)) // first branch wins; score kept
+    assert(after(1L) == ("lo_a", 10L))
+    assert(after(2L) == ("n2", 20L)) // no branch accepted: unchanged
+    assert(after(400L) == ("small_d", 7L))
+    assert(after(500L) == ("e", 99L))
+  }
+
+  test("MERGE INTO a fully compacted warehouse and seq-collision safety") {
+    val r = mergeRoot("whmrg5")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 5, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(3, 7, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.compact(spark, s"$r/t", "k", statsKey = Some("k"))
+    assert(AtomicWarehouse.committedEpochs(spark, s"$r/t")
+      == Seq("compact_v2"))
+    // compact-only manifest is a VALID merge target (the pre-round-8
+    // shape refused it as "empty": no epoch_<N> names survive the fold)
+    Seq((5L, "UPD"), (900L, "NEW")).toDF("k", "name")
+      .createOrReplaceTempView("mrg_src_cpt")
+    spark.sql(
+      """MERGE INTO whmrg5.t t USING mrg_src_cpt s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+        |""".stripMargin)
+    val after = AtomicWarehouse.read(spark, s"$r/t", "k")
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(after.size == 8 && after(5L) == "UPD" && after(900L) == "NEW",
+      after)
+    // the merge took load_seq 3 (max fold seq 2 + 1, from its recorded
+    // stats). An external drain counter unaware of the merge now drains
+    // seq 3 TOO: distinct entry names mean NO lost update, and the
+    // engine read resolves the load_seq tie by manifest position — the
+    // later drain wins the overlapping key
+    AtomicWarehouse.commitEpoch(spark, s"$r/t",
+      Seq((5L, "drain3", 3L)).toDF("k", "name", "load_seq"), 3L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    assert(names.size == 3 && names.contains("epoch_3"), names)
+    val after2 = AtomicWarehouse.read(spark, s"$r/t", "k")
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(after2(5L) == "drain3", after2)
+    // and the NEXT merge floors above the tie: its rows must beat seq 3
+    Seq((6L, "UPD2")).toDF("k", "name")
+      .createOrReplaceTempView("mrg_src_cpt2")
+    spark.sql(
+      """MERGE INTO whmrg5.t t USING mrg_src_cpt2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin)
+    val after3 = AtomicWarehouse.read(spark, s"$r/t", "k")
+      .select("k", "name", "load_seq").as[(Long, String, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(after3(6L) == ("UPD2", 4L), after3)
   }
 
   test("DDL through the catalog refuses with a drain pointer") {
