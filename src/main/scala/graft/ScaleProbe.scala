@@ -43,6 +43,7 @@ object ScaleProbe {
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "manifest") { manifestProbe(spark, base, k); spark.stop(); return }
+    if (mode == "tombstone") { tombstoneProbe(spark, base, k); spark.stop(); return }
     if (mode == "connstream") { connStreamProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
@@ -244,6 +245,102 @@ object ScaleProbe {
       f"post-compact read ($n rows): $tRead%.1f s | " +
       f"vacuum (${dropped._1} manifests, ${dropped._2} dirs): $tVacuum%.1f s |")
     require(n == k.toLong * rowsPerEpoch, s"row count drifted: $n")
+  }
+
+  /** TOMBSTONE-AT-SCALE probe: how does the deferred-purge read path
+    * (tombstones applied as ONE broadcast anti-join, see
+    * [[graft.sinks.AtomicWarehouse.purgeKeysDeferred]]) behave as the
+    * tombstone count T grows over K epochs — and does [[compact]] fold
+    * every tombstone away, bounding T by compaction cadence? For each T
+    * milestone it measures tombstone-commit latency (must be O(keys),
+    * independent of K), merged-read latency, connector plan time, and a
+    * PRUNED point read (zone maps must keep pruning data epochs while
+    * tombstone key lists ride the broadcast). Tripwires: suppressed-row
+    * counts are exact at every T, and the post-compact manifest holds
+    * ZERO tombstone entries. */
+  private def tombstoneProbe(spark: SparkSession, base: String, k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val wh = s"$base/tomb_wh"
+    val rowsPerEpoch = 1000
+    (1 to k).foreach { seq =>
+      AtomicWarehouse.commitEpoch(spark, wh,
+        spark.range(rowsPerEpoch).select(
+          (col("id") + (seq - 1L) * rowsPerEpoch).as("key"),
+          lit(seq.toLong).as("load_seq")),
+        seq.toLong, statsKey = Some("key"))
+    }
+    val totalRows = k.toLong * rowsPerEpoch
+    println(s"| tombstones | keys purged | last tombstone commit ms | " +
+      "merged read s (rows) | connector plan ms | point read ms (epochs) |")
+    println("|---|---|---|---|---|---|")
+    var purgedKeys = 0L
+    var committedTombs = 0
+    val keysPerTomb = 5
+    for (t <- Seq(0, k / 20 max 1, k / 2 max 1, k).distinct) {
+      var lastCommit = 0.0
+      while (committedTombs < t) {
+        // 5 keys per tombstone, spread across the key space so every
+        // epoch's range overlaps some tombstone (worst case for any
+        // per-entry filtering shortcut)
+        val lo = (committedTombs.toLong * keysPerTomb * 7919L) % (totalRows - 100)
+        val keys = (0 until keysPerTomb)
+          .map(i => 100 + (lo + i * 97) % (totalRows - 100)).distinct
+        val (n, tc) = timeIt(
+          AtomicWarehouse.purgeKeysDeferred(spark, wh, "key", keys))
+        purgedKeys += n
+        lastCommit = tc
+        committedTombs += 1
+      }
+      val expected = {
+        // recompute exactly: distinct keys over all tombstones so far
+        val all = (0 until committedTombs).flatMap { j =>
+          val lo = (j.toLong * keysPerTomb * 7919L) % (totalRows - 100)
+          (0 until keysPerTomb).map(i => 100 + (lo + i * 97) % (totalRows - 100))
+        }.distinct
+        totalRows - all.size
+      }
+      val ((rows, planMs), tRead) = timeIt {
+        val df = spark.read.format("graft-warehouse").option("path", wh).load()
+        val (_, tPlan) = timeIt(df.queryExecution.executedPlan)
+        (df.count(), tPlan * 1000)
+      }
+      require(rows == expected,
+        s"tombstone suppression drifted at T=$committedTombs: $rows != $expected")
+      // point read on a key NO tombstone names (keys 0-99 are reserved
+      // out of the purge lattice): DATA-epoch pruning must hold at any T
+      // — tombstones ride as per-file key-drop lists, never as scanned
+      // entries
+      val probeKey = 41L
+      val (opened, tPoint) = timeIt {
+        val df = spark.read.format("graft-warehouse").option("path", wh)
+          .load().where(col("key") === probeKey)
+        val n = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.asInstanceOf[graft.sources.v2.WarehouseScan]
+              .plannedEpochs().size
+        }.head
+        df.count(); n
+      }
+      require(opened <= 2,
+        s"point read stopped pruning under tombstones: $opened data epochs")
+      println(f"| $committedTombs | $purgedKeys | ${lastCommit * 1000}%.0f | " +
+        f"$tRead%.1f ($rows) | $planMs%.0f | ${tPoint * 1000}%.0f ($opened) |")
+    }
+    // compact must FOLD every tombstone away: T is bounded by cadence
+    val (_, tCompact) = timeIt(
+      AtomicWarehouse.compact(spark, wh, "key", statsKey = Some("key")))
+    val after = AtomicWarehouse.committedEntriesAt(spark, wh,
+      AtomicWarehouse.currentVersion(spark, wh))
+    require(!after.exists(e => AtomicWarehouse.isTombstone(e.name)),
+      s"compact left tombstones behind: ${after.map(_.name)}")
+    val (n2, tRead2) = timeIt(
+      spark.read.format("graft-warehouse").option("path", wh).load().count())
+    println(f"| compact folds $k tombstones: $tCompact%.1f s | " +
+      f"post-fold read: $tRead2%.1f s ($n2 rows) | manifest entries: " +
+      f"${after.size} |")
   }
 
   /** CONNECTOR-STREAM state probe (the c37/c42 shapes at 10×): tail a

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-8 widening, part 65: the warehouse's SQL surface completed —
+  * conditional multi-branch MERGE, DDL-born tables with INSERT drains,
+  * and the 3-column Z-order layout read back through the connector.
+  */
+object Extended65 {
+
+  /** C57 — CONDITIONAL MULTI-BRANCH MERGE
+    * ([[graft.plans.RewriteWarehouseMerge]]): `WHEN MATCHED AND <cond>`
+    * branches picked FIRST-MATCH-WINS in clause order — the general
+    * Delta/Iceberg MERGE shape, still executed as ONE appended
+    * merge-on-read epoch. The branches exercise every resolution path:
+    * the first matched condition references the TARGET (`t.p_size >=
+    * 25`, resolved against the pre-merge snapshot join), the second the
+    * SOURCE (`s.k % 2 = 0`); a matched row accepting NEITHER branch is
+    * left unchanged — no new version appended — and conditional/
+    * unconditional INSERT branches split the unmatched rows. The oracle
+    * replays the branch lattice as one CASE expression.
+    *
+    * Scale: identical to c54 — O(delta) join + append, never a table
+    * rewrite; the branch conditions are per-row codegen CASE arms. */
+  val c57ConditionalMerge = q("c57_conditional_merge",
+    """WITH base AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name,
+      |         CAST(p_size AS BIGINT) AS p_size FROM part),
+      |upd AS (
+      |  SELECT k,
+      |         CASE WHEN p_size >= 25 THEN 'BIG-T' || CAST(k AS VARCHAR)
+      |              WHEN k % 2 = 0 THEN 'EVEN-T' || CAST(k AS VARCHAR)
+      |              ELSE NULL END AS new_name,
+      |         p_size
+      |  FROM base WHERE k % 5 = 0),
+      |ins AS (SELECT k + 2000000 AS k FROM base WHERE k % 250 = 0)
+      |SELECT k, p_name, p_size, load_seq FROM (
+      |  SELECT k, p_name, p_size, CAST(1 AS BIGINT) AS load_seq FROM base
+      |  WHERE k NOT IN (SELECT k FROM upd WHERE new_name IS NOT NULL)
+      |  UNION ALL
+      |  SELECT k, new_name, p_size, CAST(2 AS BIGINT)
+      |  FROM upd WHERE new_name IS NOT NULL
+      |  UNION ALL
+      |  SELECT k,
+      |         CASE WHEN k % 3 = 0 THEN 'NEW3-T' || CAST(k AS VARCHAR)
+      |              ELSE 'T' || CAST(k AS VARCHAR) END,
+      |         NULL, CAST(2 AS BIGINT) FROM ins)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c57")
+    val base = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name"),
+      col("p_size").cast("long").as("p_size"))
+    AtomicWarehouse.commitEpoch(s, s"$root/parts",
+      base.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    s.conf.set("spark.sql.catalog.whc57", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc57.root", root)
+    s.conf.set("spark.sql.catalog.whc57.mergeKey", "k")
+    base.where(col("k") % 5 === 0).select(col("k"))
+      .unionByName(base.where(col("k") % 250 === 0)
+        .select((col("k") + 2000000L).as("k")))
+      .withColumn("tag", concat(lit("T"), col("k").cast("string")))
+      .createOrReplaceTempView("c57_src")
+    s.sql(
+      """MERGE INTO whc57.parts t USING c57_src s ON t.k = s.k
+        |WHEN MATCHED AND t.p_size >= 25
+        |  THEN UPDATE SET p_name = concat('BIG-', s.tag)
+        |WHEN MATCHED AND s.k % 2 = 0
+        |  THEN UPDATE SET p_name = concat('EVEN-', s.tag)
+        |WHEN NOT MATCHED AND s.k % 3 = 0
+        |  THEN INSERT (k, p_name) VALUES (s.k, concat('NEW3-', s.tag))
+        |WHEN NOT MATCHED THEN INSERT (k, p_name) VALUES (s.k, s.tag)
+        |""".stripMargin)
+    s.sql(
+      """SELECT k, p_name, p_size, load_seq FROM (
+        |  SELECT k, p_name, p_size, load_seq,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY load_seq DESC) AS rn
+        |  FROM whc57.parts) WHERE rn = 1""".stripMargin)
+  }
+
+  /** C58 — a warehouse BORN IN SQL: `CREATE TABLE ... USING
+    * graft-warehouse TBLPROPERTIES (mergeKey/statsKey/bloomKey)`
+    * persists the write defaults ([[graft.sources.v2.WarehouseCatalog]]
+    * `table_conf`), then plain `INSERT INTO` statements drain
+    * auto-sequenced epochs through the SAME staged-commit protocol
+    * every writer uses (collision-free `insert_v*` entries, load_seq
+    * stats recorded so sequencing stays metadata-only), and SELECT
+    * serves the merged view — the full bootstrap a downstream tool
+    * expects from any table format, no engine API in sight. The oracle
+    * replays both inserts declaratively.
+    *
+    * ref: Python-pipeline/ingestdatainbigquery.py:30-47 (the
+    * reference's warehouse table is created/loaded through BigQuery
+    * DDL+load jobs; this is that ergonomics on the epoch store).
+    *
+    * Scale: CREATE is one mkdir + one conf publish; each INSERT is one
+    * staged epoch commit — O(delta), identical to the drain path. */
+  val c58SqlCreateInsert = q("c58_sql_create_insert",
+    """WITH src AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name,
+      |         CAST(c_acctbal AS DOUBLE) AS balance FROM customer)
+      |SELECT k, c_name, balance, load_seq FROM (
+      |  SELECT k, c_name, balance, CAST(1 AS BIGINT) AS load_seq
+      |  FROM src WHERE k % 4 <> 1
+      |  UNION ALL
+      |  SELECT k, 'REFRESH-' || c_name, balance * 2, CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 4 = 1)""".stripMargin) { (s, d) =>
+    val root = freshScratch("c58")
+    s.conf.set("spark.sql.catalog.whc58", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc58.root", root)
+    s.sql(
+      """CREATE TABLE whc58.cust
+        |  (k BIGINT, c_name STRING, balance DOUBLE, load_seq BIGINT)
+        |USING `graft-warehouse`
+        |TBLPROPERTIES ('mergeKey'='k', 'statsKey'='k', 'bloomKey'='k')
+        |""".stripMargin)
+    Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("k"), col("c_name"),
+        col("c_acctbal").cast("double").as("balance"))
+      .createOrReplaceTempView("c58_src")
+    s.sql("""INSERT INTO whc58.cust
+            |SELECT k, c_name, balance, CAST(1 AS BIGINT) FROM c58_src
+            |""".stripMargin)
+    s.sql("""INSERT INTO whc58.cust
+            |SELECT k, 'REFRESH-' || c_name, balance * 2, CAST(2 AS BIGINT)
+            |FROM c58_src WHERE k % 4 = 1""".stripMargin)
+    s.sql(
+      """SELECT k, c_name, balance, load_seq FROM (
+        |  SELECT k, c_name, balance, load_seq,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY load_seq DESC) AS rn
+        |  FROM whc58.cust) WHERE rn = 1""".stripMargin)
+  }
+
+  /** C59 — 3-COLUMN Z-ORDER through the SINK OPTION: the connector
+    * write lays the epoch on a 3-dimensional Morton curve
+    * (`.option("zorderBy", "pk,sk,ok")` — [[graft.sinks.AtomicWarehouse
+    * .zorderFrame]] at ⌊60/3⌋ = 20 bits per column), and the read back
+    * drives predicates on the FIRST and THIRD interleaved columns
+    * through row-group pushdown — the dimension a 2-column curve (c56)
+    * leaves full-span in every file (ZOrderSpec measures exactly that
+    * delta). The oracle filters the raw table — layout never changes
+    * answers.
+    *
+    * Scale: same cost as c56's curve (one min/max job + the range
+    * shuffle); the payoff generalizes to the 3-4 predicate dimensions
+    * real fact tables carry (Delta documents 2-4 ZORDER columns as the
+    * sweet spot for the same bit-budget reason). */
+  val c59Zorder3Col = q("c59_zorder3_write",
+    """SELECT CAST(l_partkey AS BIGINT) AS pk,
+      |       CAST(sum(l_quantity) AS DOUBLE) AS qty, count(*) AS n,
+      |       min(CAST(l_orderkey AS BIGINT)) AS mn_ok,
+      |       max(CAST(l_orderkey AS BIGINT)) AS mx_ok
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 500 AND 3000
+      |  AND l_partkey BETWEEN 10 AND 300
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    val wh = freshScratch("c59") + "/wh"
+    Tables.lineitem(s, d).select(
+        col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"),
+        col("l_orderkey").cast("long").as("ok"),
+        col("l_quantity").cast("double").as("qty"),
+        lit(1L).as("load_seq"))
+      .write.format("graft-warehouse")
+      .option("path", wh).option("seq", "1")
+      .option("zorderBy", "pk,sk,ok")
+      .option("statsKey", "pk").option("statsCols", "ok")
+      .mode("append").save()
+    s.read.format("graft-warehouse").option("path", wh).load()
+      .where(col("ok").between(500L, 3000L) &&
+        col("pk").between(10L, 300L))
+      .groupBy("pk")
+      .agg(sum("qty").as("qty"), count(lit(1)).as("n"),
+        min("ok").as("mn_ok"), max("ok").as("mx_ok"))
+  }
+
+  val all: Seq[Q] = Seq(c57ConditionalMerge, c58SqlCreateInsert,
+    c59Zorder3Col)
+}

@@ -602,8 +602,9 @@ object AtomicWarehouse {
   def commitStagedEpoch(spark: SparkSession, dir: String, stage: Path,
       seq: Long, statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      bloomKey: Option[String] = None): Unit = {
-    val epoch = s"epoch_$seq"
+      bloomKey: Option[String] = None,
+      entryName: Option[String] = None): Unit = {
+    val epoch = entryName.getOrElse(s"epoch_$seq")
     val f = fs(spark, dir)
     requireAtomicScheme(f, dir)
     val epochPath = new Path(s"$dir/$epoch")

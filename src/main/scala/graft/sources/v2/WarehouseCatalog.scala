@@ -93,8 +93,20 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirOf(ident)
     if (!isWarehouse(dir)) throw new NoSuchTableException(ident)
     val v = version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
-    val schema: StructType = WarehouseConnector.snapshotSchema(spark, dir, v)
-    new WarehouseTable(dir, version, schema, mergeKey)
+    val conf = WarehouseCatalog.tableConf(fs, dir)
+    val committed: StructType =
+      WarehouseConnector.snapshotSchema(spark, dir, v)
+    // an SQL-created table that has not drained yet serves its DECLARED
+    // schema (committed epochs take over as soon as they exist — the
+    // declaration is a bootstrap, not a cage: additive evolution applies)
+    val schema =
+      if (committed.nonEmpty) committed
+      else conf.get("schema")
+        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[StructType])
+        .getOrElse(committed)
+    new WarehouseTable(dir, version, schema,
+      conf.getOrElse("mergeKey", mergeKey), conf)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -131,9 +143,38 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
         "drain/commit/compact/vacuum protocol (epoch seq + stats travel " +
         "with the commit), not catalog DDL")
 
+  /** `CREATE TABLE wh.t (k BIGINT, ...) USING graft-warehouse
+    * TBLPROPERTIES ('mergeKey'='k', 'statsKey'='k', 'bloomKey'='k',
+    * 'zorderBy'='a,b')` — a warehouse born in SQL, the bootstrap every
+    * downstream tool expects. Creation is one `_manifest/` mkdir plus an
+    * atomically-published `table_conf` recording the declared schema and
+    * the write defaults (mergeKey + stats/bloom/cluster/zorder options);
+    * subsequent SQL `INSERT INTO wh.t` drains auto-sequenced epochs
+    * through the standard staged-commit protocol with those defaults,
+    * and SELECT serves the declared schema until the first drain
+    * commits. DROP stays refused — destroying data is the vacuum
+    * protocol's job, never a DDL side effect. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table =
-    readOnly(s"CREATE TABLE $ident")
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val provider = Option(properties.get("provider")).getOrElse("")
+    if (!provider.equalsIgnoreCase("graft-warehouse"))
+      readOnly(s"CREATE TABLE $ident USING $provider")
+    require(partitions.isEmpty,
+      s"CREATE TABLE $ident: warehouse epochs own their layout " +
+        "(clusterBy/zorderBy table properties), not PARTITIONED BY")
+    val dir = dirOf(ident)
+    if (isWarehouse(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val md = new Path(s"$dir/_manifest")
+    fs.mkdirs(md)
+    import scala.jdk.CollectionConverters._
+    val kept = properties.asScala.view.filterKeys(
+      WarehouseCatalog.WriteDefaultKeys).toMap +
+      ("schema" -> schema.json)
+    WarehouseCatalog.writeTableConf(fs, dir, kept)
+    load(ident, None)
+  }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly(s"ALTER TABLE $ident")
   override def dropTable(ident: Identifier): Boolean =
@@ -163,4 +204,47 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean =
     readOnly(s"DROP NAMESPACE ${namespace.mkString(".")}")
+}
+
+object WarehouseCatalog {
+  /** Table properties CREATE TABLE persists as write defaults — exactly
+    * the connector write options, so `INSERT INTO` drains behave as if
+    * every write carried them. */
+  val WriteDefaultKeys: Set[String] = Set("mergeKey", "statsKey",
+    "statsCols", "bloomKey", "clusterBy", "zorderBy", "writePartitions")
+
+  private def confPath(dir: String) = new Path(s"$dir/_manifest/table_conf")
+
+  /** Publish the table conf atomically (tmp + rename — a torn CREATE
+    * must never leave a half-readable conf; a lost create race surfaces
+    * as the winner's conf, which TableAlreadyExists screens earlier). */
+  private[v2] def writeTableConf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, props: Map[String, String]): Unit = {
+    val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+    val body = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }.mkString("\n")
+    val tmp = new Path(s"$dir/_manifest/.table_conf_tmp_${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, confPath(dir))) {
+      fs.delete(tmp, false)
+      require(fs.exists(confPath(dir)),
+        s"failed to publish table conf at $dir and no concurrent creator did")
+    }
+  }
+
+  /** The persisted table conf, empty for warehouses born outside DDL. */
+  private[v2] def tableConf(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Map[String, String] = {
+    val p = confPath(dir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+    body.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("\t", 2)
+      dec(k) -> dec(v)
+    }.toMap
+  }
 }

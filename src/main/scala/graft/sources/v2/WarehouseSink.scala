@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sinks.AtomicWarehouse
 
 /** The WRITE half of the `graft-warehouse` connector:
@@ -145,10 +146,18 @@ class InternalRowParquetWriterBuilder(
     new InternalRowWriteSupport(schema)
 }
 
-class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo)
+class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo,
+    defaults: Map[String, String] = Map.empty)
     extends WriteBuilder {
   override def build(): Write = {
-    val o = info.options()
+    // catalog tables (CREATE TABLE ... USING graft-warehouse) persist
+    // write defaults as table properties; per-write options win
+    val o = new CaseInsensitiveStringMap({
+      val m = new java.util.HashMap[String, String]()
+      defaults.foreach { case (k, v) => m.put(k, v) }
+      m.putAll(info.options())
+      m
+    })
     WarehouseSink.messageType(info.schema()) // fail unsupported types NOW
     // SCHEMA ENFORCEMENT at planning: additive evolution may add
     // columns, never retype them — an incompatible epoch would commit
@@ -236,10 +245,24 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
   // an explicit pick (same value either way)
   override def useCommitCoordinator(): Boolean = true
 
-  private def seq: Long = seqOpt.getOrElse(
-    throw new IllegalArgumentException(
-      "graft-warehouse batch writes require .option(\"seq\", <epoch " +
-        "number>) — the epoch identity that makes replays idempotent"))
+  /** Batch epoch identity. With `.option("seq", N)` the caller owns the
+    * sequence and replays converge on `epoch_N` (the drain contract).
+    * WITHOUT it — the SQL `INSERT INTO wh.t` path, which has nowhere to
+    * carry an option — the write AUTO-SEQUENCES: `load_seq` floor + 1
+    * ([[AtomicWarehouse.maxLoadSeq]]), committed under the
+    * collision-free `insert_v<base>_<writeId>` entry namespace so it
+    * can never swallow (or be swallowed by) an external drain counter's
+    * `epoch_<seq>` commit. A re-run INSERT is a SECOND append — standard
+    * SQL INSERT semantics; idempotent replays are what `seq` is for. */
+  private lazy val seqAndName: (Long, Option[String]) = seqOpt match {
+    case Some(s) => (s, None)
+    case None =>
+      val spark = SparkSession.active
+      val baseV = AtomicWarehouse.currentVersion(spark, dir)
+      val s = AtomicWarehouse.maxLoadSeq(spark, dir).getOrElse(0L) + 1
+      (s, Some(s"insert_v${baseV}_${writeId.toString.take(8)}"))
+  }
+  private def seq: Long = seqAndName._1
 
   // one write instance = one job; the UUID keeps concurrent same-seq
   // writers' stages apart (the loser adopts at commit)
@@ -250,7 +273,8 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
     spark.sparkContext.hadoopConfiguration)
 
   private def commitStage(stage: String, s: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[WriterCommitMessage],
+      entryName: Option[String] = None): Unit = {
     val spark = SparkSession.active
     val f = fsOf(spark)
     val committed = messages.collect {
@@ -294,8 +318,13 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
         f.delete(new Path(stage), true)
         z
       }
+    // auto-named entries record load_seq stats so the NEXT
+    // self-sequencing writer derives its floor from the manifest alone
+    val allStatsCols = if (entryName.isDefined &&
+        schema.fieldNames.contains("load_seq"))
+      (statsCols :+ "load_seq").distinct else statsCols
     AtomicWarehouse.commitStagedEpoch(spark, dir, new Path(finalStage), s,
-      statsKey, statsCols, bloomKey)
+      statsKey, allStatsCols, bloomKey, entryName)
   }
 
   // the session's Hadoop configuration, shipped to executor-side
@@ -312,7 +341,7 @@ class WarehouseWrite(dir: String, seqOpt: Option[Long], seqBase: Long,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    commitStage(stageFor(seq), seq, messages)
+    commitStage(stageFor(seq), seq, messages, seqAndName._2)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     fsOf(SparkSession.active).delete(new Path(stageFor(seq)), true)

@@ -497,7 +497,9 @@ object WarehouseConnector {
 }
 
 class WarehouseTable(val dir: String, version: Option[Long],
-    schema0: StructType, val mergeKey: String) extends Table with SupportsRead
+    schema0: StructType, val mergeKey: String,
+    writeDefaults: Map[String, String] = Map.empty)
+    extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
@@ -596,10 +598,13 @@ class WarehouseTable(val dir: String, version: Option[Long],
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0),
       options.getBoolean("ignoreDeletes", false))
+  /** Write options default to the CREATE TABLE-persisted table conf
+    * (mergeKey/stats/bloom/cluster/zorder) so a SQL `INSERT INTO`
+    * behaves as if every write carried them; per-write options win. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new WarehouseWriteBuilder(dir, info)
+    new WarehouseWriteBuilder(dir, info, writeDefaults)
 }
 
 class WarehouseScanBuilder(dir: String, version: Option[Long],

@@ -292,6 +292,53 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(after3(6L) == ("UPD2", 4L), after3)
   }
 
+  test("CREATE TABLE USING graft-warehouse births a warehouse; INSERT drains") {
+    val r = mergeRoot("whddl1")
+    spark.sql(
+      """CREATE TABLE whddl1.fresh (k BIGINT, name STRING, load_seq BIGINT)
+        |USING `graft-warehouse`
+        |TBLPROPERTIES ('mergeKey'='k', 'statsKey'='k', 'bloomKey'='k')
+        |""".stripMargin)
+    // born empty: listed, SELECTable with the declared schema, 0 rows
+    assert(spark.sql("SHOW TABLES IN whddl1").collect()
+      .map(_.getString(1)).contains("fresh"))
+    val empty = spark.sql("SELECT * FROM whddl1.fresh")
+    assert(empty.columns.toSeq == Seq("k", "name", "load_seq"))
+    assert(empty.count() == 0)
+    // INSERT = auto-sequenced drain through the staged-commit protocol
+    spark.sql(
+      "INSERT INTO whddl1.fresh VALUES (1, 'a', 1), (2, 'b', 1)")
+    spark.sql(
+      "INSERT INTO whddl1.fresh VALUES (2, 'b2', 2), (3, 'c', 2)")
+    val names = AtomicWarehouse.committedEpochs(spark,
+      s"$r/fresh")
+    assert(names.size == 2 && names.forall(_.startsWith("insert_v")), names)
+    // table-conf mergeKey drives the engine read: last-wins on k
+    val merged = AtomicWarehouse.read(spark, s"$r/fresh", "k")
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(merged == Map(1L -> "a", 2L -> "b2", 3L -> "c"), merged)
+    // and the persisted stats make the NEXT auto-seq metadata-only
+    assert(AtomicWarehouse.maxLoadSeq(spark, s"$r/fresh").contains(2L))
+    // MERGE works against the DDL-created table (mergeKey from conf)
+    Seq((3L, "c3"), (9L, "i")).toDF("k", "name")
+      .createOrReplaceTempView("ddl_mrg_src")
+    spark.sql(
+      """MERGE INTO whddl1.fresh t USING ddl_mrg_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+        |""".stripMargin)
+    val after = AtomicWarehouse.read(spark, s"$r/fresh", "k")
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(after(3L) == "c3" && after(9L) == "i", after)
+    // re-CREATE refuses; CREATE with another provider refuses
+    assert(intercept[Exception](spark.sql(
+      "CREATE TABLE whddl1.fresh (x BIGINT) USING `graft-warehouse`"))
+      .getMessage.toLowerCase.contains("exists"))
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE whddl1.other (x BIGINT) USING parquet"))
+    assert(e.getMessage.contains("AtomicWarehouse"), e.getMessage)
+  }
+
   test("DDL through the catalog refuses with a drain pointer") {
     AtomicWarehouse.commitEpoch(spark, s"$root/fixed", rows(1, 3, 1L), 1L)
     val e = intercept[Exception](

@@ -74,21 +74,29 @@ class WarehouseSinkSpec extends SparkSuite {
     assert(AtomicWarehouse.currentVersion(spark, dir) == 1L)
   }
 
-  test("missing seq and unsupported column types fail at planning") {
+  test("no-seq writes auto-sequence; unsupported column types fail at planning") {
     val dir = freshDir("bad")
-    val e1 = intercept[Exception] {
-      rows(1, 5, 1L).write.format("graft-warehouse")
-        .option("path", dir).mode("append").save()
-    }
-    assert(e1.getMessage.contains("seq"), e1.getMessage)
+    // without .option("seq") the write is the SQL-INSERT shape: it
+    // auto-sequences from the load_seq floor and commits under the
+    // collision-free insert_v* namespace (never epoch_N, so it cannot
+    // swallow an external drain counter's commit)
+    rows(1, 5, 1L).write.format("graft-warehouse")
+      .option("path", dir).mode("append").save()
+    rows(6, 9, 2L).write.format("graft-warehouse")
+      .option("path", dir).mode("append").save()
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.size == 2 && names.forall(_.startsWith("insert_v")), names)
+    assert(spark.read.format("graft-warehouse").option("path", dir)
+      .load().count() == 9)
+    // the second auto-seq write derived its floor from the first's
+    // recorded load_seq stats (metadata-only sequencing)
+    assert(AtomicWarehouse.maxLoadSeq(spark, dir).contains(2L))
     val e2 = intercept[Exception] {
       Seq((1L, BigDecimal(2))).toDF("k", "d")
         .write.format("graft-warehouse")
         .option("path", dir).option("seq", "1").mode("append").save()
     }
     assert(e2.getMessage.contains("flat primitive"), e2.getMessage)
-    // nothing was committed by either failure
-    assert(AtomicWarehouse.currentVersion(spark, dir) == 0L)
   }
 
   test("a retyping write is refused at planning; additive columns pass") {
