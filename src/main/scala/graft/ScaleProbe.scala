@@ -192,10 +192,11 @@ object ScaleProbe {
     }
     val rowsPerEpoch = 100
     val milestones = Seq(k / 10, k / 3, k).distinct.filter(_ > 0)
-    println("| entries | avg commit ms (last 10) | manifest parse ms | " +
+    println("| entries | avg commit ms (last 10) | manifest bytes/entry | " +
+      "manifest parse ms | " +
       "scan-list build ms | pruned plan ms (epochs opened) | " +
       "full-read plan ms |")
-    println("|---|---|---|---|---|---|")
+    println("|---|---|---|---|---|---|---|")
     var committed = 0
     for (m <- milestones) {
       var lastTen = List.empty[Double]
@@ -211,6 +212,15 @@ object ScaleProbe {
       }
       val (entries, tParse) = timeIt(AtomicWarehouse.committedEntriesAt(
         spark, wh, AtomicWarehouse.currentVersion(spark, wh)))
+      // manifest growth must stay O(cols) bytes per entry — the bound
+      // the round-9 default-on multi-column zone maps are capped under
+      // (MaxAutoStatsLen string bounds, oversized ones dropped)
+      val bytesPerEntry = {
+        val p = new org.apache.hadoop.fs.Path(s"$wh/_manifest/" +
+          s"v${AtomicWarehouse.currentVersion(spark, wh)}.json")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen / math.max(1, entries.size)
+      }
       val mid = committed / 2
       val (lo, hi) = (mid.toLong * rowsPerEpoch,
         mid.toLong * rowsPerEpoch + rowsPerEpoch - 1)
@@ -231,6 +241,7 @@ object ScaleProbe {
           .load().queryExecution.executedPlan
       }
       println(f"| $committed | ${lastTen.sum / lastTen.size * 1000}%.0f | " +
+        f"$bytesPerEntry | " +
         f"${tParse * 1000}%.1f | ${tScan * 1000}%.1f | " +
         f"${tPlanPruned * 1000}%.0f ($openedPruned/$committed) | " +
         f"${tPlanFull * 1000}%.0f |")

@@ -39,8 +39,13 @@ import graft.sources.v2.WarehouseTable
   *    branches, first-match-wins; conditions and values over SOURCE
   *    columns only (there is no target row); unassigned columns insert
   *    NULL;
-  *  - WHEN NOT MATCHED BY SOURCE: unsupported (its delete/update forms
-  *    address rows by ABSENCE, which an append cannot express);
+  *  - WHEN NOT MATCHED BY SOURCE [AND <cond over target>] THEN DELETE:
+  *    the sync-MERGE clause — target keys ABSENT from the source (and
+  *    accepted by any branch condition) are committed as a TOMBSTONE
+  *    entry in the same manifest CAS as the merge epoch, so the delta
+  *    and the deletes become visible together; `THEN UPDATE` refuses
+  *    (updating rows addressed by absence would rewrite unbounded old
+  *    epochs);
   *  - `load_seq` is system-maintained: the new epoch's sequence number
   *    overrides any assignment to it. The sequence is
   *    [[AtomicWarehouse.maxLoadSeq]]+1 and the epoch commits under the
@@ -103,9 +108,6 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
       case other => refuse(s"unsupported ON condition: ${other.sql}")
     }
 
-    if (m.notMatchedBySourceActions.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
-
     val targetIds = targetAttrs.map(_.exprId).toSet
     // target references resolve per-NAME against the `__t_`-prefixed
     // snapshot columns the general path joins in; source references keep
@@ -147,12 +149,56 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
     val matched = branchesOf(m.matchedActions, "WHEN MATCHED", insert = false)
     val notMatched = branchesOf(m.notMatchedActions, "WHEN NOT MATCHED",
       insert = true)
-    if (matched.isEmpty && notMatched.isEmpty)
-      refuse("no UPDATE or INSERT clause")
+
+    // WHEN NOT MATCHED BY SOURCE addresses target rows by ABSENCE from
+    // the source. THEN DELETE composes with the append-only store as a
+    // TOMBSTONE batch — the deleted keys (target ∖ source, any branch
+    // condition accepting) commit as a deletion-vector entry in the SAME
+    // manifest CAS as the merge epoch
+    // ([[graft.sinks.AtomicWarehouse.commitNamedEpochWithTombstone]]):
+    // the sync-style "delete rows the feed no longer carries" MERGE,
+    // with no epoch rewrite. THEN UPDATE stays refused: an update
+    // addressed at absent-from-source rows would rewrite arbitrarily
+    // many old epochs (the row set is unbounded by the delta), breaking
+    // the O(delta) merge contract — drain the new values instead.
+    // wrapped in [[MergeBranch]] (assigns empty) so the expressions
+    // hide from QueryPlan's expression traversal — remapped `__t_`
+    // UnresolvedAttributes inside a command's Expression-typed fields
+    // would make AttributeSet construction throw at analysis
+    val bySourceDelete: Seq[MergeBranch] =
+      m.notMatchedBySourceActions.map {
+        case d: DeleteAction =>
+          d.condition.foreach { c =>
+            if (!c.references.forall(r => targetIds.contains(r.exprId)))
+              refuse("WHEN NOT MATCHED BY SOURCE condition references " +
+                "source columns (no source row exists by definition)")
+          }
+          MergeBranch(d.condition.map(remapTarget), Map.empty,
+            srcOnly = false)
+        case _: UpdateAction => refuse(
+          "WHEN NOT MATCHED BY SOURCE THEN UPDATE: updating rows " +
+            "addressed by absence would rewrite unbounded old epochs — " +
+            "drain the new values as an epoch instead")
+        case other => refuse(
+          s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
+    if (bySourceDelete.nonEmpty) {
+      val keyType = targetAttrs.find(_.name == table.mergeKey)
+        .map(_.dataType).getOrElse(refuse(
+          s"target has no mergeKey column '${table.mergeKey}'"))
+      if (!Seq("tinyint", "smallint", "int", "bigint")
+          .contains(keyType.catalogString))
+        refuse("WHEN NOT MATCHED BY SOURCE THEN DELETE needs an integral " +
+          s"mergeKey (tombstones address long keys); '${table.mergeKey}' " +
+          s"is ${keyType.catalogString}")
+    }
+
+    if (matched.isEmpty && notMatched.isEmpty && bySourceDelete.isEmpty)
+      refuse("no UPDATE, INSERT or DELETE clause")
 
     WarehouseMergeCommand(table.dir, table.mergeKey,
       targetAttrs.map(a => a.name -> a.dataType.catalogString),
-      m.sourceTable, srcKeyExpr, matched, notMatched)
+      m.sourceTable, srcKeyExpr, matched, notMatched, bySourceDelete)
   }
 }
 
@@ -174,7 +220,8 @@ final case class WarehouseMergeCommand(
     source: LogicalPlan,
     srcKeyExpr: Expression,
     matched: Seq[MergeBranch],
-    notMatched: Seq[MergeBranch])
+    notMatched: Seq[MergeBranch],
+    bySourceDelete: Seq[MergeBranch] = Nil)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -213,6 +260,33 @@ final case class WarehouseMergeCommand(
           }
       case _ => false
     }
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE: the key set is (target
+    // keys) ∖ (source keys) — ONE anti-join of the merged snapshot
+    // against the distinct source keys (broadcast: the delta-sized
+    // source is small by the merge contract), filtered by the branch
+    // conditions (NULL = false, absent = always), then collected —
+    // tombstone key lists are driver-sized by the deferred-purge
+    // contract (a sync-MERGE deletes the FEW keys the feed dropped, not
+    // the table; a mass delete is the purge protocol's job).
+    val deleteKeys: Seq[Long] =
+      if (bySourceDelete.isEmpty) Nil
+      else {
+        val merged = AtomicWarehouse.read(spark, dir, mergeKey)
+        val t = merged.select(merged.columns.toSeq
+          .map(c => col(c).as(s"__t_$c")): _*)
+        val srcKeys = src
+          .select(colOf(srcKeyExpr).cast("long").as("__sk"))
+          .na.drop().distinct()
+        val anyDelete = bySourceDelete.map(guard)
+          .foldLeft(lit(false))(_ || _)
+        t.join(broadcast(srcKeys),
+            col(s"__t_$mergeKey").cast("long") === col("__sk"), "left_anti")
+          .where(anyDelete)
+          .select(col(s"__t_$mergeKey").cast("long"))
+          .na.drop().distinct()
+          .collect().map(_.getLong(0)).toSeq
+      }
+
     val newRows =
       if (symmetric)
         src.select(dataCols.map(c =>
@@ -265,13 +339,19 @@ final case class WarehouseMergeCommand(
     val baseV = AtomicWarehouse.currentVersion(spark, dir)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest((source.canonicalized.toString + srcKeyExpr.canonicalized +
-          matched.toString + notMatched.toString)
+          matched.toString + notMatched.toString + bySourceDelete.toString)
         .getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)
-    AtomicWarehouse.commitNamedEpoch(spark, dir, newRows,
-      s"merge_v${baseV}_$digest", newSeq,
-      statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
-      bloomKey = Some(mergeKey))
+    if (matched.isEmpty && notMatched.isEmpty) {
+      // delete-only MERGE: no epoch to append — the tombstone commit is
+      // the whole merge, atomic on its own
+      if (deleteKeys.nonEmpty)
+        AtomicWarehouse.purgeKeysDeferred(spark, dir, mergeKey, deleteKeys)
+    } else
+      AtomicWarehouse.commitNamedEpochWithTombstone(spark, dir, newRows,
+        s"merge_v${baseV}_$digest", newSeq, mergeKey, deleteKeys,
+        statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
+        bloomKey = Some(mergeKey))
     Nil
   }
 }

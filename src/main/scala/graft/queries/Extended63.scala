@@ -151,7 +151,10 @@ object Extended63 {
     * which pruning artifacts (zone-map columns, key bloom) each entry
     * carries. The oracle computes each entry's expected population
     * declaratively; a report row that misses a purge or a fold
-    * hash-mismatches.
+    * hash-mismatches. Since the round-9 default-on multi-column zone
+    * maps, every stats-eligible column shows in `stats_cols`
+    * (`c_name,k,load_seq`) — the report pins that commit-time default
+    * alongside the declared artifacts.
     *
     * Scale: the report is O(entries) metadata reads — the first thing
     * an operator looks at before compacting/vacuuming a 100 TB store. */
@@ -169,10 +172,10 @@ object Extended63 {
       |  SELECT 'compact_v2_p4_' || (SELECT dg FROM dig) AS entry_name,
       |         'purged' AS kind,
       |         (SELECT n FROM total) - (SELECT n FROM doomed) AS n_rows,
-      |         'k' AS stats_cols, true AS has_bloom
+      |         'c_name,k,load_seq' AS stats_cols, true AS has_bloom
       |  UNION ALL
       |  SELECT 'epoch_4', 'epoch', (SELECT n FROM total),
-      |         'k', true)""".stripMargin) { (s, d) =>
+      |         'c_name,k,load_seq', true)""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
     val wh = freshScratch("c51") + "/wh"
     val cust = Tables.customer(s, d)

@@ -76,7 +76,7 @@ object Extended65 {
       """SELECT k, p_name, p_size, load_seq FROM (
         |  SELECT k, p_name, p_size, load_seq,
         |         row_number() OVER (PARTITION BY k
-        |                            ORDER BY load_seq DESC) AS rn
+        |                            ORDER BY load_seq DESC, _pos DESC) AS rn
         |  FROM whc57.parts) WHERE rn = 1""".stripMargin)
   }
 
@@ -130,7 +130,7 @@ object Extended65 {
       """SELECT k, c_name, balance, load_seq FROM (
         |  SELECT k, c_name, balance, load_seq,
         |         row_number() OVER (PARTITION BY k
-        |                            ORDER BY load_seq DESC) AS rn
+        |                            ORDER BY load_seq DESC, _pos DESC) AS rn
         |  FROM whc58.cust) WHERE rn = 1""".stripMargin)
   }
 

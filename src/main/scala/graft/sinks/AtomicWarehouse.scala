@@ -92,20 +92,29 @@ object AtomicWarehouse {
   /** Highest `load_seq` present in the CURRENT snapshot, or None on a
     * warehouse with no data entries — the floor a self-sequencing writer
     * (SQL MERGE) must exceed to win the keyed merge. Metadata-only in
-    * every steady-state shape: `epoch_<seq>` names (and their purge
-    * rewrites, which keep the `epoch_<seq>` prefix) encode the seq, and
-    * entries outside that namespace (compaction folds, MERGE epochs)
-    * answer from their recorded `load_seq` zone-map stats. Only a legacy
-    * entry carrying neither costs a scan — one single-column max() over
-    * that entry alone. */
+    * every steady-state shape: every commit path records `load_seq`
+    * zone-map stats whenever the column exists ([[statsAndBloomOf]]
+    * auto-extends the stats set — compaction folds and purge rewrites
+    * included), and those recorded stats are PREFERRED over an
+    * `epoch_<seq>` name (the name asserts the caller's intent; the stats
+    * reflect the committed rows). A name-only entry (stats-less legacy
+    * commit) answers from its name; an entry carrying neither costs a
+    * scan — one single-column max() over that entry alone. */
   def maxLoadSeq(spark: SparkSession, dir: String): Option[Long] = {
     val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
       .filterNot(e => isTombstone(e.name))
     if (entries.isEmpty) return None
     val known: Seq[Option[Long]] = entries.map { e =>
-      """epoch_(\d+)""".r.findFirstMatchIn(e.name).map(_.group(1).toLong)
-        .orElse(e.stats.get("load_seq")
-          .collect { case st if st.typ == "long" => st.mx.toLong })
+      // RECORDED stats beat the name-derived seq: the stats are computed
+      // from the committed rows' actual load_seq values, while an
+      // `epoch_<N>` name only asserts the caller's intent — a DSv2 write
+      // with .option("seq", N) over rows that CARRY a different load_seq
+      // column would otherwise make the next self-sequencing writer pick
+      // a floor below the real maximum and lose the keyed merge
+      e.stats.get("load_seq")
+        .collect { case st if st.typ == "long" => st.mx.toLong }
+        .orElse("""epoch_(\d+)""".r.findFirstMatchIn(e.name)
+          .map(_.group(1).toLong))
     }
     val scanned: Seq[Long] = entries.zip(known).collect {
       case (e, None) =>
@@ -142,6 +151,22 @@ object AtomicWarehouse {
     * estimateStatistics.numRows, null keys included) from the manifest
     * alone. */
   private[graft] val RowCountStat = "#rows"
+
+  /** Longest string min/max recorded for an AUTO (undeclared) stats
+    * column — longer bounds are dropped, keeping manifest lines O(cols)
+    * bytes even when an epoch carries document-sized text columns. */
+  private[graft] val MaxAutoStatsLen = 64
+
+  /** Can a column of this type carry sound zone-map stats? Integral
+    * types compare numerically; string/date/timestamp render to strings
+    * that sort in value order. Fractional types can NOT ("10.0" < "9.0"
+    * lexicographically), so they never get stats. */
+  private[graft] def statsEligible(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+        DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
 
   /** Reserved stats slot holding the entry's READ SCHEMA as Spark
     * DataType JSON — the schema `spark.read.parquet(epochDir)` would
@@ -361,7 +386,7 @@ object AtomicWarehouse {
     *    entry point rejects them via [[requireAtomicScheme]].
     *
     * Returns false on a lost race; `tmp` is removed either way. */
-  private def casPublish(f: org.apache.hadoop.fs.FileSystem, tmp: Path,
+  private[graft] def casPublish(f: org.apache.hadoop.fs.FileSystem, tmp: Path,
       dst: Path): Boolean = {
     val won =
       if (f.getScheme == "file") {
@@ -669,7 +694,8 @@ object AtomicWarehouse {
     * aggregate scan, so this is purely an I/O optimization, never a
     * semantics change. */
   private def footerStatsOf(spark: SparkSession, path: String,
-      cols: Seq[String], bloomKey: Option[String])
+      cols: Seq[String], bloomKey: Option[String],
+      autoCols: Seq[String] = Nil)
       : Option[(Map[String, ColStats], Long, Option[Long])] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -680,6 +706,21 @@ object AtomicWarehouse {
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rels = relativeDataFiles(f, p)
     if (rels.isEmpty) return None
+    // AUTO columns ([[statsAndBloomOf]]'s default-on zone maps) are
+    // best-effort: any breach of the footer contract — absent from a
+    // footer (partition column), exotic physical type, unset statistics,
+    // non-UTC timestamp rendering, oversized string bounds — DROPS the
+    // column from the recorded stats instead of failing the whole fast
+    // path. Declared columns keep the strict all-or-fallback contract
+    // (the caller asked for them; silently missing stats would break the
+    // pruning they were declared for).
+    val dead = scala.collection.mutable.Set.empty[String]
+    // a column breached the footer contract: auto → drop it (false),
+    // declared/bloom → the whole fast path must fall back (true)
+    def breach(c: String): Boolean =
+      if (autoCols.contains(c) && !cols.contains(c) &&
+          !bloomKey.contains(c)) { dead += c; false }
+      else true
     def renderMicros(us: Long): String = {
       val sec = Math.floorDiv(us, 1000000L)
       val frac = Math.floorMod(us, 1000000L)
@@ -692,7 +733,7 @@ object AtomicWarehouse {
     }
     var total = 0L
     var bloomNonNull = 0L
-    val watch = (cols ++ bloomKey.filterNot(cols.contains)).distinct
+    val watch = (cols ++ autoCols ++ bloomKey).distinct
     // accumulators: col -> (typ, min, max) in the manifest's encoding
     val acc = scala.collection.mutable.Map.empty[String, ColStats]
     for ((rel, _) <- rels) {
@@ -700,50 +741,63 @@ object AtomicWarehouse {
         HadoopInputFile.fromPath(new Path(p, rel), f.getConf))
       try {
         val msg = r.getFileMetaData.getSchema
-        for (c <- watch)
+        for (c <- watch if !dead(c))
           if (!msg.containsField(c) ||
-              !msg.getType(msg.getFieldIndex(c)).isPrimitive) return None
+              !msg.getType(msg.getFieldIndex(c)).isPrimitive) {
+            if (breach(c)) return None
+            acc -= c
+          }
         for (b <- r.getFooter.getBlocks.asScala) {
           total += b.getRowCount
-          for (c <- watch) {
-            val cc = b.getColumns.asScala
-              .find(_.getPath.toDotString == c).getOrElse(return None)
+          for (c <- watch if !dead(c)) {
+            val ccOpt = b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+            if (ccOpt.isEmpty) {
+              if (breach(c)) return None
+              acc -= c
+            } else {
+            val cc = ccOpt.get
             val st = cc.getStatistics
-            if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+            if (st == null || st.isEmpty || !st.isNumNullsSet) {
+              if (breach(c)) return None
+              acc -= c
+            } else {
             if (bloomKey.contains(c))
               bloomNonNull += cc.getValueCount - st.getNumNulls
-            if (cols.contains(c)) {
+            if (cols.contains(c) || autoCols.contains(c)) {
               if (!st.hasNonNullValue) {
                 // sound only if genuinely all-null; anything else means
-                // the writer skipped stats — fall back
-                if (st.getNumNulls != cc.getValueCount) return None
+                // the writer skipped stats — fall back (or drop the auto
+                // column)
+                if (st.getNumNulls != cc.getValueCount) {
+                  if (breach(c)) return None
+                  acc -= c
+                }
               } else {
                 val pt = msg.getType(msg.getFieldIndex(c)).asPrimitiveType
-                val decoded: (String, String, String) =
+                val decoded: Option[(String, String, String)] =
                   (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
                     case (INT32, a: LogicalTypeAnnotation
                         .DateLogicalTypeAnnotation) =>
-                      ("string",
+                      Some(("string",
                         java.time.LocalDate.ofEpochDay(
                           st.genericGetMin.asInstanceOf[Number].longValue)
                           .toString,
                         java.time.LocalDate.ofEpochDay(
                           st.genericGetMax.asInstanceOf[Number].longValue)
-                          .toString)
+                          .toString))
                     case (INT32, a) if a == null ||
                         (a.isInstanceOf[LogicalTypeAnnotation
                           .IntLogicalTypeAnnotation] &&
                          a.asInstanceOf[LogicalTypeAnnotation
                           .IntLogicalTypeAnnotation].isSigned) =>
-                      ("long",
+                      Some(("long",
                         st.genericGetMin.asInstanceOf[Number]
                           .longValue.toString,
                         st.genericGetMax.asInstanceOf[Number]
-                          .longValue.toString)
+                          .longValue.toString))
                     case (INT64, a: LogicalTypeAnnotation
                         .TimestampLogicalTypeAnnotation) =>
-                      if (a.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS)
-                        return None
                       // renderMicros renders at fixed UTC, but zone-map
                       // pruning compares against SESSION-timezone
                       // cast-to-string values — recording UTC-rendered
@@ -753,77 +807,103 @@ object AtomicWarehouse {
                       // otherwise fall back to the aggregate scan,
                       // which records session-rendered stats.
                       val tz = spark.sessionState.conf.sessionLocalTimeZone
-                      if (java.time.ZoneId.of(tz).getRules
+                      if (a.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS ||
+                          java.time.ZoneId.of(tz).getRules
                             .isFixedOffset() == false ||
                           java.time.ZoneId.of(tz).getRules
                             .getOffset(java.time.Instant.EPOCH)
-                            .getTotalSeconds != 0) return None
-                      ("string",
+                            .getTotalSeconds != 0) None
+                      else Some(("string",
                         renderMicros(st.genericGetMin
                           .asInstanceOf[Number].longValue),
                         renderMicros(st.genericGetMax
-                          .asInstanceOf[Number].longValue))
+                          .asInstanceOf[Number].longValue)))
                     case (INT64, a) if a == null ||
                         (a.isInstanceOf[LogicalTypeAnnotation
                           .IntLogicalTypeAnnotation] &&
                          a.asInstanceOf[LogicalTypeAnnotation
                           .IntLogicalTypeAnnotation].isSigned) =>
-                      ("long",
+                      Some(("long",
                         st.genericGetMin.asInstanceOf[Number]
                           .longValue.toString,
                         st.genericGetMax.asInstanceOf[Number]
-                          .longValue.toString)
+                          .longValue.toString))
                     case (BINARY, _: LogicalTypeAnnotation
                         .StringLogicalTypeAnnotation) =>
-                      ("string",
+                      Some(("string",
                         st.genericGetMin
                           .asInstanceOf[org.apache.parquet.io.api.Binary]
                           .toStringUsingUTF8,
                         st.genericGetMax
                           .asInstanceOf[org.apache.parquet.io.api.Binary]
-                          .toStringUsingUTF8)
-                    case _ => return None
+                          .toStringUsingUTF8))
+                    case _ => None
                   }
-                val (typ, mn, mx) = decoded
-                acc.get(c) match {
-                  case None => acc(c) = ColStats(typ, mn, mx)
-                  case Some(prev) =>
-                    val (nmn, nmx) =
-                      if (typ == "long")
-                        (math.min(prev.mn.toLong, mn.toLong).toString,
-                          math.max(prev.mx.toLong, mx.toLong).toString)
-                      else
-                        (if (prev.mn <= mn) prev.mn else mn,
-                          if (prev.mx >= mx) prev.mx else mx)
-                    acc(c) = ColStats(typ, nmn, nmx)
+                decoded match {
+                  case None =>
+                    if (breach(c)) return None
+                    acc -= c
+                  case Some((typ, mn, mx)) =>
+                    acc.get(c) match {
+                      case None => acc(c) = ColStats(typ, mn, mx)
+                      case Some(prev) =>
+                        val (nmn, nmx) =
+                          if (typ == "long")
+                            (math.min(prev.mn.toLong, mn.toLong).toString,
+                              math.max(prev.mx.toLong, mx.toLong).toString)
+                          else
+                            (if (prev.mn <= mn) prev.mn else mn,
+                              if (prev.mx >= mx) prev.mx else mx)
+                        acc(c) = ColStats(typ, nmn, nmx)
+                    }
                 }
               }
+            }
+            }
             }
           }
         }
       } finally r.close()
     }
-    Some((acc.toMap, total, bloomKey.map(_ => bloomNonNull)))
+    // auto string columns with oversized bounds are DROPPED, not
+    // truncated: the documents table's text columns would otherwise bloat
+    // every manifest line by kilobytes, and lexicographic truncation is
+    // only sound with an incremented upper bound — not worth the
+    // complexity for stats nobody declared. Declared columns keep full
+    // fidelity (the caller opted in).
+    val capped = acc.toMap.filter { case (c, s) =>
+      cols.contains(c) || s.typ != "string" ||
+        (s.mn.length <= MaxAutoStatsLen && s.mx.length <= MaxAutoStatsLen)
+    }
+    Some((capped, total, bloomKey.map(_ => bloomNonNull)))
   }
 
   private def statsAndBloomOf(spark: SparkSession, path: String,
       cols: Seq[String], bloomKey: Option[String],
       needCount: Boolean = false): (Map[String, ColStats], Long) = {
-    if (cols.isEmpty && bloomKey.isEmpty && !needCount)
-      // no aggregate wanted: still record the read schema (inference
-      // only — no Spark job over the data) so planning never needs this
-      // epoch's footers
-      return (Map(SchemaStat ->
-        ColStats("schema", spark.read.parquet(path).schema.json, "-"),
-        filesStatOf(spark, path)), 0L)
+    // MULTI-COLUMN ZONE MAPS BY DEFAULT: beyond the caller-declared
+    // stats columns, every stats-eligible column in the epoch's schema
+    // gets footer-derived min/max recorded (best-effort — see
+    // [[footerStatsOf]]'s auto contract), so an ad-hoc predicate on a
+    // column the writer never anticipated still prunes epochs without
+    // the writer having declared it. Free at commit time (the footers
+    // are already read); manifest growth stays O(cols) with string
+    // bounds capped at [[MaxAutoStatsLen]]. Auto stats ride the footer
+    // fast path ONLY — they are an optimization, never worth a scan.
+    val schema0 = {
+      val p = new Path(path)
+      graft.sources.v2.WarehouseConnector
+        .epochSchema(spark, p.getParent.toString, p.getName)
+    }
+    val auto = schema0.fields.toSeq
+      .filter(f => statsEligible(f.dataType)).map(_.name)
+      .filterNot(cols.contains)
     // footer-derived fast path: zero Spark jobs, no re-read of the data
     // the write just produced (2× the ingest I/O at any real scale, plus
     // a fixed per-commit latency that compounds at 2 drains/day × years)
-    footerStatsOf(spark, path, cols, bloomKey) match {
+    footerStatsOf(spark, path, cols, bloomKey, auto) match {
       case Some((fstats, total, bloomN)) =>
-        val p = new Path(path)
-        val schema = graft.sources.v2.WarehouseConnector
-          .epochSchema(spark, p.getParent.toString, p.getName)
+        val schema = schema0
         val base = fstats +
           (RowCountStat -> ColStats("long", total.toString, total.toString)) +
           (SchemaStat -> ColStats("schema", schema.json, "-")) +
@@ -845,6 +925,12 @@ object AtomicWarehouse {
         return (base ++ bloom, total)
       case None => // outside the footer contract: aggregate scan below
     }
+    if (cols.isEmpty && bloomKey.isEmpty && !needCount)
+      // no DECLARED aggregate wanted and the footer path failed: record
+      // the read schema only (inference — no Spark job over the data);
+      // auto stats are never worth a scan
+      return (Map(SchemaStat -> ColStats("schema", schema0.json, "-"),
+        filesStatOf(spark, path)), 0L)
     val df = spark.read.parquet(path)
     val typed: Seq[(String, String)] = cols.map { c =>
       df.schema(c).dataType match {
@@ -1001,7 +1087,6 @@ object AtomicWarehouse {
       statsCols: Seq[String] = Nil,
       bloomKey: Option[String] = None,
       zorderBy: Seq[String] = Nil): Unit = {
-    val wanted = (statsKey.toSeq ++ statsCols).distinct
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val baseV = currentVersion(spark, dir)
@@ -1010,6 +1095,13 @@ object AtomicWarehouse {
       if (base.size <= 1) return // nothing to fold
       val name = s"compact_v$baseV"
       val snapshot = readVersion(spark, dir, key, baseV)
+      // the fold ALWAYS records load_seq stats when the column exists
+      // (even through the aggregate fallback): without them the next
+      // self-sequencing writer (SQL MERGE/INSERT) would pay a full scan
+      // of the folded warehouse to find its load_seq floor
+      val wanted = ((statsKey.toSeq ++ statsCols) ++
+        (if (snapshot.columns.contains("load_seq")) Seq("load_seq")
+         else Nil)).distinct
       publishData(spark, dir,
         if (zorderBy.isEmpty) snapshot
         else zorderFrame(spark, snapshot, zorderBy), name)
@@ -1158,7 +1250,7 @@ object AtomicWarehouse {
       statsCols: Seq[String], bloomKey: Option[String],
       beforeCommit: () => Unit): (Int, Long) = {
     require(keys.nonEmpty, "no keys to purge")
-    val wanted = (statsKey.toSeq ++ statsCols).distinct
+    val wanted0 = (statsKey.toSeq ++ statsCols).distinct
     val digest = purgeDigest(keys)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1175,6 +1267,12 @@ object AtomicWarehouse {
       val rewritten: Map[String, (String, Map[String, ColStats])] =
         affected.map { name =>
           val df = spark.read.parquet(s"$dir/$name")
+          // a purge rewrite of an epoch carrying load_seq keeps its
+          // load_seq stats (same rationale as compact's: the
+          // self-sequencing floor must stay metadata-only)
+          val wanted = (wanted0 ++
+            (if (df.columns.contains("load_seq")) Seq("load_seq")
+             else Nil)).distinct
           // coalesce: a NULL merge key is never a purge target (isin
           // over null is UNKNOWN, and WHERE would silently drop the row)
           val kept = df.where(
@@ -1241,21 +1339,78 @@ object AtomicWarehouse {
   def purgeKeysDeferred(spark: SparkSession, dir: String, key: String,
       keys: Seq[Long]): Int = {
     require(keys.nonEmpty, "no keys to purge")
-    val ks = keys.distinct.sorted
-    val digest = purgeDigest(ks)
     val baseV = currentVersion(spark, dir)
     if (baseV == 0L) return 0
-    val name = s"tombstone_v${baseV}_$digest"
-    import spark.implicits._
-    publishData(spark, dir,
-      ks.toDF(key).select(col(key).cast("long").as(key)), name)
-    val stats = Map(key ->
-      ColStats("long", ks.head.toString, ks.last.toString))
-    commitManifest(spark, dir, s"tombstone of ${ks.size} keys") { entries =>
+    val (name, stats, n) = publishTombstone(spark, dir, key, keys, baseV)
+    commitManifest(spark, dir, s"tombstone of $n keys") { entries =>
       if (entries.exists(_.name == name)) None // identical replay converged
       else Some(entries :+ EpochEntry(name, stats))
     }
-    ks.size
+    n
+  }
+
+  /** Publish (but do NOT commit) a tombstone entry's key-list data dir;
+    * returns (entry name, manifest stats, distinct key count). The name
+    * encodes (base version, key-set digest) so replays converge and
+    * distinct key sets can never adopt each other. */
+  private def publishTombstone(spark: SparkSession, dir: String,
+      key: String, keys: Seq[Long],
+      baseV: Long): (String, Map[String, ColStats], Int) = {
+    val ks = keys.distinct.sorted
+    val name = s"tombstone_v${baseV}_${purgeDigest(ks)}"
+    import spark.implicits._
+    publishData(spark, dir,
+      ks.toDF(key).select(col(key).cast("long").as(key)), name)
+    (name, Map(key -> ColStats("long", ks.head.toString, ks.last.toString)),
+      ks.size)
+  }
+
+  /** [[commitNamedEpoch]] PLUS a tombstone of `tombKeys` in the SAME
+    * manifest CAS — the commit shape `MERGE ... WHEN NOT MATCHED BY
+    * SOURCE THEN DELETE` needs: the merge delta and the
+    * delete-the-absent keys must become visible together (a torn pair
+    * would serve a half-merged table: updated rows without the deletes,
+    * or deletes without the updates — both corrupt the upsert contract).
+    * The tombstone entry is ordered AFTER the epoch entry; the two key
+    * sets are disjoint by construction (deleted keys are exactly the
+    * target keys the source does NOT carry), so relative order cannot
+    * change a winner — it is fixed for determinism.
+    *
+    * Replay converges by the EPOCH entry's name (same contract as
+    * [[commitNamedEpoch]]): a manifest already holding it proves this
+    * exact merge committed, tombstone included. Empty `tombKeys`
+    * delegates to the plain named commit. */
+  def commitNamedEpochWithTombstone(spark: SparkSession, dir: String,
+      df: DataFrame, name: String, loadSeq: Long, key: String,
+      tombKeys: Seq[Long], statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit = {
+    if (tombKeys.isEmpty)
+      return commitNamedEpoch(spark, dir, df, name, loadSeq, statsKey,
+        statsCols, bloomKey)
+    require(!name.matches("epoch_\\d+"),
+      s"entry name '$name' collides with the drain counter namespace")
+    if (committedEpochs(spark, dir).contains(name)) return // replay
+    val baseV = currentVersion(spark, dir)
+    publishData(spark, dir, df, name)
+    val stats = statsAndBloomOf(spark, s"$dir/$name",
+      (statsKey.toSeq ++ statsCols).distinct, bloomKey)._1
+    val (tombName, tombStats, _) =
+      publishTombstone(spark, dir, key, tombKeys, baseV)
+    commitManifest(spark, dir,
+      s"merge epoch $name + tombstone of ${tombKeys.size} keys") { entries =>
+      if (entries.exists(_.name == name)) None // a concurrent replay won
+      else {
+        val withEpoch = entries :+ EpochEntry(name, stats)
+        // an identical tombstone may already exist (a prior
+        // purgeKeysDeferred of the same key set at the same base):
+        // duplicate names would corrupt position-keyed reads — reuse it
+        // (its earlier position still suppresses the same keys; the
+        // merge epoch holds none of them)
+        Some(if (entries.exists(_.name == tombName)) withEpoch
+        else withEpoch :+ EpochEntry(tombName, tombStats))
+      }
+    }
   }
 
   /** Retention pass: keep the latest `retainVersions` manifests, delete

@@ -47,7 +47,8 @@ import graft.sinks.AtomicWarehouse
   * skew between writers shifts the boundary, never the content, and
   * [[AtomicWarehouse.vacuum]]'s retention bounds how far back either
   * form can travel). */
-class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
+class WarehouseCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -172,7 +173,15 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
     val kept = properties.asScala.view.filterKeys(
       WarehouseCatalog.WriteDefaultKeys).toMap +
       ("schema" -> schema.json)
-    WarehouseCatalog.writeTableConf(fs, dir, kept)
+    try WarehouseCatalog.writeTableConf(fs, dir, kept)
+    catch {
+      // the exclusive conf publish is the create's linearization point:
+      // a racing creator that lost it gets the same error a non-racing
+      // duplicate CREATE would
+      case _: IllegalStateException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     load(ident, None)
   }
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -181,6 +190,19 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces {
     readOnly(s"DROP TABLE $ident")
   override def renameTable(old: Identifier, to: Identifier): Unit =
     readOnly(s"RENAME TABLE $old")
+
+  /** SQL `CALL <catalog>.system.<verb>(...)` — the maintenance
+    * procedures ([[WarehouseProcedures]]): compact, vacuum,
+    * describe_history. The verbs call the SAME engine entry points the
+    * API exposes; this is their SQL face, completing the SQL-drivable
+    * lifecycle (CREATE/INSERT/MERGE/DELETE/SELECT + maintenance). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    WarehouseProcedures.load(root, mergeKey, ident.namespace, ident.name)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    WarehouseProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // single flat namespace, reported so SHOW NAMESPACES / resolution work
   override def listNamespaces(): Array[Array[String]] =
@@ -215,9 +237,15 @@ object WarehouseCatalog {
 
   private def confPath(dir: String) = new Path(s"$dir/_manifest/table_conf")
 
-  /** Publish the table conf atomically (tmp + rename — a torn CREATE
-    * must never leave a half-readable conf; a lost create race surfaces
-    * as the winner's conf, which TableAlreadyExists screens earlier). */
+  /** Publish the table conf atomically AND exclusively (tmp + no-clobber
+    * CAS — [[graft.sinks.AtomicWarehouse.casPublish]], the same
+    * link/rename-if-absent primitive the manifest commit uses): a torn
+    * CREATE can never leave a half-readable conf, and two RACING
+    * `CREATE TABLE`s can never both succeed — POSIX `rename(2)` silently
+    * replaces an existing destination, so a plain rename would have let
+    * both creators "win" with last-writer's conf (possibly a different
+    * schema/mergeKey). The loser surfaces as TableAlreadyExists, exactly
+    * like a non-racing duplicate CREATE. */
   private[v2] def writeTableConf(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, props: Map[String, String]): Unit = {
     val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
@@ -226,11 +254,9 @@ object WarehouseCatalog {
     val tmp = new Path(s"$dir/_manifest/.table_conf_tmp_${java.util.UUID.randomUUID}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, confPath(dir))) {
-      fs.delete(tmp, false)
-      require(fs.exists(confPath(dir)),
-        s"failed to publish table conf at $dir and no concurrent creator did")
-    }
+    if (!graft.sinks.AtomicWarehouse.casPublish(fs, tmp, confPath(dir)))
+      throw new IllegalStateException(
+        s"table conf at $dir already published by a concurrent creator")
   }
 
   /** The persisted table conf, empty for warehouses born outside DDL. */

@@ -1,0 +1,205 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sinks.AtomicWarehouse
+
+/** SQL `CALL` surface for the warehouse MAINTENANCE verbs — the
+  * Iceberg-style stored procedures that make the whole table lifecycle
+  * SQL-drivable (DDL/DML landed in rounds 7–8; this adds the operator
+  * verbs):
+  *
+  * {{{
+  *   CALL whc.system.compact('t')            -- OPTIMIZE: fold epochs
+  *   CALL whc.system.vacuum('t', 3)          -- retention pass
+  *   CALL whc.system.describe_history('t')   -- DESCRIBE DETAIL report
+  * }}}
+  *
+  * Rides Spark 4's DSv2 procedure API ([[org.apache.spark.sql.connector
+  * .catalog.ProcedureCatalog]]): each procedure binds its declared
+  * parameters, executes the SAME engine entry point the API exposes
+  * ([[AtomicWarehouse.compact]]/[[AtomicWarehouse.vacuum]]/
+  * [[AtomicWarehouse.describe]] — no parallel code path to drift), and
+  * returns its summary as a [[LocalScan]] of driver-computed rows
+  * (O(entries) metadata, never data-sized).
+  *
+  * `compact` honors the table's persisted write defaults
+  * (`table_conf`'s mergeKey/statsKey/statsCols/bloomKey/zorderBy — the
+  * same ones INSERT INTO applies), falling back to the catalog-level
+  * `mergeKey` option, so a DDL-born table compacts exactly as its
+  * declaration intended with no engine API in sight.
+  *
+  * ref: Python-pipeline/ingestdatainbigquery.py:49-76 — the reference's
+  * warehouse maintenance is BigQuery-server-side; this is that
+  * ergonomics on the epoch store. */
+object WarehouseProcedures {
+
+  /** Resolve a procedure by identifier; procedures live in the `system`
+    * namespace (Iceberg's convention) or unqualified. */
+  def load(root: String, catalogMergeKey: String,
+      ns: Array[String], name: String): UnboundProcedure = {
+    require(ns.isEmpty || ns.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace; got ${ns.mkString(".")}")
+    name.toLowerCase match {
+      case "compact" => new CompactProcedure(root, catalogMergeKey)
+      case "vacuum" => new VacuumProcedure(root)
+      case "describe_history" => new DescribeProcedure(root)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure '$other' — available: system.compact(table)," +
+          " system.vacuum(table, retain_versions[, grace_ms])," +
+          " system.describe_history(table)")
+    }
+  }
+
+  val names: Seq[String] = Seq("compact", "vacuum", "describe_history")
+
+  private[v2] def str(row: InternalRow, i: Int): String = {
+    require(!row.isNullAt(i), s"procedure argument $i must not be NULL")
+    row.getUTF8String(i).toString
+  }
+
+  private[v2] def dirFor(root: String, table: String): String = {
+    val dir = s"$root/$table"
+    val spark = SparkSession.active
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/_manifest")),
+      s"no warehouse table '$table' under $root")
+    dir
+  }
+
+  private[v2] def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One-LocalScan result: the procedure's summary rows, driver-held. */
+  private[v2] def result(schema: StructType,
+      out: Seq[InternalRow]): java.util.Iterator[Scan] = {
+    val arr = out.toArray
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = arr
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}
+
+/** `CALL whc.system.compact('t')` — fold every committed entry into one
+  * pre-merged dir ([[AtomicWarehouse.compact]]), Z-ordered when the
+  * table declared `zorderBy`. Returns (entries_before, entries_after,
+  * version). */
+final class CompactProcedure(root: String, catalogMergeKey: String)
+    extends UnboundProcedure with BoundProcedure {
+  import WarehouseProcedures._
+  override def name(): String = "compact"
+  override def description(): String =
+    "fold all committed warehouse entries into one pre-merged snapshot"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  private val schema = StructType(Seq(
+    StructField("entries_before", IntegerType, nullable = false),
+    StructField("entries_after", IntegerType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = str(input, 0)
+    val dir = dirFor(root, table)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val conf = WarehouseCatalog.tableConf(fs, dir)
+    val mergeKey = conf.getOrElse("mergeKey", catalogMergeKey)
+    require(mergeKey.nonEmpty,
+      s"compact('$table') needs a mergeKey (TBLPROPERTIES or the " +
+        "catalog's mergeKey option) — the fold materializes the keyed " +
+        "last-wins snapshot")
+    val split = (k: String) => conf.get(k).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val before = AtomicWarehouse
+      .committedEpochs(spark, dir).size
+    AtomicWarehouse.compact(spark, dir, mergeKey,
+      statsKey = conf.get("statsKey").filter(_.nonEmpty),
+      statsCols = split("statsCols"),
+      bloomKey = conf.get("bloomKey").filter(_.nonEmpty),
+      zorderBy = split("zorderBy"))
+    val v = AtomicWarehouse.currentVersion(spark, dir)
+    val after = AtomicWarehouse.committedEpochsAt(spark, dir, v).size
+    result(schema, Seq(new GenericInternalRow(
+      Array[Any](before, after, v))))
+  }
+}
+
+/** `CALL whc.system.vacuum('t', retain[, grace_ms])` — the retention
+  * pass ([[AtomicWarehouse.vacuum]]): keep the newest `retain` manifest
+  * versions, destroy unreferenced data dirs older than `grace_ms`
+  * (default 1h — pass 0 only where no drain can be in flight). Returns
+  * (manifests_dropped, dirs_dropped). */
+final class VacuumProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import WarehouseProcedures._
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "drop old manifest versions and the data dirs they alone reference"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("retain_versions", IntegerType).build(),
+    ProcedureParameter.in("grace_ms", LongType)
+      .defaultValue("CAST(3600000 AS BIGINT)").build())
+
+  private val schema = StructType(Seq(
+    StructField("manifests_dropped", IntegerType, nullable = false),
+    StructField("dirs_dropped", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = str(input, 0)
+    val retain = input.getInt(1)
+    val grace = if (input.isNullAt(2)) 3600000L else input.getLong(2)
+    val (m, d) = AtomicWarehouse.vacuum(spark, dirFor(root, table),
+      retainVersions = retain, graceMs = grace)
+    result(schema, Seq(new GenericInternalRow(Array[Any](m, d))))
+  }
+}
+
+/** `CALL whc.system.describe_history('t')` — the `DESCRIBE DETAIL`
+  * report ([[AtomicWarehouse.describe]]): one row per committed entry
+  * with kind/rows/files/stats columns, metadata-only. */
+final class DescribeProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import WarehouseProcedures._
+  override def name(): String = "describe_history"
+  override def description(): String =
+    "one row per committed manifest entry: kind, rows, files, stats"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  private val schema = StructType(Seq(
+    StructField("entry_name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("stats_cols", StringType, nullable = false),
+    StructField("has_bloom", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val rows = AtomicWarehouse
+      .describe(spark, dirFor(root, str(input, 0)))
+      .collect() // O(entries) rows, already driver-computed metadata
+      .map(r => new GenericInternalRow(Array[Any](
+        utf8(r.getString(0)), utf8(r.getString(1)), r.getLong(2),
+        r.getLong(3), utf8(r.getString(4)),
+        r.getBoolean(5))): InternalRow)
+    result(schema, rows.toSeq)
+  }
+}

@@ -193,6 +193,20 @@ class WarehouseWriteBuilder(dir: String, info: LogicalWriteInfo,
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     zorderBy.foreach(c => require(info.schema().fieldNames.contains(c),
       s"zorderBy column '$c' is not in the written schema"))
+    // fail-at-planning, like messageType above: an unsupported z-order
+    // column type would otherwise only surface in zorderFrame's numeric
+    // embedding AFTER the whole write job ran, leaving the staged dir
+    // to leak until vacuum
+    zorderBy.foreach { c =>
+      info.schema()(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+            TimestampType | TimestampNTZType => ()
+        case other => throw new IllegalArgumentException(
+          s"zorderBy column '$c' of type $other is unsupported: integral, " +
+            "date and timestamp columns have the numeric embedding " +
+            "bucketing needs")
+      }
+    }
     require(zorderBy.isEmpty || clusterBy.isEmpty,
       "clusterBy and zorderBy are alternative layouts — pick one")
     require(zorderBy.isEmpty || (zorderBy.size >= 2 && zorderBy.size <= 4),

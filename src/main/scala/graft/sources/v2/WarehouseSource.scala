@@ -105,6 +105,29 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
   * manifest-tailing micro-batch stream. */
 object WarehouseConnector {
 
+  /** Metadata column exposing each row's MANIFEST POSITION — the index
+    * of the row's entry in the manifest at the served version. This is
+    * the `load_seq` TIEBREAKER [[AtomicWarehouse]]'s merged read uses
+    * (`__pos`): self-sequencing writers (SQL MERGE/INSERT) make equal
+    * load_seq values reachable, and manifest order — commit order —
+    * decides the winner deterministically. SQL consumers doing their own
+    * last-wins window MUST order by `(load_seq DESC, _pos DESC)`;
+    * ordering by load_seq alone is nondeterministic on a tie and can
+    * disagree with the engine read. Iceberg/Delta expose `_file`-style
+    * metadata the same way (SupportsMetadataColumns: only materialized
+    * when selected — zero cost otherwise). */
+  val PosColumn = "_pos"
+
+  private[v2] object PosMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = PosColumn
+    override def dataType(): DataType = IntegerType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "manifest position of the row's entry — the deterministic " +
+        "load_seq tiebreaker (ORDER BY load_seq DESC, _pos DESC)"
+  }
+
   /** The snapshot's schema at manifest version `v`: the UNION of the
     * committed epochs' schemas in commit order (additive evolution — a
     * column present in any epoch appears; epochs that lack it serve
@@ -501,9 +524,17 @@ class WarehouseTable(val dir: String, version: Option[Long],
     writeDefaults: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     s"graft-warehouse($dir${version.fold("")(v => s"@v$v")})"
+
+  /** `_pos` — the manifest-position tiebreaker
+    * ([[WarehouseConnector.PosColumn]]), materialized only when
+    * selected. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(WarehouseConnector.PosMetadataColumn)
   /** The pinned time-travel version, None for the live table (named to
     * avoid Table's own `version()` metadata method). */
   def timeTravelVersion: Option[Long] = version
@@ -825,8 +856,10 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   }
 
   /** Runtime (join-pushed) filters may reference any column the manifest
-    * keeps stats or blooms for — the merge key and declared stats
-    * columns. */
+    * keeps stats or blooms for — with auto stats (round 9) that is most
+    * columns, so the list is capped to columns surviving COLUMN PRUNING:
+    * Spark resolves each filter attribute against the scan's output, and
+    * advertising a pruned-away column fails analysis outright. */
   override def filterAttributes(): Array[NamedReference] =
     if (pushedAgg.isDefined) Array.empty
     else entries.flatMap(_.stats.keys).distinct.collect {
@@ -835,7 +868,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       case "*" if mergeKey.nonEmpty => mergeKey
       case c if c != "*" && !c.startsWith("bloom(") &&
         !c.startsWith("#") => c // "#rows" is a reserved slot, not a column
-    }.distinct.map(Expressions.column).toArray
+    }.distinct.filter(c => required.fieldNames.contains(c))
+      .map(Expressions.column).toArray
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
@@ -853,7 +887,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
           .filter(file => all.forall(fileMayMatch(file, _)))
         files.map(file =>
           WarehouseFilePartition(file.path, file.partValues.toArray,
-            dropsFor(tombstones, posOf(file.epoch))): InputPartition).toArray
+            dropsFor(tombstones, posOf(file.epoch)),
+            posOf(file.epoch)): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -898,7 +933,8 @@ class WarehouseAggReaderFactory extends PartitionReaderFactory {
 
 final case class WarehouseFilePartition(path: String,
     partValues: Array[(String, String)],
-    drops: Array[(String, Array[Long])] = Array.empty)
+    drops: Array[(String, Array[Long])] = Array.empty,
+    pos: Int = 0)
     extends InputPartition
 
 /** Executor-side parquet decode via the public parquet-hadoop Group
@@ -1043,7 +1079,8 @@ class WarehouseReaderFactory(required: StructType,
     }
     val partMap = p.partValues.toMap
     val present: Seq[StructField] = required.fields.toSeq.filter(f =>
-      !partMap.contains(f.name) && footerSchema.containsField(f.name))
+      f.name != WarehouseConnector.PosColumn &&
+        !partMap.contains(f.name) && footerSchema.containsField(f.name))
     // tombstone key-drop columns must be DECODED to filter on, even when
     // the query didn't project them — appended to the read schema (and
     // never emitted); a column absent from this file's footer means the
@@ -1118,7 +1155,12 @@ class WarehouseReaderFactory(required: StructType,
       }
 
     val getters: Array[Group => Any] = required.fields.map { f =>
-      partMap.get(f.name) match {
+      if (f.name == WarehouseConnector.PosColumn) {
+        // `_pos` metadata column: the partition's manifest position, a
+        // per-file constant (every row in a file belongs to one entry)
+        val v: Any = p.pos
+        (_: Group) => v
+      } else partMap.get(f.name) match {
         case Some(raw) =>
           val v = partValue(f, raw); _ => v
         case None => presentIdx.get(f.name) match {
@@ -1337,7 +1379,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n)))
       .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
       .map(file => WarehouseFilePartition(file.path, file.partValues.toArray,
-        WarehouseConnector.dropsFor(tombs, posOf.getOrElse(file.epoch, 0)))
+        WarehouseConnector.dropsFor(tombs, posOf.getOrElse(file.epoch, 0)),
+        posOf.getOrElse(file.epoch, 0))
         : InputPartition).toArray
   }
 

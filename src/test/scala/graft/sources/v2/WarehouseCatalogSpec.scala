@@ -199,11 +199,15 @@ class WarehouseCatalogSpec extends SparkSuite {
       """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.name = s.name
         |WHEN MATCHED THEN UPDATE SET name = s.name""".stripMargin,
       "non-key ON condition")
+    // (THEN DELETE is now the supported tombstone-batch sync clause —
+    // see the atomic-tombstone tests below; only the UPDATE form of
+    // BY SOURCE still refuses)
     refused(
       """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET name = s.name
-        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
-      "not matched by source")
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'gone'
+        |""".stripMargin,
+      "not matched by source update")
     refused(
       """MERGE INTO whmrg3.t t USING mrg_src_upd s ON t.k = s.k
         |WHEN MATCHED AND s.name = 'UPD' THEN DELETE""".stripMargin,
@@ -346,5 +350,80 @@ class WarehouseCatalogSpec extends SparkSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("AtomicWarehouse")), msgs(e).mkString("; "))
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE is an atomic " +
+      "tombstone batch") {
+    spark.conf.set("spark.sql.catalog.whsync",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whsync.root", root)
+    spark.conf.set("spark.sql.catalog.whsync.mergeKey", "k")
+    val dir = s"$root/sync"
+    AtomicWarehouse.commitEpoch(spark, dir,
+      (1 to 10).map(i => (i.toLong, s"n$i", i.toLong, 1L))
+        .toDF("k", "name", "size", "load_seq"), 1L,
+      statsKey = Some("k"))
+    val v0 = AtomicWarehouse.currentVersion(spark, dir)
+    // feed carries keys 1-5 (update) and 11 (insert); keys 6-10 are
+    // absent → delete those with size >= 8 (8, 9, 10)
+    (1 to 5).map(i => (i.toLong, s"u$i")).toDF("k", "name")
+      .unionByName(Seq((11L, "new")).toDF("k", "name"))
+      .createOrReplaceTempView("sync_src")
+    spark.sql(
+      """MERGE INTO whsync.sync t USING sync_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+        |WHEN NOT MATCHED BY SOURCE AND t.size >= 8 THEN DELETE
+        |""".stripMargin)
+    // ATOMIC: the merge epoch and its tombstone landed in ONE manifest
+    // version bump — no intermediate version holds one without the other
+    assert(AtomicWarehouse.currentVersion(spark, dir) == v0 + 1)
+    val entries = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(entries.count(_.startsWith("merge_")) == 1, entries)
+    assert(entries.count(_.startsWith("tombstone_")) == 1, entries)
+    val after = AtomicWarehouse.read(spark, dir, "k")
+      .select("k", "name").as[(Long, String)].collect().toMap
+    assert(after.keySet == (1 to 7).map(_.toLong).toSet + 11L, after)
+    assert(after(3L) == "u3" && after(6L) == "n6" && after(11L) == "new")
+    // the connector read agrees (tombstone applied at scan): the RAW
+    // upsert stream keeps both versions of updated keys (7 survivors of
+    // epoch 1 + 6 merge rows); the deleted keys' rows are suppressed
+    assert(spark.sql("SELECT count(*) AS c FROM whsync.sync")
+      .head.getLong(0) == 13)
+    assert(spark.sql("SELECT count(DISTINCT k) AS c FROM whsync.sync")
+      .head.getLong(0) == 8)
+  }
+
+  test("delete-only sync MERGE commits just the tombstone; " +
+      "UPDATE form refuses") {
+    spark.conf.set("spark.sql.catalog.whsync2",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whsync2.root", root)
+    spark.conf.set("spark.sql.catalog.whsync2.mergeKey", "k")
+    val dir = s"$root/sync2"
+    AtomicWarehouse.commitEpoch(spark, dir,
+      (1 to 6).map(i => (i.toLong, s"n$i", 1L))
+        .toDF("k", "name", "load_seq"), 1L, statsKey = Some("k"))
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("sync2_src")
+    spark.sql(
+      """MERGE INTO whsync2.sync2 t USING sync2_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val entries = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(entries.count(_.startsWith("merge_")) == 0, entries)
+    assert(entries.count(_.startsWith("tombstone_")) == 1, entries)
+    assert(AtomicWarehouse.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO whsync2.sync2 t USING sync2_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'x'
+        |""".stripMargin))
+    assert(e.getMessage.contains("absence"), e.getMessage)
+    // a sync MERGE whose feed matches the table deletes nothing and
+    // commits nothing
+    val v = AtomicWarehouse.currentVersion(spark, dir)
+    spark.sql(
+      """MERGE INTO whsync2.sync2 t USING sync2_src s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(AtomicWarehouse.currentVersion(spark, dir) == v)
   }
 }
