@@ -186,11 +186,11 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
       val keyType = targetAttrs.find(_.name == table.mergeKey)
         .map(_.dataType).getOrElse(refuse(
           s"target has no mergeKey column '${table.mergeKey}'"))
-      if (!Seq("tinyint", "smallint", "int", "bigint")
+      if (!Seq("tinyint", "smallint", "int", "bigint", "string")
           .contains(keyType.catalogString))
         refuse("WHEN NOT MATCHED BY SOURCE THEN DELETE needs an integral " +
-          s"mergeKey (tombstones address long keys); '${table.mergeKey}' " +
-          s"is ${keyType.catalogString}")
+          s"or string mergeKey (tombstones address typed keys); " +
+          s"'${table.mergeKey}' is ${keyType.catalogString}")
     }
 
     if (matched.isEmpty && notMatched.isEmpty && bySourceDelete.isEmpty)
@@ -264,27 +264,57 @@ final case class WarehouseMergeCommand(
     // keys) ∖ (source keys) — ONE anti-join of the merged snapshot
     // against the distinct source keys (broadcast: the delta-sized
     // source is small by the merge contract), filtered by the branch
-    // conditions (NULL = false, absent = always), then collected —
-    // tombstone key lists are driver-sized by the deferred-purge
-    // contract (a sync-MERGE deletes the FEW keys the feed dropped, not
-    // the table; a mass delete is the purge protocol's job).
-    val deleteKeys: Seq[Long] =
+    // conditions (NULL = false, absent = always), then collected under
+    // an ENFORCED driver-size contract: the collect is bounded by
+    // `graft.merge.maxDeleteKeys` (default 100k — a sync-MERGE deletes
+    // the FEW keys the feed dropped, not the table; a mass delete is
+    // the purge protocol's job), and an EMPTY source refuses outright —
+    // a feed outage delivering zero rows must fail the sync, not
+    // tombstone the entire warehouse. Keys compare as the mergeKey's
+    // type: long for integral keys, string for string keys (the
+    // reference's video_id).
+    val keyTyp =
+      if (targetCols.find(_._1 == mergeKey).exists(_._2 == "string"))
+        "string"
+      else "long"
+    val deleteKeys: Seq[String] =
       if (bySourceDelete.isEmpty) Nil
       else {
         val merged = AtomicWarehouse.read(spark, dir, mergeKey)
         val t = merged.select(merged.columns.toSeq
           .map(c => col(c).as(s"__t_$c")): _*)
         val srcKeys = src
-          .select(colOf(srcKeyExpr).cast("long").as("__sk"))
+          .select(colOf(srcKeyExpr).cast(keyTyp).as("__sk"))
           .na.drop().distinct()
+        if (srcKeys.isEmpty)
+          throw new IllegalStateException(
+            "MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE over an " +
+              "EMPTY source: every target key is absent, so the sync " +
+              "would tombstone the whole table — a feed outage must not " +
+              "delete the warehouse. Run the purge protocol explicitly " +
+              "if mass deletion is intended.")
         val anyDelete = bySourceDelete.map(guard)
           .foldLeft(lit(false))(_ || _)
-        t.join(broadcast(srcKeys),
-            col(s"__t_$mergeKey").cast("long") === col("__sk"), "left_anti")
+        val maxKeys = spark.conf
+          .get("graft.merge.maxDeleteKeys", "100000").toInt
+        val keys = t.join(broadcast(srcKeys),
+            col(s"__t_$mergeKey").cast(keyTyp) === col("__sk"), "left_anti")
           .where(anyDelete)
-          .select(col(s"__t_$mergeKey").cast("long"))
+          // canonical rendering: long keys round-trip through the long
+          // cast so "07"-style storage can never split one key in two
+          .select(col(s"__t_$mergeKey").cast(keyTyp).cast("string"))
           .na.drop().distinct()
-          .collect().map(_.getLong(0)).toSeq
+          .limit(maxKeys + 1) // bounds the collect: never a table's keys
+          .collect().map(_.getString(0)).toSeq
+        if (keys.size > maxKeys)
+          throw new IllegalStateException(
+            s"MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE would " +
+              s"tombstone more than $maxKeys keys (graft.merge." +
+              "maxDeleteKeys) — tombstone key lists are driver-sized by " +
+              "the deferred-purge contract. Raise the cap only if the " +
+              "driver can hold the list; for mass deletion use the purge " +
+              "protocol (purge → compact → vacuum).")
+        keys
       }
 
     val newRows =
@@ -346,11 +376,12 @@ final case class WarehouseMergeCommand(
       // delete-only MERGE: no epoch to append — the tombstone commit is
       // the whole merge, atomic on its own
       if (deleteKeys.nonEmpty)
-        AtomicWarehouse.purgeKeysDeferred(spark, dir, mergeKey, deleteKeys)
+        AtomicWarehouse.purgeKeysDeferredTyped(spark, dir, mergeKey,
+          keyTyp, deleteKeys)
     } else
-      AtomicWarehouse.commitNamedEpochWithTombstone(spark, dir, newRows,
-        s"merge_v${baseV}_$digest", newSeq, mergeKey, deleteKeys,
-        statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
+      AtomicWarehouse.commitNamedEpochWithTombstoneTyped(spark, dir,
+        newRows, s"merge_v${baseV}_$digest", newSeq, mergeKey, keyTyp,
+        deleteKeys, statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
         bloomKey = Some(mergeKey))
     Nil
   }

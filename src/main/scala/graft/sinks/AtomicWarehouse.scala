@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Atomic-commit warehouse — the transactionality the reference's BigQuery
   * sink gets for free (ref: Python-pipeline/ingestdatainbigquery.py:49-99:
@@ -128,18 +129,35 @@ object AtomicWarehouse {
     Some((known.flatten ++ scanned).foldLeft(0L)(math.max))
   }
 
+  /** UTF-8 BYTE-ORDER string comparison — the one order everything else
+    * in the stats stack already uses: parquet footers record BINARY
+    * UTF-8 min/max in unsigned byte order, and Spark's `min/max(string)`
+    * compare UTF8String (same byte order). Java's `String` compareTo is
+    * UTF-16 code-unit order, which DISAGREES above the BMP (supplementary
+    * characters encode as surrogates 0xD800–0xDFFF, sorting BELOW
+    * U+E000–U+FFFF in UTF-16 but ABOVE them in UTF-8) — merging or
+    * comparing stats in that order against byte-ordered bounds would make
+    * pruning unsound on non-BMP data. */
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+  private[graft] def utf8Min(a: String, b: String): String =
+    if (utf8Cmp(a, b) <= 0) a else b
+  private[graft] def utf8Max(a: String, b: String): String =
+    if (utf8Cmp(a, b) >= 0) a else b
+
   /** Typed min/max of one column over one epoch, as recorded in the
     * manifest. `typ` is `"long"` (integral columns, compared numerically)
-    * or `"string"` (string/date/timestamp columns, compared
-    * lexicographically — sound because ISO-8601 renderings sort in time
-    * order). Values are stored URL-encoded so tabs/newlines in string
-    * minima can never corrupt the line-oriented manifest. */
+    * or `"string"` (string/date/timestamp columns, compared in UTF-8
+    * byte order — sound because ISO-8601 renderings sort in time
+    * order and byte order matches Spark's own string comparison). Values
+    * are stored URL-encoded so tabs/newlines in string minima can never
+    * corrupt the line-oriented manifest. */
   final case class ColStats(typ: String, mn: String, mx: String) {
     /** Could this epoch hold a value in [lo, hi]? Conservative on equal
       * bounds; `lo`/`hi` use the same encoding as `mn`/`mx`. */
     def mayIntersect(lo: String, hi: String): Boolean = typ match {
       case "long" => mx.toLong >= lo.toLong && mn.toLong <= hi.toLong
-      case _ => mx >= lo && mn <= hi
+      case _ => utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
     }
   }
 
@@ -340,22 +358,45 @@ object AtomicWarehouse {
         // MERGE-ON-READ deletion vectors: a tombstone suppresses every
         // version of its keys in entries committed BEFORE it (manifest
         // order); a later drain re-adding a key is new data and
-        // survives. Per-entry position + ONE broadcast anti-join
-        // (tombstone key lists are O(purged keys), driver-sized by the
-        // purge contract) — zero data rewrites at purge time, exactly
-        // Iceberg's equality-delete read path.
-        val tombRows: Seq[(Long, Int)] = tombs.flatMap { t =>
-          spark.read.parquet(s"$dir/${t.name}")
-            .select(col(key).cast("long")).na.drop().collect()
-            .map(r => (r.getLong(0), posOf(t.name)))
+        // survives. Per-entry position + ONE broadcast anti-join per key
+        // TYPE (tombstone key lists are O(purged keys), driver-sized by
+        // the purge contract) — zero data rewrites at purge time, exactly
+        // Iceberg's equality-delete read path. A tombstone's key TYPE is
+        // its parquet column's: long tombstones compare `cast(key as
+        // long)`, string tombstones `cast(key as string)` — both coexist
+        // in one manifest.
+        val longRows = Seq.newBuilder[(Long, Int)]
+        val strRows = Seq.newBuilder[(String, Int)]
+        tombs.foreach { t =>
+          val df = spark.read.parquet(s"$dir/${t.name}")
+          val kf = df.schema.fields.head // tombstones hold one key column
+          kf.dataType match {
+            case StringType =>
+              strRows ++= df.select(col(kf.name).cast("string")).na.drop()
+                .collect().map(r => (r.getString(0), posOf(t.name)))
+            case _ =>
+              longRows ++= df.select(col(kf.name).cast("long")).na.drop()
+                .collect().map(r => (r.getLong(0), posOf(t.name)))
+          }
         }
         import spark.implicits._
-        val tombDf = tombRows.toDF("__tk", "__tpos")
         // null merge keys never match a tombstone (k === null is UNKNOWN
         // → anti-join keeps the row), matching purgeKeys' null contract
-        union0.join(broadcast(tombDf),
-            col(key).cast("long") === col("__tk") &&
+        val afterLong = {
+          val ks = longRows.result()
+          if (ks.isEmpty) union0
+          else union0.join(broadcast(ks.toDF("__tk", "__tpos")),
+            // try_cast: a long tombstone over string-keyed rows matches
+            // the castable ones and (under ANSI) must not throw on the
+            // rest — a non-numeric key is never a long purge target
+            col(key).try_cast(LongType) === col("__tk") &&
               col("__tpos") > col("__pos"), "left_anti")
+        }
+        val ks = strRows.result()
+        if (ks.isEmpty) afterLong
+        else afterLong.join(broadcast(ks.toDF("__tks", "__tspos")),
+          col(key).cast("string") === col("__tks") &&
+            col("__tspos") > col("__pos"), "left_anti")
       }
     // the range predicate applies BELOW the merge window: a filter above
     // it could never push past the Window (its partitioning is the merge
@@ -852,8 +893,13 @@ object AtomicWarehouse {
                             (math.min(prev.mn.toLong, mn.toLong).toString,
                               math.max(prev.mx.toLong, mx.toLong).toString)
                           else
-                            (if (prev.mn <= mn) prev.mn else mn,
-                              if (prev.mx >= mx) prev.mx else mx)
+                            // merge string bounds in UTF-8 BYTE order —
+                            // the order the per-file footer stats are in
+                            // and the order consumers compare against;
+                            // Java String (UTF-16) order disagrees above
+                            // the BMP and would record wrong table-level
+                            // bounds ([[utf8Cmp]])
+                            (utf8Min(prev.mn, mn), utf8Max(prev.mx, mx))
                         acc(c) = ColStats(typ, nmn, nmx)
                     }
                 }
@@ -908,20 +954,9 @@ object AtomicWarehouse {
           (RowCountStat -> ColStats("long", total.toString, total.toString)) +
           (SchemaStat -> ColStats("schema", schema.json, "-")) +
           filesStatOf(spark, path)
-        val bloom = bloomKey.flatMap { k =>
-          val n = bloomN.getOrElse(0L)
-          if (n == 0 || n > (MaxBloomBytes.toLong * 8 / 10)) None
-          else {
-            // the one remaining job a bloomed commit pays: the filter's
-            // bit array needs every key hashed
-            val keyed = spark.read.schema(schema).parquet(path)
-              .select(col(k).cast("long").as("__k"))
-              .where(col("__k").isNotNull)
-            val bf = keyed.stat.bloomFilter("__k", math.max(1000L, n), 0.01)
-            Some(bloomStatsCol(k) ->
-              ColStats("bloom", serializeBloom(bf), n.toString))
-          }
-        }
+        val bloom = bloomKey.map(k =>
+          buildBlooms(spark, schema, path, k, bloomN.getOrElse(0L)))
+          .getOrElse(Map.empty)
         return (base ++ bloom, total)
       case None => // outside the footer contract: aggregate scan below
     }
@@ -968,19 +1003,60 @@ object AtomicWarehouse {
       // walks the store either
       filesStatOf(spark, path)
     val total = r.getLong(statAggs.size)
-    val bloom = bloomKey.flatMap { k =>
-      val n = r.getLong(statAggs.size + 1)
-      // ~9.6 bits/key at 1% fpp → stay under the manifest-size cap
-      if (n == 0 || n > (MaxBloomBytes.toLong * 8 / 10)) None
-      else {
-        val keyed = df.select(col(k).cast("long").as("__k"))
-          .where(col("__k").isNotNull)
-        val bf = keyed.stat.bloomFilter("__k", math.max(1000L, n), 0.01)
-        Some(bloomStatsCol(k) ->
-          ColStats("bloom", serializeBloom(bf), n.toString))
-      }
-    }
+    val bloom = bloomKey.map(k =>
+      buildBlooms(spark, df.schema, path, k, r.getLong(statAggs.size + 1)))
+      .getOrElse(Map.empty)
     (colStats ++ bloom, total)
+  }
+
+  /** The key's Bloom filters over an already-published dir: the LONG
+    * bloom (`cast(key as long)` — the original surface; non-castable
+    * strings drop out, which stays sound because a long lookup can
+    * never match them either), plus — when the stored column is a
+    * string — a STRING bloom over the raw values
+    * ([[bloomStrStatsCol]]), so string-key point lookups and purges
+    * prune epochs whose lexicographic key ranges all overlap. `nonNull`
+    * is the column's footer/aggregate-counted non-null count; past
+    * ~[[MaxBloomBytes]]×0.8 keys no filter is embedded (manifest reads
+    * must stay cheap — put row-group blooms in the footers instead at
+    * that scale). One construction job per filter. */
+  private def buildBlooms(spark: SparkSession, schema: StructType,
+      path: String, k: String, nonNull: Long): Map[String, ColStats] = {
+    // ~9.6 bits/key at 1% fpp → stay under the manifest-size cap
+    if (nonNull == 0 || nonNull > (MaxBloomBytes.toLong * 8 / 10))
+      return Map.empty
+    val df = spark.read.schema(schema).parquet(path)
+    // stat.bloomFilter NPEs on an EMPTY input (its aggregate buffer stays
+    // null) — reachable when a string key column holds zero castable
+    // values. An explicitly-empty filter is the RIGHT answer there: no
+    // long lookup can match a column with no castable values, and an
+    // empty bloom prunes them all soundly (no false negatives trivially).
+    def bloomOf(keyed: DataFrame): org.apache.spark.util.sketch.BloomFilter =
+      try keyed.stat.bloomFilter("__k", math.max(1000L, nonNull), 0.01)
+      catch {
+        case _: NullPointerException =>
+          org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(1000L, nonNull), 0.01)
+      }
+    val longBloom = {
+      // try_cast: non-castable strings drop out instead of failing the
+      // commit under ANSI — a long lookup could never match them anyway
+      val keyed = df.select(col(k).try_cast(LongType).as("__k"))
+        .where(col("__k").isNotNull)
+      Map(bloomStatsCol(k) ->
+        ColStats("bloom", serializeBloom(bloomOf(keyed)), nonNull.toString))
+    }
+    val strBloom =
+      if (!schema.fields.find(_.name == k).map(_.dataType)
+          .contains(StringType)) Map.empty[String, ColStats]
+      else {
+        val keyed = df.select(col(k).cast("string").as("__k"))
+          .where(col("__k").isNotNull)
+        Map(bloomStrStatsCol(k) ->
+          ColStats("bloomstr", serializeBloom(bloomOf(keyed)),
+            nonNull.toString))
+      }
+    longBloom ++ strBloom
   }
 
   /** Write `df` to a unique hidden stage dir and move it to `$dir/$name`
@@ -1169,11 +1245,13 @@ object AtomicWarehouse {
           } finally r.close()
         }.sum
       }
-      val statsCols = e.stats.keys.filterNot(_.startsWith("bloom("))
+      val statsCols = e.stats.keys
+        .filterNot(c => c.startsWith("bloom(") || c.startsWith("bloomstr("))
         .filterNot(_.startsWith("#")) // reserved slots (row count), not columns
         .toSeq.sorted.mkString(",")
       (e.name, kind, nRows, files.size.toLong, statsCols,
-        e.stats.keys.exists(_.startsWith("bloom(")))
+        e.stats.keys.exists(c =>
+          c.startsWith("bloom(") || c.startsWith("bloomstr(")))
     }.toDF("entry_name", "kind", "n_rows", "n_files", "stats_cols",
       "has_bloom")
   }
@@ -1210,8 +1288,18 @@ object AtomicWarehouse {
       keys: Seq[Long], statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
       bloomKey: Option[String] = None): (Int, Long) =
-    purgeKeysImpl(spark, dir, key, keys, statsKey, statsCols, bloomKey,
-      () => ())
+    purgeKeysImpl(spark, dir, key, "long", keys.map(_.toString), statsKey,
+      statsCols, bloomKey, () => ())
+
+  /** [[purgeKeys]] for STRING merge keys: the same selective
+    * pruning-driven rewrite, with candidate epochs pruned by the key's
+    * lexicographic zone map and string-key Bloom filter. */
+  def purgeKeysStr(spark: SparkSession, dir: String, key: String,
+      keys: Seq[String], statsKey: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): (Int, Long) =
+    purgeKeysImpl(spark, dir, key, "string", keys, statsKey, statsCols,
+      bloomKey, () => ())
 
   /** Is `n` a purge-rewrite entry name? Matches both the digest-suffixed
     * form (`<name>_p<V>_<8 hex>`) and the legacy digest-less `_p<V>`
@@ -1234,24 +1322,59 @@ object AtomicWarehouse {
     * only when the name pins the keys. Expressible in ANSI SQL
     * (`substr(md5(string_agg(k, ',' ORDER BY k)), 1, 8)`) so oracles can
     * predict the name. */
-  private[sinks] def purgeDigest(keys: Seq[Long]): String = {
-    val s = keys.distinct.sorted.mkString(",")
+  private[sinks] def purgeDigest(keys: Seq[Long]): String =
+    digestOf(keys.distinct.sorted.map(_.toString))
+
+  private[sinks] def digestOf(sortedDistinctKeys: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+      .digest(sortedDistinctKeys.mkString(",").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)
+
+  /** The deletion lattice's TYPED KEYS: every tombstone/purge key list
+    * carries a type tag — `"long"` (integral merge keys, the original
+    * surface) or `"string"` (the reference's OWN natural key: `video_id`
+    * is a string — ref: Python-pipeline/ingestdatainbigquery.py:89 dedups
+    * `PARTITION BY video_id`). Keys travel in their CANONICAL string
+    * rendering (longs as decimal, no leading zeros — Spark's own
+    * cast-to-string); comparisons against data cast the column to the
+    * key type, so `7` matches a stored `"7"` on a long purge and
+    * `"VID07"` matches exactly on a string purge. Ordering (for digests
+    * and min/max stats) is numeric for long, UTF-8 byte order for
+    * string. */
+  private[graft] def canonicalKeys(typ: String, keys: Seq[String]): Seq[String] = {
+    require(typ == "long" || typ == "string",
+      s"purge key type must be 'long' or 'string'; got '$typ'")
+    typ match {
+      case "long" => keys.map(_.toLong).distinct.sorted.map(_.toString)
+      case _ => keys.distinct.sortWith(utf8Cmp(_, _) < 0)
+    }
   }
+
+  /** The key column cast to the purge keys' comparison type. The long
+    * cast is a TRY-cast: under ANSI (Spark 4's default) a plain cast
+    * THROWS on non-numeric strings, but a long purge over a
+    * string-keyed epoch must simply match nothing there (null never
+    * equals a key). */
+  private def keyCol(key: String, typ: String): org.apache.spark.sql.Column =
+    if (typ == "long") col(key).try_cast(LongType) else col(key).cast("string")
+
+  /** The keys as Spark literals of the comparison type. */
+  private def keyLits(typ: String, ks: Seq[String]): Seq[Any] =
+    if (typ == "long") ks.map(_.toLong) else ks
 
   /** [[purgeKeys]] with a test seam between the rewrites and the
     * manifest commit — the window a concurrent drain or fold can land
     * in; specs use it to pin the carry-over/retry behavior
     * deterministically. */
   private[sinks] def purgeKeysImpl(spark: SparkSession, dir: String,
-      key: String, keys: Seq[Long], statsKey: Option[String],
-      statsCols: Seq[String], bloomKey: Option[String],
+      key: String, typ: String, keys0: Seq[String],
+      statsKey: Option[String], statsCols: Seq[String],
+      bloomKey: Option[String],
       beforeCommit: () => Unit): (Int, Long) = {
-    require(keys.nonEmpty, "no keys to purge")
+    require(keys0.nonEmpty, "no keys to purge")
+    val keys = canonicalKeys(typ, keys0)
     val wanted0 = (statsKey.toSeq ++ statsCols).distinct
-    val digest = purgeDigest(keys)
+    val digest = digestOf(keys)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val baseV = currentVersion(spark, dir)
@@ -1261,7 +1384,8 @@ object AtomicWarehouse {
       // tombstone listing a CoW-purged key stays; suppressing already-
       // removed rows is a no-op)
       val affected = base.filter(e => !isTombstone(e.name) &&
-        keys.exists(k => scanListForPoint(Seq(e), key, k).nonEmpty)).map(_.name)
+        keys.exists(k =>
+          scanListForPointTyped(Seq(e), key, typ, k).nonEmpty)).map(_.name)
       if (affected.isEmpty) return (0, 0L)
       var purged = 0L
       val rewritten: Map[String, (String, Map[String, ColStats])] =
@@ -1276,7 +1400,8 @@ object AtomicWarehouse {
           // coalesce: a NULL merge key is never a purge target (isin
           // over null is UNKNOWN, and WHERE would silently drop the row)
           val kept = df.where(
-            coalesce(!col(key).cast("long").isin(keys: _*), lit(true)))
+            coalesce(!keyCol(key, typ).isin(keyLits(typ, keys): _*),
+              lit(true)))
           val newName = s"${name}_p${baseV}_$digest"
           publishData(spark, dir, kept, newName)
           // the kept count rides the stats aggregate over the published
@@ -1337,11 +1462,22 @@ object AtomicWarehouse {
     * loading irrelevant tombstones. Returns the distinct key count
     * tombstoned (0 on an empty warehouse). */
   def purgeKeysDeferred(spark: SparkSession, dir: String, key: String,
-      keys: Seq[Long]): Int = {
+      keys: Seq[Long]): Int =
+    purgeKeysDeferredTyped(spark, dir, key, "long", keys.map(_.toString))
+
+  /** [[purgeKeysDeferred]] for STRING merge keys (the reference's
+    * `video_id`): same O(keys) tombstone commit, keys compared as
+    * strings on read. */
+  def purgeKeysDeferredStr(spark: SparkSession, dir: String, key: String,
+      keys: Seq[String]): Int =
+    purgeKeysDeferredTyped(spark, dir, key, "string", keys)
+
+  private[graft] def purgeKeysDeferredTyped(spark: SparkSession,
+      dir: String, key: String, typ: String, keys: Seq[String]): Int = {
     require(keys.nonEmpty, "no keys to purge")
     val baseV = currentVersion(spark, dir)
     if (baseV == 0L) return 0
-    val (name, stats, n) = publishTombstone(spark, dir, key, keys, baseV)
+    val (name, stats, n) = publishTombstone(spark, dir, key, typ, keys, baseV)
     commitManifest(spark, dir, s"tombstone of $n keys") { entries =>
       if (entries.exists(_.name == name)) None // identical replay converged
       else Some(entries :+ EpochEntry(name, stats))
@@ -1354,15 +1490,18 @@ object AtomicWarehouse {
     * encodes (base version, key-set digest) so replays converge and
     * distinct key sets can never adopt each other. */
   private def publishTombstone(spark: SparkSession, dir: String,
-      key: String, keys: Seq[Long],
+      key: String, typ: String, keys: Seq[String],
       baseV: Long): (String, Map[String, ColStats], Int) = {
-    val ks = keys.distinct.sorted
-    val name = s"tombstone_v${baseV}_${purgeDigest(ks)}"
+    val ks = canonicalKeys(typ, keys)
+    val name = s"tombstone_v${baseV}_${digestOf(ks)}"
     import spark.implicits._
+    // the tombstone parquet's key column carries the COMPARISON type —
+    // the read paths recover it from the file schema, so long and string
+    // tombstones coexist in one manifest
     publishData(spark, dir,
-      ks.toDF(key).select(col(key).cast("long").as(key)), name)
-    (name, Map(key -> ColStats("long", ks.head.toString, ks.last.toString)),
-      ks.size)
+      if (typ == "long") ks.map(_.toLong).toDF(key)
+      else ks.toDF(key), name)
+    (name, Map(key -> ColStats(typ, ks.head, ks.last)), ks.size)
   }
 
   /** [[commitNamedEpoch]] PLUS a tombstone of `tombKeys` in the SAME
@@ -1384,6 +1523,21 @@ object AtomicWarehouse {
       df: DataFrame, name: String, loadSeq: Long, key: String,
       tombKeys: Seq[Long], statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit =
+    commitNamedEpochWithTombstoneTyped(spark, dir, df, name, loadSeq, key,
+      "long", tombKeys.map(_.toString), statsKey, statsCols, bloomKey)
+
+  /** [[commitNamedEpochWithTombstone]] with TYPED tombstone keys
+    * ([[canonicalKeys]]) — the string-merge-key sync-MERGE's commit
+    * shape. A RACING VACUUM is tolerated like [[commitEpochImpl]]: the
+    * manifest compute re-verifies BOTH published dirs still exist, and
+    * if a grace-window-violating vacuum deleted either, the pair is
+    * re-published and the commit retried — the manifest can only ever
+    * point at dirs that existed at compute time. */
+  private[graft] def commitNamedEpochWithTombstoneTyped(
+      spark: SparkSession, dir: String, df: DataFrame, name: String,
+      loadSeq: Long, key: String, keyTyp: String, tombKeys: Seq[String],
+      statsKey: Option[String] = None, statsCols: Seq[String] = Nil,
       bloomKey: Option[String] = None): Unit = {
     if (tombKeys.isEmpty)
       return commitNamedEpoch(spark, dir, df, name, loadSeq, statsKey,
@@ -1391,25 +1545,47 @@ object AtomicWarehouse {
     require(!name.matches("epoch_\\d+"),
       s"entry name '$name' collides with the drain counter namespace")
     if (committedEpochs(spark, dir).contains(name)) return // replay
+    val f = fs(spark, dir)
     val baseV = currentVersion(spark, dir)
-    publishData(spark, dir, df, name)
-    val stats = statsAndBloomOf(spark, s"$dir/$name",
-      (statsKey.toSeq ++ statsCols).distinct, bloomKey)._1
-    val (tombName, tombStats, _) =
-      publishTombstone(spark, dir, key, tombKeys, baseV)
-    commitManifest(spark, dir,
-      s"merge epoch $name + tombstone of ${tombKeys.size} keys") { entries =>
-      if (entries.exists(_.name == name)) None // a concurrent replay won
-      else {
-        val withEpoch = entries :+ EpochEntry(name, stats)
-        // an identical tombstone may already exist (a prior
-        // purgeKeysDeferred of the same key set at the same base):
-        // duplicate names would corrupt position-keyed reads — reuse it
-        // (its earlier position still suppresses the same keys; the
-        // merge epoch holds none of them)
-        Some(if (entries.exists(_.name == tombName)) withEpoch
-        else withEpoch :+ EpochEntry(tombName, tombStats))
+    val namePath = new Path(s"$dir/$name")
+    var attempt = 0
+    while (true) {
+      // re-publishing converges: publishData adopts a complete existing
+      // dir and replaces a vanished/torn one; the tombstone's name is
+      // (baseV, digest)-stable across attempts
+      publishData(spark, dir, df, name)
+      val stats =
+        if (f.exists(namePath))
+          statsAndBloomOf(spark, s"$dir/$name",
+            (statsKey.toSeq ++ statsCols).distinct, bloomKey)._1
+        else Map.empty[String, ColStats] // vanished: the compute notices
+      val (tombName, tombStats, _) =
+        publishTombstone(spark, dir, key, keyTyp, tombKeys, baseV)
+      val tombPath = new Path(s"$dir/$tombName")
+      var vanished = false
+      commitManifest(spark, dir,
+        s"merge epoch $name + tombstone of ${tombKeys.size} keys") { entries =>
+        if (entries.exists(_.name == name)) None // a concurrent replay won
+        else if (!f.exists(namePath) || !f.exists(tombPath)) {
+          vanished = true; None // a racing vacuum deleted a published dir
+        } else {
+          val withEpoch = entries :+ EpochEntry(name, stats)
+          // an identical tombstone may already exist (a prior
+          // purgeKeysDeferred of the same key set at the same base):
+          // duplicate names would corrupt position-keyed reads — reuse it
+          // (its earlier position still suppresses the same keys; the
+          // merge epoch holds none of them)
+          Some(if (entries.exists(_.name == tombName)) withEpoch
+          else withEpoch :+ EpochEntry(tombName, tombStats))
+        }
       }
+      if (!vanished) return
+      attempt += 1
+      if (attempt >= MaxCommitAttempts)
+        throw new java.io.IOException(
+          s"merge epoch $name at $dir kept vanishing before its manifest " +
+            s"commit ($MaxCommitAttempts attempts) — a vacuum is racing " +
+            "this merge with a grace window shorter than the merge's stall")
     }
   }
 
@@ -1556,20 +1732,80 @@ object AtomicWarehouse {
       Some(col(key).cast("long") === value))
   }
 
+  /** [[readPoint]] for a STRING merge key: pruned by the key's
+    * lexicographic zone map and the string bloom when epochs carry one
+    * ([[scanListForPointTyped]]'s string contract). */
+  def readPointStr(spark: SparkSession, dir: String, key: String,
+      value: String): DataFrame = {
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+    require(entries.nonEmpty, s"no committed epochs at $dir")
+    val scanned = scanListForPointStr(entries, key, value).map(_.name).toSet
+    mergedRead(spark, dir, key, entries, scanned,
+      Some(col(key).cast("string") === value))
+  }
+
   /** The epochs [[readPoint]] would open: range stats first, then the
     * bloom's no-false-negative verdict. Exposed for test pinning. */
   def scanListForPoint(entries: Seq[EpochEntry], key: String,
       value: Long): Seq[EpochEntry] =
+    scanListForPointTyped(entries, key, "long", value.toString)
+
+  /** The epochs [[readPointStr]] would open. */
+  def scanListForPointStr(entries: Seq[EpochEntry], key: String,
+      value: String): Seq[EpochEntry] =
+    scanListForPointTyped(entries, key, "string", value)
+
+  /** TYPED point-lookup pruning: zone map first, then blooms. Typed-
+    * versus-recorded-stats cases (keys travel as canonical renderings —
+    * [[canonicalKeys]]):
+    *
+    *  - matching types: compare as the stats do (numeric / UTF-8 bytes);
+    *  - long lookup vs STRING stats (an all-string drained warehouse):
+    *    lexicographic compare of the canonical rendering — sound because
+    *    the stats bounds were computed over the same renderings, so a
+    *    member value's rendering always lies within them;
+    *  - string lookup vs LONG stats: the epoch's key column was integral
+    *    at commit, so its cast-to-string renderings are canonical
+    *    decimals — a non-numeric lookup provably matches nothing, a
+    *    numeric one compares numerically.
+    *
+    * Blooms: the LONG bloom hashes `cast(key as long)`, so any lookup
+    * whose value parses as a long consults it (a row matching the string
+    * form would cast to the same long — no false negatives either way);
+    * a STRING bloom ([[bloomStrStatsCol]], recorded when the stored
+    * column is a string) serves the non-numeric lookups. Absent blooms
+    * keep the epoch (conservative). */
+  def scanListForPointTyped(entries: Seq[EpochEntry], key: String,
+      typ: String, v: String): Seq[EpochEntry] =
     entries
-      .filter(_.statsFor(key, key)
-        .forall(_.mayIntersect(value.toString, value.toString)))
-      .filter(_.stats.get(bloomStatsCol(key)).forall { st =>
-        deserializeBloom(st.mn).mightContain(value)
+      .filter(_.statsFor(key, key).forall { st =>
+        (st.typ, typ) match {
+          case ("long", "string") =>
+            v.toLongOption.exists(l => st.mayIntersect(l.toString, l.toString))
+          case _ => st.mayIntersect(v, v)
+        }
       })
+      .filter { e =>
+        val longOk = e.stats.get(bloomStatsCol(key)).forall { st =>
+          v.toLongOption.forall(l => deserializeBloom(st.mn).mightContain(l))
+        }
+        val strOk = typ != "string" ||
+          e.stats.get(bloomStrStatsCol(key)).forall { st =>
+            deserializeBloom(st.mn).mightContainString(v)
+          }
+        longOk && strOk
+      }
 
   /** Manifest column slot a key's bloom rides in — distinct from the
     * key's min/max slot so both coexist in one entry. */
   private def bloomStatsCol(key: String) = s"bloom($key)"
+
+  /** Manifest slot of the key's STRING bloom (raw string values, no
+    * cast) — recorded alongside the long bloom when the stored column
+    * is a string, so string-key point lookups and purges prune epochs
+    * whose key ranges all overlap (the video_id case: hash-ish string
+    * keys defeat zone maps; the bloom is the pruning that's left). */
+  private[graft] def bloomStrStatsCol(key: String) = s"bloomstr($key)"
 
   private[sinks] val MaxBloomBytes = 4 << 20
 

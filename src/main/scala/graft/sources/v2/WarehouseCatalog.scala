@@ -71,6 +71,14 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces
   private def dirOf(ident: Identifier): String = {
     require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("default")),
       s"catalog $catalogName is single-namespace; got ${ident.namespace.mkString(".")}")
+    // a BACKTICKED identifier can smuggle path separators (`` `../x` ``):
+    // a table name is a single path segment under the root, never a path
+    // — without this, DROP TABLE could delete a directory outside the
+    // catalog root
+    require(ident.name.nonEmpty && !ident.name.contains("/") &&
+        !ident.name.contains("\\") && !ident.name.startsWith("."),
+      s"invalid table name '${ident.name}' — a bare identifier (single " +
+        "path segment) is required")
     s"$root/${ident.name}"
   }
 

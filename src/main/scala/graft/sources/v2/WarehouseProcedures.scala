@@ -50,14 +50,17 @@ object WarehouseProcedures {
       case "compact" => new CompactProcedure(root, catalogMergeKey)
       case "vacuum" => new VacuumProcedure(root)
       case "describe_history" => new DescribeProcedure(root)
+      case "purge" => new PurgeProcedure(root, catalogMergeKey)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — available: system.compact(table)," +
           " system.vacuum(table, retain_versions[, grace_ms])," +
-          " system.describe_history(table)")
+          " system.describe_history(table)," +
+          " system.purge(table, keys array<string>)")
     }
   }
 
-  val names: Seq[String] = Seq("compact", "vacuum", "describe_history")
+  val names: Seq[String] = Seq("compact", "vacuum", "describe_history",
+    "purge")
 
   private[v2] def str(row: InternalRow, i: Int): String = {
     require(!row.isNullAt(i), s"procedure argument $i must not be NULL")
@@ -65,6 +68,15 @@ object WarehouseProcedures {
   }
 
   private[v2] def dirFor(root: String, table: String): String = {
+    // the argument is a BARE TABLE IDENTIFIER, never a path: reject
+    // separators and dot-traversal before building the directory —
+    // `CALL whc.system.vacuum('../other/t', 1, 0)` must not resolve (and
+    // potentially destroy) a directory outside the catalog root, an
+    // escape the catalog's own table resolution never offered
+    require(table.nonEmpty && !table.contains("/") &&
+        !table.contains("\\") && !table.startsWith("."),
+      s"invalid table name '$table' — procedures take a bare table " +
+        "identifier under the catalog root, not a path")
     val dir = s"$root/$table"
     val spark = SparkSession.active
     val fs = new Path(root).getFileSystem(
@@ -132,6 +144,78 @@ final class CompactProcedure(root: String, catalogMergeKey: String)
     val after = AtomicWarehouse.committedEpochsAt(spark, dir, v).size
     result(schema, Seq(new GenericInternalRow(
       Array[Any](before, after, v))))
+  }
+}
+
+/** `CALL whc.system.purge('t', array('k1','k2'))` — the DEFERRED
+  * (tombstone) purge ([[AtomicWarehouse.purgeKeysDeferred]] /
+  * [[AtomicWarehouse.purgeKeysDeferredStr]]): commit the keys as one
+  * deletion-vector entry, O(keys) metadata, ZERO epoch rewrites. Key
+  * TYPE follows the table's merge-key column — a string column
+  * (the reference's video_id) tombstones as strings, an integral one
+  * parses the keys as longs (refusing non-numeric input loudly).
+  *
+  * This makes the documented COMPLIANCE SEQUENCE fully SQL-drivable:
+  *
+  * {{{
+  *   CALL whc.system.purge('t', array('VID123'));  -- suppress now
+  *   CALL whc.system.compact('t');                 -- materialize minus keys
+  *   CALL whc.system.vacuum('t', 1, 0);            -- destroy history
+  * }}}
+  *
+  * Returns (keys_tombstoned, version). A key-identity DELETE FROM stays
+  * the copy-on-write alternative (same end state after vacuum). */
+final class PurgeProcedure(root: String, catalogMergeKey: String)
+    extends UnboundProcedure with BoundProcedure {
+  import WarehouseProcedures._
+  override def name(): String = "purge"
+  override def description(): String =
+    "tombstone merge keys (deferred purge; finalize with compact+vacuum)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("keys", ArrayType(StringType)).build())
+
+  private val schema = StructType(Seq(
+    StructField("keys_tombstoned", IntegerType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = str(input, 0)
+    val dir = dirFor(root, table)
+    require(!input.isNullAt(1), "purge keys must not be NULL")
+    val arr = input.getArray(1)
+    val keys = (0 until arr.numElements()).map { i =>
+      require(!arr.isNullAt(i),
+        "purge keys must not contain NULL (null merge keys are never " +
+          "purge targets)")
+      arr.getUTF8String(i).toString
+    }
+    require(keys.nonEmpty, s"purge('$table') needs at least one key")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val conf = WarehouseCatalog.tableConf(fs, dir)
+    val mergeKey = conf.getOrElse("mergeKey", catalogMergeKey)
+    require(mergeKey.nonEmpty,
+      s"purge('$table') needs a mergeKey (TBLPROPERTIES or the " +
+        "catalog's mergeKey option) — tombstones address row identity")
+    // key TYPE follows the merge-key column's committed type
+    val snap = WarehouseConnector.snapshotSchema(spark, dir,
+      AtomicWarehouse.currentVersion(spark, dir))
+    val n = snap.fields.find(_.name == mergeKey).map(_.dataType) match {
+      case Some(StringType) =>
+        AtomicWarehouse.purgeKeysDeferredStr(spark, dir, mergeKey, keys)
+      case _ =>
+        AtomicWarehouse.purgeKeysDeferred(spark, dir, mergeKey,
+          keys.map(k => k.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"purge('$table'): key '$k' is not a long — the table's " +
+                s"mergeKey '$mergeKey' is integral"))))
+    }
+    result(schema, Seq(new GenericInternalRow(Array[Any](n,
+      AtomicWarehouse.currentVersion(spark, dir)))))
   }
 }
 

@@ -409,19 +409,43 @@ object WarehouseConnector {
       case Some(st) if st.typ == "string" =>
         stringLit(v) match {
           case None => true
-          case Some(s) => (!atLeast || st.mx >= s) && (!atMost || st.mn <= s)
+          case Some(s) =>
+            // UTF-8 byte order — the order the stats were recorded in
+            // (parquet footers / Spark min-max); Java String order
+            // disagrees above the BMP ([[AtomicWarehouse.utf8Cmp]])
+            (!atLeast || AtomicWarehouse.utf8Cmp(st.mx, s) >= 0) &&
+              (!atMost || AtomicWarehouse.utf8Cmp(st.mn, s) <= 0)
         }
       case _ => true
     }
 
-  private def bloomMayHold(e: EpochEntry, c: String, v: Any): Boolean =
-    e.stats.get(s"bloom($c)") match {
-      case Some(ColStats("bloom", b64, _)) => longLit(v) match {
+  private def bloomMayHold(e: EpochEntry, c: String, v: Any): Boolean = {
+    // the LONG bloom hashes cast(col as long): any literal with a long
+    // form consults it — a string literal parsing as long l can only
+    // equal rows whose canonical rendering is l's, and those cast to l
+    // (no false negatives). The STRING bloom serves raw string
+    // equality; both absent → keep (conservative).
+    val asLong = longLit(v).orElse(v match {
+      case s: String => s.toLongOption
+      case _ => None
+    })
+    val longOk = e.stats.get(s"bloom($c)") match {
+      case Some(ColStats("bloom", b64, _)) => asLong match {
         case Some(l) => deserializeBloom(b64).mightContain(l)
         case None => true
       }
       case _ => true
     }
+    val strOk = v match {
+      case s: String => e.stats.get(s"bloomstr($c)") match {
+        case Some(ColStats("bloomstr", b64, _)) =>
+          deserializeBloom(b64).mightContainString(s)
+        case _ => true
+      }
+      case _ => true
+    }
+    longOk && strOk
+  }
 
   private def deserializeBloom(b64: String) =
     org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -463,9 +487,13 @@ object WarehouseConnector {
   /** One tombstone entry's payload: its position in the manifest entry
     * list (tombstones suppress keys only in entries ordered BEFORE them),
     * the key column it addresses (the tombstone parquet's own column
-    * name) and the purged key values. O(purged keys) — driver-sized by
-    * the purge contract. */
-  final case class TombstoneKeys(pos: Int, keyCol: String, keys: Array[Long])
+    * name) and the purged key values — LONG or STRING per the tombstone
+    * parquet's own column type (the engine writes the comparison type:
+    * long purges cast-compare, string purges — the reference's video_id
+    * — compare raw). O(purged keys) — driver-sized by the purge
+    * contract. */
+  final case class TombstoneKeys(pos: Int, keyCol: String,
+      keys: Array[Long], strKeys: Array[String] = Array.empty)
 
   /** Load every tombstone entry's key list, tagged with its manifest
     * position. One tiny parquet read per tombstone. */
@@ -474,20 +502,29 @@ object WarehouseConnector {
     allEntries.zipWithIndex.collect {
       case (e, i) if AtomicWarehouse.isTombstone(e.name) =>
         val df = spark.read.parquet(s"$dir/${e.name}")
-        val keyCol = df.schema.fieldNames.head
-        val keys = df.select(
-            org.apache.spark.sql.functions.col(keyCol).cast("long"))
-          .na.drop().collect().map(_.getLong(0))
-        TombstoneKeys(i, keyCol, keys)
+        val kf = df.schema.fields.head
+        val c = org.apache.spark.sql.functions.col(kf.name)
+        kf.dataType match {
+          case StringType =>
+            TombstoneKeys(i, kf.name, Array.empty,
+              df.select(c.cast("string")).na.drop()
+                .collect().map(_.getString(0)))
+          case _ =>
+            TombstoneKeys(i, kf.name,
+              df.select(c.cast("long")).na.drop()
+                .collect().map(_.getLong(0)))
+        }
     }
 
   /** The key-drop lists a file of the entry at `pos` must apply: every
-    * tombstone ordered AFTER it, grouped by key column. Empty for a
-    * tombstone-free warehouse — the common fast path. */
+    * tombstone ordered AFTER it, grouped by key column, split by key
+    * type. Empty for a tombstone-free warehouse — the common fast
+    * path. */
   def dropsFor(tombstones: Seq[TombstoneKeys], pos: Int)
-      : Array[(String, Array[Long])] =
+      : Array[(String, Array[Long], Array[String])] =
     tombstones.filter(_.pos > pos).groupBy(_.keyCol)
-      .map { case (c, ts) => (c, ts.flatMap(_.keys).distinct.toArray) }
+      .map { case (c, ts) => (c, ts.flatMap(_.keys).distinct.toArray,
+        ts.flatMap(_.strKeys).distinct.toArray) }
       .toArray
 
   /** Does the file's hive partition value satisfy `filter`? Only exact
@@ -552,59 +589,88 @@ class WarehouseTable(val dir: String, version: Option[Long],
     * [[canDeleteWhere]], so Spark reports "cannot delete" instead of
     * half-running. History keeps the rows until vacuum, exactly like
     * the API purge. */
-  private def deleteKeys(filters: Array[Filter]): Option[Seq[Long]] = {
+  private def deleteKeys(filters: Array[Filter])
+      : Option[(String, Seq[String])] = {
     if (mergeKey.isEmpty || version.isDefined) return None
+    // a key literal with its comparison type: integral literals purge as
+    // longs (the original surface), string literals as strings — the
+    // reference's own merge key is a string (video_id, ref:
+    // Python-pipeline/ingestdatainbigquery.py:89)
+    def litOf(v: Any): Option[(String, String)] = v match {
+      case n: Number => Some(("long", n.longValue().toString))
+      case s: String => Some(("string", s))
+      case _ => None
+    }
     // Per-filter verdict: None = unsupported shape (refuse the whole
     // DELETE); Some(None) = no key constraint (the implied IsNotNull
-    // guard); Some(Some(ks)) = exactly the rows whose key ∈ ks. Spark
-    // passes the filter array as a CONJUNCTION, so key sets INTERSECT
-    // across top-level filters (and And nodes): `k = 5 AND k = 6`
-    // matches nothing and must purge nothing — the old union semantics
-    // over-deleted both keys.
-    def keysOf(f: Filter): Option[Option[Set[Long]]] = f match {
-      case EqualTo(c, v: Number) if c == mergeKey =>
-        Some(Some(Set(v.longValue())))
-      case In(c, vs) if c == mergeKey &&
-          vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
-        Some(Some(vs.map(_.asInstanceOf[Number].longValue()).toSet))
+    // guard); Some(Some((typ, ks))) = exactly the rows whose key ∈ ks.
+    // Spark passes the filter array as a CONJUNCTION, so key sets
+    // INTERSECT across top-level filters (and And nodes): `k = 5 AND
+    // k = 6` matches nothing and must purge nothing. Key sets combine
+    // only within ONE type — a mixed `k = 5 OR k = 'x'` refuses rather
+    // than guessing cast semantics.
+    type KeySet = Option[(String, Set[String])]
+    def combine(a: KeySet, b: KeySet,
+        op: (Set[String], Set[String]) => Set[String]): Option[KeySet] =
+      (a, b) match {
+        case (Some((t1, x)), Some((t2, y))) if t1 == t2 =>
+          Some(Some((t1, op(x, y))))
+        case (Some(_), Some(_)) => None // mixed key types
+        case _ => Some(a.orElse(b))
+      }
+    def keysOf(f: Filter): Option[KeySet] = f match {
+      case EqualTo(c, v) if c == mergeKey =>
+        litOf(v).map(kv => Some((kv._1, Set(kv._2))))
+      case In(c, vs) if c == mergeKey && vs.nonEmpty =>
+        val lits = vs.toSeq.map(litOf)
+        val flat = lits.flatten
+        if (flat.size != lits.size || flat.map(_._1).distinct.size != 1) None
+        else Some(Some((flat.head._1, flat.map(_._2).toSet)))
       // null keys are never purge targets, so IsNotNull(key) constrains
       // nothing — but ONLY as a conjunct: inside an Or it would match
       // every non-null-key row, which no key set can express
       case IsNotNull(c) if c == mergeKey => Some(None)
       case And(l, r) => (keysOf(l), keysOf(r)) match {
-        case (Some(Some(x)), Some(Some(y))) => Some(Some(x intersect y))
-        case (Some(a), Some(b)) => Some(a.orElse(b))
+        case (Some(a), Some(b)) => combine(a, b, _ intersect _)
         case _ => None
       }
       case Or(l, r) => (keysOf(l), keysOf(r)) match {
-        case (Some(Some(x)), Some(Some(y))) => Some(Some(x union y))
+        case (Some(a @ Some(_)), Some(b @ Some(_))) =>
+          combine(a, b, _ union _)
         case _ => None // an unconstrained Or side matches non-key rows
       }
       case _ => None
     }
-    filters.toSeq.foldLeft(Option(Option.empty[Set[Long]])) { (acc, f) =>
-      (acc, keysOf(f)) match {
-        case (Some(Some(x)), Some(Some(y))) => Some(Some(x intersect y))
-        case (Some(a), Some(b)) => Some(a.orElse(b))
-        case _ => None
-      }
-    }.flatten.map(_.toSeq.sorted) // None when only IsNotNull / no filters:
-    // "all rows" is not key-addressable. An EMPTY intersection is kept —
-    // the predicate matches nothing, so the delete is a no-op success.
+    filters.toSeq.foldLeft(Option(Option.empty[(String, Set[String])])) {
+      (acc, f) =>
+        (acc, keysOf(f)) match {
+          case (Some(a), Some(b)) => combine(a, b, _ intersect _)
+          case _ => None
+        }
+    }.flatten.map { case (t, ks) => (t, ks.toSeq.sorted) }
+    // None when only IsNotNull / no filters: "all rows" is not
+    // key-addressable. An EMPTY intersection is kept — the predicate
+    // matches nothing, so the delete is a no-op success.
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     deleteKeys(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val keys = deleteKeys(filters).getOrElse(
+    val (typ, keys) = deleteKeys(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"graft-warehouse DELETE supports only $mergeKey = v / IN (...) " +
           "key-identity predicates (configure the catalog's mergeKey); " +
           "arbitrary-predicate deletes need an epoch rewrite pipeline"))
-    if (keys.nonEmpty)
-      AtomicWarehouse.purgeKeys(SparkSession.active, dir, mergeKey, keys,
-        statsKey = Some(mergeKey), bloomKey = Some(mergeKey))
+    if (keys.nonEmpty) {
+      if (typ == "long")
+        AtomicWarehouse.purgeKeys(SparkSession.active, dir, mergeKey,
+          keys.map(_.toLong), statsKey = Some(mergeKey),
+          bloomKey = Some(mergeKey))
+      else
+        AtomicWarehouse.purgeKeysStr(SparkSession.active, dir, mergeKey,
+          keys, statsKey = Some(mergeKey), bloomKey = Some(mergeKey))
+    }
   }
 
   /** Surfaced in `DESCRIBE TABLE EXTENDED`: where the table lives, the
@@ -863,10 +929,13 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   override def filterAttributes(): Array[NamedReference] =
     if (pushedAgg.isDefined) Array.empty
     else entries.flatMap(_.stats.keys).distinct.collect {
+      case c if c.startsWith("bloomstr(") && c.endsWith(")") =>
+        c.stripPrefix("bloomstr(").stripSuffix(")")
       case c if c.startsWith("bloom(") && c.endsWith(")") =>
         c.stripPrefix("bloom(").stripSuffix(")")
       case "*" if mergeKey.nonEmpty => mergeKey
       case c if c != "*" && !c.startsWith("bloom(") &&
+        !c.startsWith("bloomstr(") &&
         !c.startsWith("#") => c // "#rows" is a reserved slot, not a column
     }.distinct.filter(c => required.fieldNames.contains(c))
       .map(Expressions.column).toArray
@@ -933,7 +1002,7 @@ class WarehouseAggReaderFactory extends PartitionReaderFactory {
 
 final case class WarehouseFilePartition(path: String,
     partValues: Array[(String, String)],
-    drops: Array[(String, Array[Long])] = Array.empty,
+    drops: Array[(String, Array[Long], Array[String])] = Array.empty,
     pos: Int = 0)
     extends InputPartition
 
@@ -1174,44 +1243,79 @@ class WarehouseReaderFactory(required: StructType,
 
     // TOMBSTONE key drops (merge-on-read): a row whose key column value
     // is in a drop list is suppressed at scan time — the connector's
-    // deletion-vector application. One check per drop list; rows with
-    // null/unparseable keys never match (null keys are never purge
-    // targets).
+    // deletion-vector application. One check per drop list per key type
+    // (LONG drops cast-compare, STRING drops compare the canonical
+    // rendering — a numeric column's value matches its decimal form);
+    // rows with null/unparseable keys never match (null keys are never
+    // purge targets).
     val dropChecks: Array[Group => Boolean] = p.drops.flatMap {
-      case (c, keys) =>
-        val keySet: java.util.HashSet[Long] = {
-          val s = new java.util.HashSet[Long](keys.length * 2)
-          keys.foreach(s.add)
-          s
+      case (c, keys, strKeys) =>
+        def colIdx: Int = present.indexWhere(_.name == c) match {
+          case -1 =>
+            val j = dropExtra.indexOf(c)
+            if (j < 0) -1 else present.size + j
+          case i => i
         }
-        partMap.get(c) match {
-          case Some(raw) => // constant per file: all rows match or none
-            raw.toLongOption match {
-              case Some(v) if keySet.contains(v) => Some((_: Group) => true)
-              case _ => None
+        val longCheck: Option[Group => Boolean] =
+          if (keys.isEmpty) None
+          else {
+            val keySet: java.util.HashSet[Long] = {
+              val s = new java.util.HashSet[Long](keys.length * 2)
+              keys.foreach(s.add)
+              s
             }
-          case None =>
-            val idx = present.indexWhere(_.name == c) match {
-              case -1 =>
-                val j = dropExtra.indexOf(c)
-                if (j < 0) -1 else present.size + j
-              case i => i
+            partMap.get(c) match {
+              case Some(raw) => // constant per file: all rows match or none
+                raw.toLongOption match {
+                  case Some(v) if keySet.contains(v) =>
+                    Some((_: Group) => true)
+                  case _ => None
+                }
+              case None =>
+                val idx = colIdx
+                if (idx < 0) None // epoch predates the key column: nulls
+                else {
+                  val pt = projected.getType(idx).asPrimitiveType()
+                    .getPrimitiveTypeName
+                  val toLong: Group => Option[Long] = pt match {
+                    case INT64 => g => Some(g.getLong(idx, 0))
+                    case INT32 => g => Some(g.getInteger(idx, 0).toLong)
+                    case BINARY | FIXED_LEN_BYTE_ARRAY => // all-string drains
+                      g => g.getString(idx, 0).toLongOption
+                    case _ => _ => None
+                  }
+                  Some((g: Group) => g.getFieldRepetitionCount(idx) > 0 &&
+                    toLong(g).exists(keySet.contains))
+                }
             }
-            if (idx < 0) None // epoch predates the key column: null keys
-            else {
-              val pt = projected.getType(idx).asPrimitiveType()
-                .getPrimitiveTypeName
-              val toLong: Group => Option[Long] = pt match {
-                case INT64 => g => Some(g.getLong(idx, 0))
-                case INT32 => g => Some(g.getInteger(idx, 0).toLong)
-                case BINARY | FIXED_LEN_BYTE_ARRAY => // all-string drains
-                  g => g.getString(idx, 0).toLongOption
-                case _ => _ => None
-              }
-              Some((g: Group) => g.getFieldRepetitionCount(idx) > 0 &&
-                toLong(g).exists(keySet.contains))
+          }
+        val strCheck: Option[Group => Boolean] =
+          if (strKeys.isEmpty) None
+          else {
+            val keySet = new java.util.HashSet[String](
+              java.util.Arrays.asList(strKeys: _*))
+            partMap.get(c) match {
+              case Some(raw) =>
+                if (keySet.contains(raw)) Some((_: Group) => true) else None
+              case None =>
+                val idx = colIdx
+                if (idx < 0) None
+                else {
+                  val pt = projected.getType(idx).asPrimitiveType()
+                    .getPrimitiveTypeName
+                  val toStr: Group => Option[String] = pt match {
+                    case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                      g => Some(g.getString(idx, 0))
+                    case INT64 => g => Some(g.getLong(idx, 0).toString)
+                    case INT32 => g => Some(g.getInteger(idx, 0).toString)
+                    case _ => _ => None
+                  }
+                  Some((g: Group) => g.getFieldRepetitionCount(idx) > 0 &&
+                    toStr(g).exists(keySet.contains))
+                }
             }
-        }
+          }
+        longCheck.toSeq ++ strCheck
     }
 
     new PartitionReader[InternalRow] {

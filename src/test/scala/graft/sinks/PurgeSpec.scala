@@ -83,7 +83,7 @@ class PurgeSpec extends SparkSuite {
     val dir = freshDir("race_drain")
     commit(dir, 1, 50, 1L)
     val (epochs, purged) = AtomicWarehouse.purgeKeysImpl(spark, dir, "k",
-      Seq(10L), Some("k"), Nil, Some("k"),
+      "long", Seq("10"), Some("k"), Nil, Some("k"),
       beforeCommit = () => commit(dir, 100, 120, 2L)) // racing drain
     assert(epochs == 1 && purged == 1L)
     val names = AtomicWarehouse.committedEpochs(spark, dir)
@@ -101,7 +101,7 @@ class PurgeSpec extends SparkSuite {
     commit(dir, 40, 80, 2L)
     var folded = false
     val (epochs, purged) = AtomicWarehouse.purgeKeysImpl(spark, dir, "k",
-      Seq(45L), Some("k"), Nil, Some("k"),
+      "string", Seq("45"), Some("k"), Nil, Some("k"),
       beforeCommit = () => if (!folded) {
         folded = true
         AtomicWarehouse.compact(spark, dir, "k") // structural race
@@ -296,5 +296,116 @@ class PurgeSpec extends SparkSuite {
     val fresh = spark.read.parquet(s"$base/out2")
     assert(fresh.count() == 25) // 19 surviving + 6
     assert(fresh.where(col("k") === 3L).isEmpty)
+  }
+
+  // ---- STRING merge keys (the reference's own video_id is a string:
+  // ref Python-pipeline/ingestdatainbigquery.py:89 dedups PARTITION BY
+  // video_id) — the same lattice, keys compared as strings -----------
+
+  private def vidRows(lo: Int, hi: Int, seq: Long) =
+    (lo to hi).map(i => (f"VID$i%04d", s"title$i", seq))
+      .toDF("vid", "title", "load_seq")
+
+  private def commitVid(dir: String, lo: Int, hi: Int, seq: Long): Unit =
+    AtomicWarehouse.commitEpoch(spark, dir, vidRows(lo, hi, seq), seq,
+      statsKey = Some("vid"), bloomKey = Some("vid"))
+
+  test("string-key CoW purge removes every version; merge intact") {
+    val dir = freshDir("str_basic")
+    commitVid(dir, 1, 100, 1L)
+    commitVid(dir, 50, 120, 2L)
+    val (epochs, purged) = AtomicWarehouse.purgeKeysStr(spark, dir, "vid",
+      Seq("VID0060", "VID0070", "VID0110"),
+      statsKey = Some("vid"), bloomKey = Some("vid"))
+    assert(epochs == 2)
+    assert(purged == 5L) // 0060/0070 twice + 0110 once
+    val read = AtomicWarehouse.read(spark, dir, "vid")
+    assert(read.count() == 117)
+    assert(read.where(col("vid").isin("VID0060", "VID0070", "VID0110"))
+      .isEmpty)
+    assert(read.where(col("vid") === "VID0080")
+      .head.getAs[Long]("load_seq") == 2L)
+  }
+
+  test("string-key purge prunes: only epochs that may hold the key " +
+      "rewrite (zone map + string bloom)") {
+    val dir = freshDir("str_selective")
+    commitVid(dir, 1, 100, 1L)
+    commitVid(dir, 1000, 1100, 2L)
+    commitVid(dir, 5000, 5100, 3L)
+    val (epochs, purged) = AtomicWarehouse.purgeKeysStr(spark, dir, "vid",
+      Seq("VID1050"), statsKey = Some("vid"), bloomKey = Some("vid"))
+    assert(epochs == 1 && purged == 1L)
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.contains("epoch_1") && names.contains("epoch_3"))
+    assert(names.exists(_.startsWith("epoch_2_p")))
+  }
+
+  test("the string BLOOM prunes when string key ranges all overlap") {
+    val dir = freshDir("str_bloom")
+    // interleaved key sets: zone maps can never separate them
+    val a = (1 to 200 by 2).map(i => (f"VID$i%04d", s"a$i", 1L))
+      .toDF("vid", "title", "load_seq")
+    val b = (2 to 200 by 2).map(i => (f"VID$i%04d", s"b$i", 2L))
+      .toDF("vid", "title", "load_seq")
+    AtomicWarehouse.commitEpoch(spark, dir, a, 1L,
+      statsKey = Some("vid"), bloomKey = Some("vid"))
+    AtomicWarehouse.commitEpoch(spark, dir, b, 2L,
+      statsKey = Some("vid"), bloomKey = Some("vid"))
+    val entries = AtomicWarehouse.committedEpochs(spark, dir)
+      .map(n => AtomicWarehouse.committedEntriesAt(spark, dir,
+        AtomicWarehouse.currentVersion(spark, dir))
+        .find(_.name == n).get)
+    // VID0007 lives only in epoch_1 (odd): the string bloom must
+    // exclude epoch_2 even though both lexicographic ranges cover it
+    val opened = AtomicWarehouse
+      .scanListForPointStr(entries, "vid", "VID0007").map(_.name)
+    assert(opened == Seq("epoch_1"), s"bloomstr should prune: $opened")
+    val hit = AtomicWarehouse.readPointStr(spark, dir, "vid", "VID0007")
+    assert(hit.count() == 1 && hit.head.getAs[String]("title") == "a7")
+  }
+
+  test("string-key deferred purge: tombstone, connector scan, re-add") {
+    val dir = freshDir("str_dv")
+    commitVid(dir, 1, 40, 1L)
+    commitVid(dir, 20, 50, 2L)
+    val n = AtomicWarehouse.purgeKeysDeferredStr(spark, dir, "vid",
+      Seq("VID0025", "VID0033"))
+    assert(n == 2)
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.contains("epoch_1") && names.contains("epoch_2"))
+    assert(names.exists(_.startsWith("tombstone_")))
+    // engine read and connector scan agree
+    val read = AtomicWarehouse.read(spark, dir, "vid")
+    assert(read.count() == 48) // 50 distinct - 2
+    val log = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(log.where(col("vid").isin("VID0025", "VID0033")).isEmpty)
+    assert(log.count() == 67) // 40 + 31 - 2×VID0025 - 2×VID0033
+    // re-adding a tombstoned key afterwards is new data
+    commitVid(dir, 25, 25, 3L)
+    val after = AtomicWarehouse.read(spark, dir, "vid")
+    assert(after.where(col("vid") === "VID0025").count() == 1)
+    assert(after.where(col("vid") === "VID0033").isEmpty)
+    // compaction folds the string tombstone away
+    AtomicWarehouse.compact(spark, dir, "vid",
+      statsKey = Some("vid"), bloomKey = Some("vid"))
+    val folded = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(folded.size == 1 && folded.head.startsWith("compact_"))
+    assert(AtomicWarehouse.read(spark, dir, "vid").count() == 49)
+  }
+
+  test("long and string tombstones coexist in one manifest") {
+    val dir = freshDir("mixed_tombs")
+    // long-typed key column, long tombstone first, then a string
+    // tombstone whose canonical renderings address the same column
+    commit(dir, 1, 30, 1L)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(5L))
+    AtomicWarehouse.purgeKeysDeferredStr(spark, dir, "k", Seq("9"))
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 28)
+    assert(read.where(col("k").isin(5L, 9L)).isEmpty)
+    val log = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(log.count() == 28)
+    assert(log.where(col("k").isin(5L, 9L)).isEmpty)
   }
 }

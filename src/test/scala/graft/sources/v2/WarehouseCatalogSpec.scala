@@ -426,4 +426,93 @@ class WarehouseCatalogSpec extends SparkSuite {
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     assert(AtomicWarehouse.currentVersion(spark, dir) == v)
   }
+
+  test("sync MERGE refuses an EMPTY source and an over-cap delete set") {
+    spark.conf.set("spark.sql.catalog.whsync3",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whsync3.root", root)
+    spark.conf.set("spark.sql.catalog.whsync3.mergeKey", "k")
+    val dir = s"$root/sync3"
+    AtomicWarehouse.commitEpoch(spark, dir,
+      (1 to 10).map(i => (i.toLong, s"n$i", 1L))
+        .toDF("k", "name", "load_seq"), 1L, statsKey = Some("k"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+    // EMPTY source: a feed outage must not tombstone the whole table
+    Seq.empty[Long].toDF("k").createOrReplaceTempView("sync3_empty")
+    val e1 = intercept[Exception](spark.sql(
+      """MERGE INTO whsync3.sync3 t USING sync3_empty s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+    assert(msgs(e1).exists(_.contains("EMPTY source")),
+      msgs(e1).take(3).mkString("; "))
+
+    // over-cap delete set: the driver-sized contract is ENFORCED, with
+    // a pointer at the purge protocol
+    spark.conf.set("graft.merge.maxDeleteKeys", "3")
+    try {
+      Seq(1L).toDF("k").createOrReplaceTempView("sync3_one")
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO whsync3.sync3 t USING sync3_one s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin))
+      assert(msgs(e2).exists(m => m.contains("maxDeleteKeys") &&
+        m.contains("purge")), msgs(e2).take(3).mkString("; "))
+      // neither refusal committed anything
+      assert(AtomicWarehouse.committedEpochs(spark, dir) == Seq("epoch_1"))
+      // within the cap the sync proceeds
+      spark.conf.set("graft.merge.maxDeleteKeys", "100")
+      spark.sql(
+        """MERGE INTO whsync3.sync3 t USING sync3_one s ON t.k = s.k
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(AtomicWarehouse.read(spark, dir, "k")
+        .select("k").as[Long].collect().toSet == Set(1L))
+    } finally spark.conf.unset("graft.merge.maxDeleteKeys")
+  }
+
+  test("STRING merge key: SQL DELETE and the sync MERGE address " +
+      "video_id-style keys") {
+    spark.conf.set("spark.sql.catalog.whvid",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whvid.root", root)
+    spark.conf.set("spark.sql.catalog.whvid.mergeKey", "vid")
+    val dir = s"$root/vids"
+    AtomicWarehouse.commitEpoch(spark, dir,
+      (1 to 8).map(i => (s"VID$i", s"title$i", 1L))
+        .toDF("vid", "title", "load_seq"), 1L,
+      statsKey = Some("vid"), bloomKey = Some("vid"))
+
+    // key-identity DELETE on the string key (CoW purge underneath)
+    spark.sql("DELETE FROM whvid.vids WHERE vid IN ('VID3', 'VID5')")
+    assert(spark.sql("SELECT vid FROM whvid.vids").as[String]
+      .collect().toSet == Set("VID1", "VID2", "VID4", "VID6", "VID7",
+        "VID8"))
+    // arbitrary predicates still refuse
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM whvid.vids WHERE title = 'title1'"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("DELETE") ||
+      m.toLowerCase.contains("cannot delete")),
+      msgs(e).take(3).mkString("; "))
+
+    // sync MERGE on the string key: update VID1, insert VID9, delete
+    // the keys the feed no longer carries (VID6-8); epoch + tombstone
+    // land in ONE manifest CAS
+    val v0 = AtomicWarehouse.currentVersion(spark, dir)
+    (Seq(("VID1", "u1"), ("VID2", "u2"), ("VID4", "u4"), ("VID9", "new")))
+      .toDF("vid", "title").createOrReplaceTempView("vid_src")
+    spark.sql(
+      """MERGE INTO whvid.vids t USING vid_src s ON t.vid = s.vid
+        |WHEN MATCHED THEN UPDATE SET title = s.title
+        |WHEN NOT MATCHED THEN INSERT (vid, title) VALUES (s.vid, s.title)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(AtomicWarehouse.currentVersion(spark, dir) == v0 + 1)
+    val after = AtomicWarehouse.read(spark, dir, "vid")
+      .select("vid", "title").as[(String, String)].collect().toMap
+    assert(after == Map("VID1" -> "u1", "VID2" -> "u2", "VID4" -> "u4",
+      "VID9" -> "new"), after)
+    // the connector read agrees (string tombstone applied at scan time)
+    assert(spark.sql("SELECT count(DISTINCT vid) AS c FROM whvid.vids")
+      .head.getLong(0) == 4)
+  }
 }

@@ -121,4 +121,69 @@ class WarehouseProceduresSpec extends SparkSuite {
         |WHERE rn = 1""".stripMargin).head.getString(0)
     assert(sql == engine)
   }
+
+  test("table arguments are bare identifiers — path traversal refuses") {
+    AtomicWarehouse.commitEpoch(spark, s"$root/safe", rows(1, 3, 1L), 1L)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // an escaped path must refuse BEFORE any directory is resolved —
+    // vacuum on a traversal argument could irreversibly delete a
+    // directory outside the catalog root
+    for (bad <- Seq("../safe", "a/b", ".hidden", "..")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL whp.system.vacuum('$bad', 1, 0)").collect()
+      }
+      assert(msgs(e).exists(_.contains("bare table identifier")),
+        s"'$bad': " + msgs(e).take(3).mkString("; "))
+    }
+  }
+
+  test("CALL system.purge tombstones long keys (compliance sequence)") {
+    val dir = s"$root/pg"
+    AtomicWarehouse.commitEpoch(spark, dir, rows(1, 30, 1L), 1L,
+      statsKey = Some("k"))
+    AtomicWarehouse.commitEpoch(spark, dir, rows(20, 40, 2L), 2L,
+      statsKey = Some("k"))
+    val out = spark.sql(
+      "CALL whp.system.purge('pg', array('7', '25'))").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 2)
+    // deferred: zero epoch rewrites, one tombstone entry
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.contains("epoch_1") && names.contains("epoch_2"))
+    assert(names.count(_.startsWith("tombstone_")) == 1, names)
+    assert(spark.sql("SELECT count(DISTINCT k) AS c FROM whp.pg")
+      .head.getLong(0) == 38) // 40 - 2
+    // the documented compliance pair finalizes the destruction
+    spark.sql("CALL whp.system.compact('pg')")
+    spark.sql("CALL whp.system.vacuum('pg', 1, 0)")
+    val left = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(left.size == 1 && left.head.startsWith("compact_"), left)
+    assert(spark.read.parquet(s"$dir/${left.head}")
+      .where(col("k").isin(7L, 25L)).isEmpty)
+    // non-numeric keys refuse against an integral mergeKey
+    val e = intercept[Exception] {
+      spark.sql("CALL whp.system.purge('pg', array('VIDx'))").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not a long")),
+      msgs(e).take(3).mkString("; "))
+  }
+
+  test("CALL system.purge tombstones STRING keys per the column type") {
+    val r3 = java.nio.file.Files.createTempDirectory("wh_proc_str").toString
+    spark.conf.set("spark.sql.catalog.whps",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whps.root", r3)
+    spark.conf.set("spark.sql.catalog.whps.mergeKey", "vid")
+    AtomicWarehouse.commitEpoch(spark, s"$r3/v",
+      (1 to 6).map(i => (s"VID$i", s"t$i", 1L))
+        .toDF("vid", "title", "load_seq"), 1L, statsKey = Some("vid"))
+    val out = spark.sql(
+      "CALL whps.system.purge('v', array('VID2', 'VID4'))").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 2)
+    assert(spark.sql("SELECT vid FROM whps.v").as[String].collect().toSet ==
+      Set("VID1", "VID3", "VID5", "VID6"))
+    assert(AtomicWarehouse.read(spark, s"$r3/v", "vid").count() == 4)
+  }
 }
