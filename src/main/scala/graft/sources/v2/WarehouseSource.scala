@@ -1488,10 +1488,27 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         : InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WarehouseReaderFactory(required, pruneFilters,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // `_pos` THROUGH THE TAIL: the streaming plan keeps the RELATION's
+    // output — data columns plus any resolved metadata column appended
+    // LAST — but (unlike batch) column pruning never reaches the scan
+    // builder, so `required` here is the bare table schema. Serve
+    // `_pos` as an extra TRAILING field whenever it isn't already
+    // projected: a consumer that selected it reads the appended ordinal
+    // (the relation layout puts metadata columns last), one that didn't
+    // never reads past its own schema width — so the tiebreaker has
+    // identical semantics on the tail path (position in the END-version
+    // manifest; stable across batches because the tail path's manifest
+    // is append-only: folds/purges fail the tail or are skipped).
+    val served =
+      if (required.fieldNames.contains(WarehouseConnector.PosColumn))
+        required
+      else required.add(StructField(WarehouseConnector.PosColumn,
+        IntegerType, nullable = false))
+    new WarehouseReaderFactory(served, pruneFilters,
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
+  }
 
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()

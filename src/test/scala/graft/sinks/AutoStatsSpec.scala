@@ -116,4 +116,50 @@ class AutoStatsSpec extends SparkSuite {
     assert(!d.exists() || d.listFiles().forall(f =>
       f.getName == "_manifest"), Option(d.listFiles()).map(_.toSeq))
   }
+
+  test("wide-table commit: auto stats cost ZERO extra Spark jobs and " +
+      "the manifest line stays O(cols) bytes") {
+    val dir = freshDir("widecost")
+    // 30 stats-eligible columns plus a document-sized text column — the
+    // shape that would bloat manifests or trigger re-scans if auto stats
+    // were not footer-derived and size-capped
+    val wide = spark.range(1, 2001).select(
+      (col("id").as("k") +:
+        (1 to 28).map(i => (col("id") * i).as(f"c$i%02d")) :+
+        concat_ws("", Seq.fill(40)(lit("lorem ipsum ")): _*).as("body") :+
+        lit(1L).as("load_seq")): _*)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AtomicWarehouse.commitEpoch(spark, dir, wide, 1L) // nothing declared
+      // listener delivery is async: poll until the count is stable
+      val deadline = System.currentTimeMillis() + 5000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(200)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // exactly ONE job: the parquet write itself. Stats came from the
+    // just-written footers — the "free at commit time" claim, enforced
+    assert(jobs.get() == 1, s"commit ran ${jobs.get()} jobs; auto stats " +
+      "must not scan")
+    val stats = statsOf(dir, "epoch_1")
+    // every eligible column recorded; the oversized text column dropped
+    assert((1 to 28).forall(i => stats.contains(f"c$i%02d")))
+    assert(stats.contains("k") && stats.contains("load_seq"))
+    assert(!stats.contains("body"))
+    // the manifest LINE stays O(cols): bounded per-column bounds plus
+    // the reserved schema/files slots — never document-sized
+    val line = AtomicWarehouse
+      .committedEntriesAt(spark, dir,
+        AtomicWarehouse.currentVersion(spark, dir))
+      .find(_.name == "epoch_1").get.line
+    assert(line.getBytes("UTF-8").length < 16384,
+      s"manifest line is ${line.getBytes("UTF-8").length} bytes")
+  }
 }

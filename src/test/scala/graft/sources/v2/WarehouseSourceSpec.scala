@@ -379,4 +379,56 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) == 4)
     spark.catalog.dropTempView("wh_adm")
   }
+
+  test("_pos rides the MICRO_BATCH read with batch semantics") {
+    val dir = freshDir("pos_tail")
+    val base = java.nio.file.Files.createTempDirectory("wh_pos").toString
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 3, 1L), 1L)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(2, 4, 2L), 2L)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-warehouse").option("path", dir)
+        .load().select(col("k"), col("load_seq"), col("_pos"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    // initial snapshot: every row carries its entry's manifest position,
+    // exactly as the batch read serves it — a streaming consumer doing
+    // its own last-wins window has the same load_seq-tie hazard, so the
+    // tiebreaker must be available (and identical) on the tail path
+    drain()
+    val snap = spark.read.parquet(s"$base/out")
+      .select("load_seq", "_pos").distinct()
+      .as[(Long, Int)].collect().toMap
+    assert(snap == Map(1L -> 0, 2L -> 1), snap)
+
+    // a stepped batch serves the NEW epoch at its end-version position;
+    // positions of already-served entries are unchanged (the manifest
+    // is append-only on the tail path — folds/purges fail or skip)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(100, 104, 3L), 3L)
+    drain()
+    val stepped = spark.read.parquet(s"$base/out")
+      .select("load_seq", "_pos").distinct()
+      .as[(Long, Int)].collect().toMap
+    assert(stepped == Map(1L -> 0, 2L -> 1, 3L -> 2), stepped)
+
+    // the documented SQL window over the STREAMED rows agrees with the
+    // engine's batch merge winner for every key
+    spark.read.parquet(s"$base/out").createOrReplaceTempView("pos_tail_rows")
+    val windowed = spark.sql(
+      """SELECT k, load_seq FROM (
+        |  SELECT k, load_seq, row_number() OVER (PARTITION BY k
+        |    ORDER BY load_seq DESC, _pos DESC) AS rn FROM pos_tail_rows)
+        |WHERE rn = 1""".stripMargin).as[(Long, Long)].collect().toMap
+    val engine = AtomicWarehouse.read(spark, dir, "k")
+      .select(col("k"), col("load_seq")).as[(Long, Long)].collect().toMap
+    assert(windowed == engine)
+    spark.catalog.dropTempView("pos_tail_rows")
+  }
 }
