@@ -411,7 +411,8 @@ object ScaleProbe {
       li.select(
           concat(lit("v"), monotonically_increasing_id().cast("string"))
             .as("video_id"),
-          col("l_shipmode").as("video_title"),
+          concat(col("l_returnflag"), lit("-"), col("l_linestatus"))
+            .as("video_title"),
           date_format(col("l_shipdate").cast("timestamp"),
             "yyyy-MM-dd'T'HH:mm:ss'Z'").as("published_at"),
           concat(lit("ch"), (col("l_suppkey") % 7).cast("string"))

@@ -365,19 +365,14 @@ object AtomicWarehouse {
         // its parquet column's: long tombstones compare `cast(key as
         // long)`, string tombstones `cast(key as string)` — both coexist
         // in one manifest.
+        // key lists load DRIVER-SIDE ([[readTombstoneKeys]]): O(T) tiny
+        // parquet reads, zero Spark jobs — not O(T) collect() jobs
         val longRows = Seq.newBuilder[(Long, Int)]
         val strRows = Seq.newBuilder[(String, Int)]
         tombs.foreach { t =>
-          val df = spark.read.parquet(s"$dir/${t.name}")
-          val kf = df.schema.fields.head // tombstones hold one key column
-          kf.dataType match {
-            case StringType =>
-              strRows ++= df.select(col(kf.name).cast("string")).na.drop()
-                .collect().map(r => (r.getString(0), posOf(t.name)))
-            case _ =>
-              longRows ++= df.select(col(kf.name).cast("long")).na.drop()
-                .collect().map(r => (r.getLong(0), posOf(t.name)))
-          }
+          val (_, ls, ss) = readTombstoneKeys(spark, dir, t.name)
+          longRows ++= ls.map(l => (l, posOf(t.name)))
+          strRows ++= ss.map(s => (s, posOf(t.name)))
         }
         import spark.implicits._
         // null merge keys never match a tombstone (k === null is UNKNOWN
@@ -1314,6 +1309,65 @@ object AtomicWarehouse {
   private[graft] def isTombstone(n: String): Boolean =
     n.startsWith("tombstone_")
 
+  /** A tombstone's key list read DRIVER-SIDE via parquet-hadoop — ZERO
+    * Spark jobs. Key lists are O(purged keys) tiny by the purge
+    * contract, but reading each through `spark.read.parquet(...).
+    * collect()` costs a full driver JOB (~100 ms fixed): at T
+    * uncompacted tombstones every merged read and connector plan paid
+    * O(T) jobs — ~60 s at T=200 in the scale probe, pure scheduling
+    * overhead over kilobytes of data. This path reads the same files in
+    * ~1 ms each. Returns (typ, long keys, string keys) — exactly one
+    * side is populated, per the tombstone parquet column's type. */
+  private[graft] def readTombstoneKeys(spark: SparkSession, dir: String,
+      name: String): (String, Array[Long], Array[String]) = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val p = new Path(s"$dir/$name")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val longs = Array.newBuilder[Long]
+    val strs = Array.newBuilder[String]
+    var typ = "long"
+    for ((rel, _) <- relativeDataFiles(f, p)) {
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(p, rel))
+        .withConf(f.getConf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val t = g.getType
+          if (t.getFieldCount > 0 && t.getType(0).isPrimitive &&
+              g.getFieldRepetitionCount(0) > 0) {
+            t.getType(0).asPrimitiveType().getPrimitiveTypeName match {
+              case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                typ = "string"; strs += g.getString(0, 0)
+              case INT64 => longs += g.getLong(0, 0)
+              case INT32 => longs += g.getInteger(0, 0).toLong
+              case _ => () // nothing else is ever written by publishTombstone
+            }
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    (typ, longs.result(), strs.result())
+  }
+
+  /** The tombstone's key COLUMN NAME, from the first data file's footer
+    * — one footer open, no Spark job. */
+  private[graft] def tombstoneKeyCol(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
+    val p = new Path(s"$dir/$name")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    relativeDataFiles(f, p).headOption.map { case (rel, _) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p, rel), f.getConf))
+      try r.getFileMetaData.getSchema.getFields.get(0).getName
+      finally r.close()
+    }
+  }
+
   /** Deterministic 8-hex-char digest of a purge's key SET (md5 of the
     * sorted distinct keys, comma-joined) — rides in the rewrite dir name
     * so two purges of DIFFERENT key sets planned at the same base
@@ -1383,9 +1437,16 @@ object AtomicWarehouse {
       // tombstones are key lists, not data — never rewrite targets (a
       // tombstone listing a CoW-purged key stays; suppressing already-
       // removed rows is a no-op)
-      val affected = base.filter(e => !isTombstone(e.name) &&
-        keys.exists(k =>
-          scanListForPointTyped(Seq(e), key, typ, k).nonEmpty)).map(_.name)
+      // per-entry pruning verdict with the blooms deserialized ONCE per
+      // entry ([[pointMayHold]]) — a wide purge probes every key against
+      // every entry, and re-decoding a megabyte bloom per (entry, key)
+      // pair would dominate purge planning at real key counts
+      val affected = base.filter { e =>
+        !isTombstone(e.name) && {
+          val mayHold = pointMayHold(e, key, typ)
+          keys.exists(mayHold)
+        }
+      }.map(_.name)
       if (affected.isEmpty) return (0, 0L)
       var purged = 0L
       val rewritten: Map[String, (String, Map[String, ColStats])] =
@@ -1777,24 +1838,34 @@ object AtomicWarehouse {
     * keep the epoch (conservative). */
   def scanListForPointTyped(entries: Seq[EpochEntry], key: String,
       typ: String, v: String): Seq[EpochEntry] =
-    entries
-      .filter(_.statsFor(key, key).forall { st =>
-        (st.typ, typ) match {
+    entries.filter(e => pointMayHold(e, key, typ)(v))
+
+  /** Per-ENTRY point-lookup verdict, curried so the expensive part —
+    * deserializing the entry's Bloom filters (megabytes of base64) —
+    * happens ONCE per entry however many keys are probed against it:
+    * a purge of k keys over E entries costs O(E) deserializations +
+    * O(E·k) cheap probes, not O(E·k) deserializations. */
+  private[graft] def pointMayHold(e: EpochEntry, key: String,
+      typ: String): String => Boolean = {
+    val st = e.statsFor(key, key)
+    val longBloom =
+      e.stats.get(bloomStatsCol(key)).map(s => deserializeBloom(s.mn))
+    val strBloom =
+      if (typ != "string") None
+      else e.stats.get(bloomStrStatsCol(key)).map(s => deserializeBloom(s.mn))
+    (v: String) => {
+      val statsOk = st.forall { s =>
+        (s.typ, typ) match {
           case ("long", "string") =>
-            v.toLongOption.exists(l => st.mayIntersect(l.toString, l.toString))
-          case _ => st.mayIntersect(v, v)
+            v.toLongOption.exists(l => s.mayIntersect(l.toString, l.toString))
+          case _ => s.mayIntersect(v, v)
         }
-      })
-      .filter { e =>
-        val longOk = e.stats.get(bloomStatsCol(key)).forall { st =>
-          v.toLongOption.forall(l => deserializeBloom(st.mn).mightContain(l))
-        }
-        val strOk = typ != "string" ||
-          e.stats.get(bloomStrStatsCol(key)).forall { st =>
-            deserializeBloom(st.mn).mightContainString(v)
-          }
-        longOk && strOk
       }
+      statsOk &&
+        longBloom.forall(b => v.toLongOption.forall(b.mightContain)) &&
+        strBloom.forall(_.mightContainString(v))
+    }
+  }
 
   /** Manifest column slot a key's bloom rides in — distinct from the
     * key's min/max slot so both coexist in one entry. */

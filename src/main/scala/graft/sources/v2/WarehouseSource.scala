@@ -496,24 +496,19 @@ object WarehouseConnector {
       keys: Array[Long], strKeys: Array[String] = Array.empty)
 
   /** Load every tombstone entry's key list, tagged with its manifest
-    * position. One tiny parquet read per tombstone. */
+    * position. DRIVER-SIDE parquet reads
+    * ([[AtomicWarehouse.readTombstoneKeys]]) — zero Spark jobs, so scan
+    * PLANNING stays flat in tombstone count (a collect() per tombstone
+    * cost ~100 ms of job overhead each; at T uncompacted tombstones
+    * that was O(T×100ms) of pure scheduling per plan). */
   def loadTombstones(spark: SparkSession, dir: String,
       allEntries: Seq[EpochEntry]): Seq[TombstoneKeys] =
     allEntries.zipWithIndex.collect {
       case (e, i) if AtomicWarehouse.isTombstone(e.name) =>
-        val df = spark.read.parquet(s"$dir/${e.name}")
-        val kf = df.schema.fields.head
-        val c = org.apache.spark.sql.functions.col(kf.name)
-        kf.dataType match {
-          case StringType =>
-            TombstoneKeys(i, kf.name, Array.empty,
-              df.select(c.cast("string")).na.drop()
-                .collect().map(_.getString(0)))
-          case _ =>
-            TombstoneKeys(i, kf.name,
-              df.select(c.cast("long")).na.drop()
-                .collect().map(_.getLong(0)))
-        }
+        val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, e.name)
+          .getOrElse("")
+        val (_, ls, ss) = AtomicWarehouse.readTombstoneKeys(spark, dir, e.name)
+        TombstoneKeys(i, keyCol, ls, ss)
     }
 
   /** The key-drop lists a file of the entry at `pos` must apply: every

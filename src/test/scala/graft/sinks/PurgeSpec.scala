@@ -394,6 +394,39 @@ class PurgeSpec extends SparkSuite {
     assert(AtomicWarehouse.read(spark, dir, "vid").count() == 49)
   }
 
+  test("tombstone key lists load DRIVER-SIDE: zero Spark jobs") {
+    val dir = freshDir("dv_zerojob")
+    commit(dir, 1, 30, 1L)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(3L, 9L))
+    AtomicWarehouse.purgeKeysDeferredStr(spark, dir, "k", Seq("12"))
+    val entries = AtomicWarehouse.committedEntriesAt(spark, dir,
+      AtomicWarehouse.currentVersion(spark, dir))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val tombs = graft.sources.v2.WarehouseConnector
+        .loadTombstones(spark, dir, entries)
+      assert(tombs.map(_.keys.length).sum == 2)
+      assert(tombs.map(_.strKeys.length).sum == 1)
+      assert(tombs.forall(_.keyCol == "k"))
+      // listener delivery is async: poll until stable before asserting
+      val deadline = System.currentTimeMillis() + 3000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && jobs.get() != last) {
+        last = jobs.get(); Thread.sleep(150)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a collect() per tombstone costs a ~100 ms Spark job EACH — at T
+    // uncompacted tombstones that made every plan O(T) jobs; the
+    // driver-side parquet read must schedule none
+    assert(jobs.get() == 0, s"loadTombstones ran ${jobs.get()} Spark jobs")
+  }
+
   test("long and string tombstones coexist in one manifest") {
     val dir = freshDir("mixed_tombs")
     // long-typed key column, long tombstone first, then a string
