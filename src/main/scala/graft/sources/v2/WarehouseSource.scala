@@ -951,7 +951,6 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
           .filter(file => all.forall(fileMayMatch(file, _)))
         files.map(file =>
           WarehouseFilePartition(file.path, file.partValues.toArray,
-            dropsFor(tombstones, posOf(file.epoch)),
             posOf(file.epoch)): InputPartition).toArray
     }
 
@@ -959,7 +958,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     if (pushedAgg.isDefined) new WarehouseAggReaderFactory
     else new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters,
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
+        spark.sparkContext.hadoopConfiguration), tombstones)
 
   override def description(): String =
     s"graft-warehouse($dir v$resolvedVersion) " +
@@ -995,10 +994,19 @@ class WarehouseAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
+/** One data file to read. Tombstone key-drop lists are NOT carried
+  * here: at T tombstones × F files, per-partition drop arrays cost
+  * O(T·F) driver CPU to build and O(keys) serialized bytes PER TASK
+  * (~200 MB through the scheduler at the probe's T=400 × 12.8k files).
+  * The factory ships the tombstone list ONCE in the stage's task
+  * binary and derives each position's drops memoized; the partition
+  * carries only its manifest position and whether drops apply (the
+  * stream's stepped batches never apply them — a tombstone either
+  * failed the tail or was ignoreDeletes-skipped). */
 final case class WarehouseFilePartition(path: String,
     partValues: Array[(String, String)],
-    drops: Array[(String, Array[Long], Array[String])] = Array.empty,
-    pos: Int = 0)
+    pos: Int = 0,
+    applyDrops: Boolean = true)
     extends InputPartition
 
 /** Executor-side parquet decode via the public parquet-hadoop Group
@@ -1008,8 +1016,19 @@ final case class WarehouseFilePartition(path: String,
   * Hive partition values ride in from the path. */
 class WarehouseReaderFactory(required: StructType,
     filters: Array[Filter] = Array.empty,
-    hadoopConf: org.apache.spark.util.SerializableConfiguration = null)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration = null,
+    tombstones: Seq[WarehouseConnector.TombstoneKeys] = Nil)
     extends PartitionReaderFactory {
+
+  /** Per-position drop lists derived from the factory-shipped tombstone
+    * list, memoized — entries share positions, so each is computed once
+    * per executor instead of once per file on the driver. */
+  @transient private lazy val dropsByPos = new java.util.concurrent
+    .ConcurrentHashMap[Integer, Array[(String, Array[Long], Array[String])]]()
+  private def dropsAt(pos: Int): Array[(String, Array[Long], Array[String])] =
+    if (tombstones.isEmpty) Array.empty
+    else dropsByPos.computeIfAbsent(pos,
+      p => WarehouseConnector.dropsFor(tombstones, p))
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -1142,6 +1161,9 @@ class WarehouseReaderFactory(required: StructType,
       try r.getFileMetaData.getSchema finally r.close()
     }
     val partMap = p.partValues.toMap
+    val drops: Array[(String, Array[Long], Array[String])] =
+      if (p.applyDrops) dropsAt(p.pos)
+      else Array.empty
     val present: Seq[StructField] = required.fields.toSeq.filter(f =>
       f.name != WarehouseConnector.PosColumn &&
         !partMap.contains(f.name) && footerSchema.containsField(f.name))
@@ -1149,7 +1171,7 @@ class WarehouseReaderFactory(required: StructType,
     // the query didn't project them — appended to the read schema (and
     // never emitted); a column absent from this file's footer means the
     // epoch predates it, so its rows hold null keys and no drop applies
-    val dropExtra: Seq[String] = p.drops.map(_._1).toSeq.distinct
+    val dropExtra: Seq[String] = drops.map(_._1).toSeq.distinct
       .filter(c => !partMap.contains(c) && footerSchema.containsField(c) &&
         !present.exists(_.name == c))
     val projected = new MessageType("spark_schema",
@@ -1243,7 +1265,7 @@ class WarehouseReaderFactory(required: StructType,
     // rendering — a numeric column's value matches its decimal form);
     // rows with null/unparseable keys never match (null keys are never
     // purge targets).
-    val dropChecks: Array[Group => Boolean] = p.drops.flatMap {
+    val dropChecks: Array[Group => Boolean] = drops.flatMap {
       case (c, keys, strKeys) =>
         def colIdx: Int = present.indexWhere(_.name == c) match {
           case -1 =>
@@ -1390,6 +1412,12 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
 
   private def spark = SparkSession.active
   private var availableNowTarget: Option[Long] = None
+  /** The initial snapshot's tombstone list, loaded by batch 0's
+    * planInputPartitions and shipped to its reader factory (batches
+    * plan then execute sequentially; stepped partitions never apply
+    * drops, so a later refresh cannot change served results). */
+  @volatile private var snapshotTombs: Seq[WarehouseConnector.TombstoneKeys] =
+    Nil
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(AtomicWarehouse.currentVersion(spark, dir))
@@ -1463,12 +1491,13 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     val byName = allEntries.map(en => en.name -> en).toMap
     // batch 0's INITIAL SNAPSHOT applies tombstones as scan-time key
     // drops (its contract is the warehouse's logical content); stepped
-    // batches never carry drops — a tombstone addition either failed
-    // the tail loudly or was ignoreDeletes-skipped above
+    // batches never apply drops — a tombstone addition either failed
+    // the tail loudly or was ignoreDeletes-skipped above. The tombstone
+    // LIST ships once per stage via the reader factory; partitions
+    // carry only (pos, applyDrops).
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
-    val tombs =
-      if (s == 0L) WarehouseConnector.loadTombstones(spark, dir, allEntries)
-      else Nil
+    if (s == 0L)
+      snapshotTombs = WarehouseConnector.loadTombstones(spark, dir, allEntries)
     entriesToServe(s, e)
       .filter(n => byName.get(n).forall(en =>
         pruneFilters.forall(fl =>
@@ -1478,8 +1507,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n)))
       .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
       .map(file => WarehouseFilePartition(file.path, file.partValues.toArray,
-        WarehouseConnector.dropsFor(tombs, posOf.getOrElse(file.epoch, 0)),
-        posOf.getOrElse(file.epoch, 0))
+        posOf.getOrElse(file.epoch, 0), applyDrops = s == 0L)
         : InputPartition).toArray
   }
 
@@ -1502,7 +1530,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         IntegerType, nullable = false))
     new WarehouseReaderFactory(served, pruneFilters,
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
+        spark.sparkContext.hadoopConfiguration), snapshotTombs)
   }
 
   override def commit(end: StreamOffset): Unit = ()
