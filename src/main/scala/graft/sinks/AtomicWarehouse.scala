@@ -928,9 +928,12 @@ object AtomicWarehouse {
     // [[footerStatsOf]]'s auto contract), so an ad-hoc predicate on a
     // column the writer never anticipated still prunes epochs without
     // the writer having declared it. Free at commit time (the footers
-    // are already read); manifest growth stays O(cols) with string
-    // bounds capped at [[MaxAutoStatsLen]]. Auto stats ride the footer
-    // fast path ONLY — they are an optimization, never worth a scan.
+    // are already read; AutoStatsSpec pins a 30-column commit at ONE
+    // Spark job — the write itself); manifest growth stays O(cols)
+    // with string bounds capped at [[MaxAutoStatsLen]] — measured FLAT
+    // at 2806→2811 bytes/entry from 100→1000 entries (BENCH.md,
+    // "Round 10 probes"). Auto stats ride the footer fast path ONLY —
+    // they are an optimization, never worth a scan.
     val schema0 = {
       val p = new Path(path)
       graft.sources.v2.WarehouseConnector
@@ -1318,7 +1321,37 @@ object AtomicWarehouse {
     * overhead over kilobytes of data. This path reads the same files in
     * ~1 ms each. Returns (typ, long keys, string keys) — exactly one
     * side is populated, per the tombstone parquet column's type. */
+  /** Session-wide tombstone key-list cache. Tombstone dirs are
+    * publish-once immutable (their names encode base version + key-set
+    * digest, and vacuum only destroys dirs no manifest references — a
+    * cached entry a reader can still ask for is never deleted), so the
+    * bytes are read ONCE per (dir, entry) however many plans consult
+    * them: at T uncompacted tombstones every query plan re-read all T
+    * key lists (~45 ms each of fs metadata + footer + page reads — the
+    * scale probe's residual O(T) plan slope); with the cache only the
+    * FIRST plan pays, and in parallel. Bounded LRU, same shape as the
+    * connector's schema cache. */
+  private val TombCacheMax = 4096
+  private val tombCache = new java.util.LinkedHashMap[
+      String, (String, Array[Long], Array[String])](64, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        String, (String, Array[Long], Array[String])]): Boolean =
+      size() > TombCacheMax
+  }
+
   private[graft] def readTombstoneKeys(spark: SparkSession, dir: String,
+      name: String): (String, Array[Long], Array[String]) = {
+    val cacheKey = s"$dir/$name"
+    tombCache.synchronized {
+      val hit = tombCache.get(cacheKey)
+      if (hit != null) return hit
+    }
+    val computed = readTombstoneKeysUncached(spark, dir, name)
+    tombCache.synchronized(tombCache.put(cacheKey, computed))
+    computed
+  }
+
+  private def readTombstoneKeysUncached(spark: SparkSession, dir: String,
       name: String): (String, Array[Long], Array[String]) = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -1354,19 +1387,23 @@ object AtomicWarehouse {
   }
 
   /** The tombstone's key COLUMN NAME, from the first data file's footer
-    * — one footer open, no Spark job. */
+    * — one footer open, no Spark job; cached like the key lists
+    * (publish-once immutability). */
+  private val tombColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
   private[graft] def tombstoneKeyCol(spark: SparkSession, dir: String,
-      name: String): Option[String] = {
-    val p = new Path(s"$dir/$name")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    relativeDataFiles(f, p).headOption.map { case (rel, _) =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(p, rel), f.getConf))
-      try r.getFileMetaData.getSchema.getFields.get(0).getName
-      finally r.close()
-    }
-  }
+      name: String): Option[String] =
+    tombColCache.computeIfAbsent(s"$dir/$name", _ => {
+      val p = new Path(s"$dir/$name")
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      relativeDataFiles(f, p).headOption.map { case (rel, _) =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p, rel), f.getConf))
+        try r.getFileMetaData.getSchema.getFields.get(0).getName
+        finally r.close()
+      }
+    })
 
   /** Deterministic 8-hex-char digest of a purge's key SET (md5 of the
     * sorted distinct keys, comma-joined) — rides in the rewrite dir name

@@ -502,14 +502,25 @@ object WarehouseConnector {
     * cost ~100 ms of job overhead each; at T uncompacted tombstones
     * that was O(T×100ms) of pure scheduling per plan). */
   def loadTombstones(spark: SparkSession, dir: String,
-      allEntries: Seq[EpochEntry]): Seq[TombstoneKeys] =
-    allEntries.zipWithIndex.collect {
-      case (e, i) if AtomicWarehouse.isTombstone(e.name) =>
+      allEntries: Seq[EpochEntry]): Seq[TombstoneKeys] = {
+    val tombs = allEntries.zipWithIndex.filter(p =>
+      AtomicWarehouse.isTombstone(p._1.name))
+    if (tombs.isEmpty) return Nil
+    // cache misses (first plan after a purge) load in PARALLEL — each
+    // read is ~45 ms of fs round-trips, serial loading made the first
+    // plan O(T × 45 ms); repeat plans hit the engine's tombstone cache
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.traverse(tombs) { case (e, i) =>
+      Future {
         val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, e.name)
           .getOrElse("")
-        val (_, ls, ss) = AtomicWarehouse.readTombstoneKeys(spark, dir, e.name)
+        val (_, ls, ss) =
+          AtomicWarehouse.readTombstoneKeys(spark, dir, e.name)
         TombstoneKeys(i, keyCol, ls, ss)
-    }
+      }
+    }, scala.concurrent.duration.Duration(600, "s"))
+  }
 
   /** The key-drop lists a file of the entry at `pos` must apply: every
     * tombstone ordered AFTER it, grouped by key column, split by key
