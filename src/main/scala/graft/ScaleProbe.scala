@@ -43,6 +43,7 @@ object ScaleProbe {
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "manifest") { manifestProbe(spark, base, k); spark.stop(); return }
+    if (mode == "foldprofile") { foldProfile(spark, base, k); spark.stop(); return }
     if (mode == "tombstone") { tombstoneProbe(spark, base, k); spark.stop(); return }
     if (mode == "connstream") { connStreamProbe(spark, sfDir, base, k); spark.stop(); return }
     val docs = Tables.documents(spark, sfDir)
@@ -256,6 +257,48 @@ object ScaleProbe {
       f"post-compact read ($n rows): $tRead%.1f s | " +
       f"vacuum (${dropped._1} manifests, ${dropped._2} dirs): $tVacuum%.1f s |")
     require(n == k.toLong * rowsPerEpoch, s"row count drifted: $n")
+  }
+
+  /** FOLD-COST breakdown at k unfolded epochs: where does a
+    * pathologically-deferred compaction's wall time go — the merged
+    * READ of k small epochs (k × files-per-epoch tasks), the WRITE of
+    * the snapshot, or the commit machinery (stats + manifest CAS)?
+    * Run once per shape question; the manifest probe reports only the
+    * total. Two epoch shapes: the default 32-files-per-epoch (local[32]
+    * range parallelism — the worst case the manifest probe measures)
+    * and a single-file variant (`coalesce(1)`) that isolates task-count
+    * overhead from entry-count overhead. */
+  private def foldProfile(spark: SparkSession, base: String, k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    println("| epoch shape | build s | merged-read count s | snapshot write s | full compact s |")
+    println("|---|---|---|---|---|")
+    for ((shape, onePart) <- Seq(("32 files/epoch", false),
+        ("1 file/epoch", true))) {
+      val wh = s"$base/fp_${if (onePart) 1 else 32}"
+      val (_, tBuild) = timeIt {
+        (1 to k).foreach { seq =>
+          val df0 = spark.range(100).select(
+            (col("id") + (seq - 1L) * 100).as("key"),
+            lit(seq.toLong).as("load_seq"))
+          AtomicWarehouse.commitEpoch(spark, wh,
+            if (onePart) df0.coalesce(1) else df0, seq.toLong,
+            statsKey = Some("key"))
+        }
+      }
+      val (n, tCount) = timeIt(
+        AtomicWarehouse.read(spark, wh, "key").count())
+      require(n == k * 100L, s"row drift: $n")
+      val (_, tWrite) = timeIt(
+        AtomicWarehouse.read(spark, wh, "key").write
+          .mode("overwrite").parquet(s"$wh/_fp_out"))
+      val (_, tCompact) = timeIt(
+        AtomicWarehouse.compact(spark, wh, "key", statsKey = Some("key")))
+      println(f"| $shape | $tBuild%.1f | $tCount%.1f | $tWrite%.1f | " +
+        f"$tCompact%.1f |")
+    }
   }
 
   /** TOMBSTONE-AT-SCALE probe: how does the deferred-purge read path
