@@ -1331,13 +1331,24 @@ object AtomicWarehouse {
     * scale probe's residual O(T) plan slope); with the cache only the
     * FIRST plan pays, and in parallel. Bounded LRU, same shape as the
     * connector's schema cache. */
-  private val TombCacheMax = 4096
+  /** BYTE budget, not entry count: at the documented 100k-key tombstone
+    * ceiling a single key list is ~1 MB (longs) to tens of MB (long
+    * strings) — an entry-count bound (the round-10 shape, 4096 entries)
+    * could pin multiple GB on the driver for the process lifetime.
+    * 256 MB holds hundreds of ceiling-sized lists (compaction folds
+    * tombstones away long before that), and eviction re-reads are the
+    * pre-cache transient cost, not a correctness event. */
+  private val TombCacheMaxBytes: Long = 256L << 20
+  private var tombCacheBytes: Long = 0L
   private val tombCache = new java.util.LinkedHashMap[
-      String, (String, Array[Long], Array[String])](64, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        String, (String, Array[Long], Array[String])]): Boolean =
-      size() > TombCacheMax
-  }
+      String, (String, Array[Long], Array[String])](64, 0.75f, true)
+
+  /** Estimated retained bytes of a cached key list (array payload +
+    * per-String object overhead; exactness is irrelevant — the budget
+    * only has to scale with reality). */
+  private def tombEntryBytes(e: (String, Array[Long], Array[String])): Long =
+    64L + 8L * e._2.length +
+      e._3.foldLeft(0L)((a, s) => a + 48L + 2L * s.length)
 
   private[graft] def readTombstoneKeys(spark: SparkSession, dir: String,
       name: String): (String, Array[Long], Array[String]) = {
@@ -1347,7 +1358,20 @@ object AtomicWarehouse {
       if (hit != null) return hit
     }
     val computed = readTombstoneKeysUncached(spark, dir, name)
-    tombCache.synchronized(tombCache.put(cacheKey, computed))
+    tombCache.synchronized {
+      if (!tombCache.containsKey(cacheKey)) {
+        tombCache.put(cacheKey, computed)
+        tombCacheBytes += tombEntryBytes(computed)
+        val it = tombCache.entrySet().iterator()
+        while (tombCacheBytes > TombCacheMaxBytes && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != cacheKey) { // never evict the fresh entry
+            tombCacheBytes -= tombEntryBytes(eldest.getValue)
+            it.remove()
+          }
+        }
+      }
+    }
     computed
   }
 
@@ -1406,19 +1430,26 @@ object AtomicWarehouse {
     })
 
   /** Deterministic 8-hex-char digest of a purge's key SET (md5 of the
-    * sorted distinct keys, comma-joined) — rides in the rewrite dir name
-    * so two purges of DIFFERENT key sets planned at the same base
-    * version can never adopt each other's rewrite: same-name adoption is
-    * sound only for deterministic recomputations, which a keyed purge is
-    * only when the name pins the keys. Expressible in ANSI SQL
-    * (`substr(md5(string_agg(k, ',' ORDER BY k)), 1, 8)`) so oracles can
-    * predict the name. */
+    * sorted distinct keys, URL-encoded then comma-joined) — rides in the
+    * rewrite dir name so two purges of DIFFERENT key sets planned at the
+    * same base version can never adopt each other's rewrite: same-name
+    * adoption is sound only for deterministic recomputations, which a
+    * keyed purge is only when the name pins the keys. The per-key
+    * URL-encoding makes the join INJECTIVE for string keys — a bare
+    * comma-join would alias distinct sets (`{"a,b"}` vs `{"a","b"}`),
+    * letting a second purge's manifest commit mistake the first's entry
+    * for an identical replay and silently tombstone nothing. Long-key
+    * digests are unchanged (decimal renderings encode to themselves),
+    * and those stay expressible in ANSI SQL
+    * (`substr(md5(string_agg(k, ',' ORDER BY k)), 1, 8)`). */
   private[sinks] def purgeDigest(keys: Seq[Long]): String =
     digestOf(keys.distinct.sorted.map(_.toString))
 
   private[sinks] def digestOf(sortedDistinctKeys: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sortedDistinctKeys.mkString(",").getBytes("UTF-8"))
+      .digest(sortedDistinctKeys
+        .map(k => java.net.URLEncoder.encode(k, "UTF-8"))
+        .mkString(",").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)
 
   /** The deletion lattice's TYPED KEYS: every tombstone/purge key list
@@ -1440,6 +1471,18 @@ object AtomicWarehouse {
       case _ => keys.distinct.sortWith(utf8Cmp(_, _) < 0)
     }
   }
+
+  /** String → long accepting EXACTLY what Spark's `try_cast(s AS LONG)`
+    * accepts (`UTF8String.toLongExact`: trims ASCII whitespace, takes an
+    * optional sign, rejects fractions) — the ONE parse every driver-side
+    * and connector-side tombstone/purge check must share. The engine
+    * read paths match long tombstones via `try_cast(key as long)`, so a
+    * check parsing any other way (e.g. `String.toLongOption`, which
+    * rejects `" 7"` and `"+7"`) would disagree with the engine about
+    * which rows a tombstone suppresses. */
+  private[graft] def sparkLongCast(s: String): Option[Long] =
+    try Some(UTF8String.fromString(s).toLongExact)
+    catch { case _: NumberFormatException => None }
 
   /** The key column cast to the purge keys' comparison type. The long
     * cast is a TRY-cast: under ANSI (Spark 4's default) a plain cast
@@ -1859,9 +1902,14 @@ object AtomicWarehouse {
     *
     *  - matching types: compare as the stats do (numeric / UTF-8 bytes);
     *  - long lookup vs STRING stats (an all-string drained warehouse):
-    *    lexicographic compare of the canonical rendering — sound because
-    *    the stats bounds were computed over the same renderings, so a
-    *    member value's rendering always lies within them;
+    *    the zone map is INCONCLUSIVE — the rewrite/read predicate is
+    *    `try_cast(key as long)`, which also matches NON-canonical
+    *    renderings (`"07"`, `" 7"`, `"+7"`) that can fall outside the
+    *    lexicographic bounds of the canonical one, so pruning on the
+    *    canonical rendering would silently skip epochs holding such
+    *    rows (a compliance-delete miss). The epoch is kept and the LONG
+    *    bloom — which hashes `cast(key as long)` and is therefore
+    *    rendering-insensitive — is the pruning that remains;
     *  - string lookup vs LONG stats: the epoch's key column was integral
     *    at commit, so its cast-to-string renderings are canonical
     *    decimals — a non-numeric lookup provably matches nothing, a
@@ -1895,6 +1943,9 @@ object AtomicWarehouse {
         (s.typ, typ) match {
           case ("long", "string") =>
             v.toLongOption.exists(l => s.mayIntersect(l.toString, l.toString))
+          case ("string", "long") => true // inconclusive: try_cast matches
+          // non-canonical renderings outside the lexicographic bounds —
+          // the long bloom below prunes instead (hash of the CAST value)
           case _ => s.mayIntersect(v, v)
         }
       }

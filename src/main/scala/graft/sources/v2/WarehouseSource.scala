@@ -1294,7 +1294,9 @@ class WarehouseReaderFactory(required: StructType,
             }
             partMap.get(c) match {
               case Some(raw) => // constant per file: all rows match or none
-                raw.toLongOption match {
+                // parse as the ENGINE matches long tombstones —
+                // try_cast semantics (trim + sign), not toLongOption
+                AtomicWarehouse.sparkLongCast(raw) match {
                   case Some(v) if keySet.contains(v) =>
                     Some((_: Group) => true)
                   case _ => None
@@ -1309,7 +1311,12 @@ class WarehouseReaderFactory(required: StructType,
                     case INT64 => g => Some(g.getLong(idx, 0))
                     case INT32 => g => Some(g.getInteger(idx, 0).toLong)
                     case BINARY | FIXED_LEN_BYTE_ARRAY => // all-string drains
-                      g => g.getString(idx, 0).toLongOption
+                      // MUST mirror the engine's `try_cast(key as long)`
+                      // (trim + sign): String.toLongOption would keep a
+                      // `" 7"` row a long-7 tombstone suppresses in
+                      // engine reads — connector and engine disagreeing
+                      // on served rows
+                      g => AtomicWarehouse.sparkLongCast(g.getString(idx, 0))
                     case _ => _ => None
                   }
                   Some((g: Group) => g.getFieldRepetitionCount(idx) > 0 &&

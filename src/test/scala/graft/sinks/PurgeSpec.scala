@@ -441,4 +441,54 @@ class PurgeSpec extends SparkSuite {
     assert(log.count() == 28)
     assert(log.where(col("k").isin(5L, 9L)).isEmpty)
   }
+
+  test("long purge over string epochs reaches non-canonical renderings") {
+    // the rewrite predicate is try_cast(key as long): " 7", "+7" and
+    // "07" all match key 7 even though they fall OUTSIDE the
+    // lexicographic zone-map bounds of the canonical "7" — the string
+    // zone map must therefore be INCONCLUSIVE for a long lookup (the
+    // round-10 comparator pruned such epochs and silently left the
+    // rows behind, a compliance-delete miss)
+    val dir = freshDir("noncanon")
+    val df = Seq((" 7", "a", 1L), ("+7", "b", 1L), ("07", "c", 1L),
+      ("8", "d", 1L), ("x9", "e", 1L)).toDF("k", "name", "load_seq")
+    AtomicWarehouse.commitEpoch(spark, dir, df, 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val (_, purged) = AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(7L),
+      statsKey = Some("k"), bloomKey = Some("k"))
+    assert(purged == 3L, s"all three renderings of 7 must purge; got $purged")
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 2)
+    assert(read.where(col("k").try_cast("long") === 7L).isEmpty)
+    // the DEFERRED path must agree: connector + engine drop " 7" too
+    val dir2 = freshDir("noncanon_dv")
+    AtomicWarehouse.commitEpoch(spark, dir2, df, 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.purgeKeysDeferred(spark, dir2, "k", Seq(7L))
+    assert(AtomicWarehouse.read(spark, dir2, "k").count() == 2)
+    val log = spark.read.format("graft-warehouse").option("path", dir2)
+      .load()
+    assert(log.count() == 2, "connector drop check must parse like try_cast")
+  }
+
+  test("string tombstone digests cannot alias across key-set shapes") {
+    // {"a,b"} vs {"a","b"}: a comma-join digest would collide, and the
+    // second purge's manifest commit would see the first tombstone as an
+    // identical replay — reporting success while tombstoning nothing
+    val dir = freshDir("digest_alias")
+    val df = Seq(("a,b", 1L), ("a", 1L), ("b", 1L), ("z", 1L))
+      .toDF("k", "load_seq")
+    AtomicWarehouse.commitEpoch(spark, dir, df, 1L, statsKey = Some("k"))
+    AtomicWarehouse.purgeKeysDeferredStr(spark, dir, "k", Seq("a,b"))
+    AtomicWarehouse.purgeKeysDeferredStr(spark, dir, "k", Seq("a", "b"))
+    val tombs = AtomicWarehouse.committedEpochs(spark, dir)
+      .filter(_.startsWith("tombstone_"))
+    assert(tombs.size == 2, s"distinct key sets need distinct entries: $tombs")
+    // the direct pin (sequential purges also differ by base version, so
+    // assert the digest itself): per-key URL-encoding de-aliases the join
+    assert(AtomicWarehouse.digestOf(Seq("a,b")) !=
+      AtomicWarehouse.digestOf(Seq("a", "b")))
+    assert(AtomicWarehouse.read(spark, dir, "k").select("k")
+      .as[String].collect().toSeq == Seq("z"))
+  }
 }
