@@ -328,8 +328,9 @@ object ScaleProbe {
     }
     val totalRows = k.toLong * rowsPerEpoch
     println(s"| tombstones | keys purged | last tombstone commit ms | " +
-      "merged read s (rows) | connector plan ms | point read ms (epochs) |")
-    println("|---|---|---|---|---|---|")
+      "metadata count ms (rows) | scan read s (rows) | " +
+      "connector plan ms | point read ms (epochs) |")
+    println("|---|---|---|---|---|---|---|")
     var purgedKeys = 0L
     var committedTombs = 0
     val keysPerTomb = 5
@@ -356,8 +357,19 @@ object ScaleProbe {
         }.distinct
         totalRows - all.size
       }
+      // metadata COUNT: tombstones record newly-suppressed totals at
+      // commit, so count(*) stays a manifest subtraction at ANY T — and
+      // the equality tripwire validates the suppression bookkeeping
+      val (metaRows, tMeta) = timeIt(
+        spark.read.format("graft-warehouse").option("path", wh).load()
+          .count())
+      require(metaRows == expected,
+        s"metadata count drifted at T=$committedTombs: $metaRows != $expected")
       val ((rows, planMs), tRead) = timeIt {
         val df = spark.read.format("graft-warehouse").option("path", wh).load()
+          // an always-true pushed filter defeats the agg pushdown, so
+          // this measures the SCANNED read path the probe always did
+          .where(col("key") >= 0L)
         val (_, tPlan) = timeIt(df.queryExecution.executedPlan)
         (df.count(), tPlan * 1000)
       }
@@ -381,6 +393,7 @@ object ScaleProbe {
       require(opened <= 2,
         s"point read stopped pruning under tombstones: $opened data epochs")
       println(f"| $committedTombs | $purgedKeys | ${lastCommit * 1000}%.0f | " +
+        f"${tMeta * 1000}%.0f ($metaRows) | " +
         f"$tRead%.1f ($rows) | $planMs%.0f | ${tPoint * 1000}%.0f ($opened) |")
     }
     // compact must FOLD every tombstone away: T is bounded by cadence

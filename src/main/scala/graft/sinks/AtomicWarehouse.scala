@@ -175,6 +175,23 @@ object AtomicWarehouse {
     * bytes even when an epoch carries document-sized text columns. */
   private[graft] val MaxAutoStatsLen = 64
 
+  /** Reserved stats slot on TOMBSTONE entries: the total number of
+    * log-view rows this tombstone NEWLY suppresses (rows matching its
+    * keys in earlier data entries that no earlier tombstone already
+    * suppressed), recorded at commit time when the rows are cheap to
+    * count (the affected epochs are bloom/zone-pruned). Its presence on
+    * EVERY tombstone keeps the connector's metadata-only `COUNT(*)`
+    * exact at T > 0 — without it, any tombstone forced a full scan
+    * (0.6 s manifest answer vs 28 s scan in the round-10 probe). */
+  private[graft] val SuppTotalStat = "#supp"
+
+  /** Per-epoch slice of [[SuppTotalStat]]: rows newly suppressed in
+    * manifest entry `entry` — lets estimateStatistics subtract
+    * suppression for exactly the epochs a pruned scan plans. Only
+    * nonzero slices are recorded (sparse: a targeted purge touches few
+    * epochs). */
+  private[graft] def suppStatsCol(entry: String) = s"supp($entry)"
+
   /** Can a column of this type carry sound zone-map stats? Integral
     * types compare numerically; string/date/timestamp render to strings
     * that sort in value order. Fractional types can NOT ("10.0" < "9.0"
@@ -318,40 +335,48 @@ object AtomicWarehouse {
     mergedRead(spark, dir, key, entries, entries.map(_.name).toSet)
   }
 
-  /** Union `entries` (reading only `scanned` ones in full; the rest
-    * contribute 0 rows via footer-only `limit(0)` reads so the result
-    * SCHEMA never depends on which epochs were pruned — an additively-
-    * evolved column living only in skipped epochs must still appear) and
-    * apply the keyed last-wins merge. */
+  /** Union `entries` (scanning only `scanned` ones; pruned entries
+    * contribute their SCHEMA only, so the result never depends on which
+    * epochs were pruned — an additively-evolved column living only in
+    * skipped epochs must still appear) and apply the keyed last-wins
+    * merge. */
   private def mergedRead(spark: SparkSession, dir: String, key: String,
       entries: Seq[EpochEntry], scanned: Set[String],
       preFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val union = logViewWithPos(spark, dir, key, entries, scanned)
+    // the range predicate applies BELOW the merge window: a filter above
+    // it could never push past the Window (its partitioning is the merge
+    // key, not the filtered column), which would defeat partition and
+    // row-group pruning entirely. Pre-merge filtering is result-identical
+    // exactly under the contracts the range readers already carry — the
+    // filtered column is version-stable per key, so the filter drops ALL
+    // versions of a key or none and the merge winner is unchanged.
+    val filtered = preFilter.map(union.where).getOrElse(union)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("load_seq").desc, col("__pos").desc)
+    filtered.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn", "__pos")
+  }
+
+  /** The LOG view with its manifest position: the committed-epoch union
+    * (tombstones already applied) BEFORE the last-wins window, `__pos`
+    * retained — the shared substrate of [[mergedRead]] and the
+    * tombstone-commit suppression count ([[suppressionStats]]), which
+    * must count exactly the rows a read would serve. */
+  private def logViewWithPos(spark: SparkSession, dir: String, key: String,
+      entries: Seq[EpochEntry], scanned: Set[String]): DataFrame = {
     val (tombs, data) = entries.partition(e => isTombstone(e.name))
     require(data.nonEmpty,
       s"warehouse at $dir holds only tombstone entries — no data to read")
-    def dataDf(e: EpochEntry) = {
-      // the manifest-recorded (or cached footer-derived) schema skips
-      // Spark's per-epoch inference JOB — without it a 1000-epoch union
-      // pays 1000 driver jobs before the first task runs (the
-      // manifest-scale probe's finding); epoch dirs are publish-once
-      // immutable, so both sources are sound for the session
-      val df = spark.read
-        .schema(graft.sources.v2.WarehouseConnector
-          .entrySchema(spark, dir, e))
-        .parquet(s"$dir/${e.name}")
-      if (scanned.contains(e.name)) df else df.limit(0)
-    }
-    // every entry carries its MANIFEST POSITION (a per-entry literal —
-    // free): tombstones anti-join against it, and the merge window uses
-    // it as the load_seq TIEBREAKER. A tie is reachable since SQL MERGE
+    // every row carries its entry's MANIFEST POSITION (`__pos`):
+    // tombstones anti-join against it, and the merge window uses it as
+    // the load_seq TIEBREAKER. A tie is reachable since SQL MERGE
     // self-assigns load_seq in its own entry namespace: a drain whose
     // external counter lands on the same seq commits fine (distinct
     // entry name), and manifest order — commit order — decides the
     // winner deterministically, matching wall-clock last-wins.
     val posOf = entries.map(_.name).zipWithIndex.toMap
-    val union0 = data.map(e =>
-        dataDf(e).withColumn("__pos", lit(posOf(e.name))))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val union0 = unionOfEpochs(spark, dir, data, scanned, posOf)
     val union =
       if (tombs.isEmpty) union0
       else {
@@ -393,18 +418,138 @@ object AtomicWarehouse {
           col(key).cast("string") === col("__tks") &&
             col("__tspos") > col("__pos"), "left_anti")
       }
-    // the range predicate applies BELOW the merge window: a filter above
-    // it could never push past the Window (its partitioning is the merge
-    // key, not the filtered column), which would defeat partition and
-    // row-group pruning entirely. Pre-merge filtering is result-identical
-    // exactly under the contracts the range readers already carry — the
-    // filtered column is version-stable per key, so the filter drops ALL
-    // versions of a key or none and the merge winner is unchanged.
-    val filtered = preFilter.map(union.where).getOrElse(union)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("load_seq").desc, col("__pos").desc)
-    filtered.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn", "__pos")
+    union
+  }
+
+  /** The committed-epoch union as ONE native parquet relation per
+    * distinct epoch SCHEMA (almost always exactly one), not one per
+    * EPOCH. The per-epoch shape — `spark.read.parquet(dir/epoch)` ×
+    * manifest length folded with `unionByName` — planned an
+    * O(epochs)-relation tree whose per-relation setup dominated at
+    * scale: the round-10 fold probe measured a 1000-epoch × 32-file
+    * merged read at 918 s against 78 s for the same bytes in one
+    * relation per epoch shape (BENCH.md `foldprofile`), and `compact`
+    * (read + write) at 973 s. Here identically-schema'd epochs become
+    * ONE multi-root scan (vectorized reader, one whole-stage-codegen
+    * span, one partition-listing pass), and the per-row manifest
+    * position is recovered from `_metadata.file_name` through
+    * [[graft.functions.FilePos]] — a constant-per-file O(1) hash probe
+    * — using the file lists the manifest already records
+    * ([[FilesStat]]; commit-time walk as fallback).
+    *
+    * Grouping key is (schema, hive-partition layout): additively
+    * evolved tables yield one relation per schema generation, and a
+    * flat epoch never shares a relation with a hive-partitioned one
+    * (multi-root partition discovery requires agreeing layouts).
+    * Columns are aligned to the UNION schema over ALL data entries —
+    * scanned or pruned — in manifest order (missing columns become
+    * typed nulls), preserving the exact column order and
+    * pruned-epochs-still-contribute-schema contract of the legacy
+    * `unionByName(allowMissingColumns = true)` fold.
+    *
+    * Falls back to the per-epoch fold when its preconditions fail —
+    * a column name committed under two different types (legacy
+    * unionByName coercion semantics apply) or a duplicate part-file
+    * NAME across epochs (never produced by Spark writers, whose part
+    * names embed task UUIDs, but checked rather than assumed). */
+  private def unionOfEpochs(spark: SparkSession, dir: String,
+      data: Seq[EpochEntry], scanned: Set[String],
+      posOf: Map[String, Int]): DataFrame = {
+    import graft.sources.v2.WarehouseConnector
+    val f = fs(spark, dir)
+    val schemas: Seq[(EpochEntry, StructType)] =
+      data.map(e => e -> WarehouseConnector.entrySchema(spark, dir, e))
+    // name → type over ALL data entries, first occurrence fixing the
+    // output column order (the unionByName fold's order)
+    val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    var conflict = false
+    schemas.foreach { case (_, st) =>
+      st.fields.foreach { fld =>
+        types.get(fld.name) match {
+          case None => types(fld.name) = fld.dataType
+          case Some(t) => if (t != fld.dataType) conflict = true
+        }
+      }
+    }
+    val scannedEntries = schemas.filter { case (e, _) => scanned.contains(e.name) }
+    // FLAT epochs (every data file directly under the epoch dir — the
+    // drain/compact/merge shape) collapse into one relation per schema;
+    // HIVE-PARTITIONED epochs keep one relation each: Spark's partition
+    // discovery refuses sibling partition trees under distinct roots
+    // (CONFLICTING_DIRECTORY_STRUCTURES — each root is its own base),
+    // and dynamic-partition writes reuse part-file NAMES across a
+    // task's partition subdirs, so the name-keyed position map below is
+    // only sound for flat layouts anyway. Partitioned warehouses keep
+    // their two-level pruning; the O(epochs) relation cost the fold
+    // probe measured was the flat drain shape, which this kills.
+    val filesOf: Map[String, Seq[WarehouseConnector.WhFile]] =
+      scannedEntries.map { case (e, _) =>
+        e.name -> WarehouseConnector.entryFiles(f, dir, e)
+      }.toMap
+    val (flat, parted) = scannedEntries.partition { case (e, _) =>
+      filesOf(e.name).forall(_.partValues.isEmpty)
+    }
+    // file NAME → manifest position over the flat entries, from the
+    // manifest's recorded file lists (zero I/O; commit-time walk for
+    // legacy entries). Spark part names embed the write job's UUID, so
+    // cross-epoch collisions do not occur — checked, not assumed.
+    val posByFile = scala.collection.mutable.HashMap.empty[String, Int]
+    var dupName = false
+    flat.foreach { case (e, _) =>
+      val pos = posOf(e.name)
+      filesOf(e.name).foreach { wf =>
+        val name = wf.path.substring(wf.path.lastIndexOf('/') + 1)
+        if (posByFile.put(name, pos).exists(_ != pos)) dupName = true
+      }
+    }
+    if (conflict || dupName)
+      return legacyUnionOfEpochs(spark, dir, data, scanned, posOf)
+    val target: Seq[(String, DataType)] = types.toSeq
+    def align(df: DataFrame, have: Set[String],
+        pos: org.apache.spark.sql.Column): DataFrame =
+      df.select(target.map { case (c, dt) =>
+        if (have.contains(c)) col(c) else lit(null).cast(dt).as(c)
+      } :+ pos.as("__pos"): _*)
+    val frozen = posByFile.toMap
+    val flatParts = flat
+      .groupBy(_._2).toSeq
+      .map { case (st, es) => (es.map(_._1.name), st) }
+      .sortBy { case (names, _) => posOf(names.head) } // deterministic plan
+      .map { case (names, st) =>
+        align(
+          spark.read.schema(st).parquet(names.map(n => s"$dir/$n"): _*),
+          st.fieldNames.toSet,
+          graft.functions.FilePos(col("_metadata.file_name"), frozen))
+      }
+    val partedParts = parted.map { case (e, st) =>
+      align(spark.read.schema(st).parquet(s"$dir/${e.name}"),
+        st.fieldNames.toSet, lit(posOf(e.name)))
+    }
+    val parts = flatParts ++ partedParts
+    if (parts.isEmpty)
+      // everything pruned: an empty frame still carrying the full union
+      // schema (the contract pruning must never change)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(target.map { case (c, dt) => StructField(c, dt) } :+
+          StructField("__pos", IntegerType, nullable = false)))
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** The pre-round-11 one-relation-per-epoch fold — kept as the escape
+    * hatch for inputs outside [[unionOfEpochs]]'s preconditions. */
+  private def legacyUnionOfEpochs(spark: SparkSession, dir: String,
+      data: Seq[EpochEntry], scanned: Set[String],
+      posOf: Map[String, Int]): DataFrame = {
+    def dataDf(e: EpochEntry) = {
+      val df = spark.read
+        .schema(graft.sources.v2.WarehouseConnector
+          .entrySchema(spark, dir, e))
+        .parquet(s"$dir/${e.name}")
+      if (scanned.contains(e.name)) df else df.limit(0)
+    }
+    data.map(e => dataDf(e).withColumn("__pos", lit(posOf(e.name))))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Publish `tmp` as `dst` iff `dst` does not exist — the CAS primitive
@@ -637,7 +782,7 @@ object AtomicWarehouse {
         else if (!f.exists(epochPath)) { vanished = true; None }
         else Some(entries :+ EpochEntry(epoch, stats))
       }
-      if (!vanished) return
+      if (!vanished) { maybeAutoCompact(spark, dir); return }
       attempt += 1
       if (attempt >= MaxCommitAttempts)
         throw new java.io.IOException(
@@ -695,6 +840,7 @@ object AtomicWarehouse {
           "— a vacuum with too short a grace window is racing this write")
       else Some(entries :+ EpochEntry(epoch, stats))
     }
+    maybeAutoCompact(spark, dir)
   }
 
   /** Per-column min/max over a published data dir, in ONE aggregate pass.
@@ -1185,7 +1331,17 @@ object AtomicWarehouse {
         if (entries.exists(_.name == name)) None // identical fold already won
         else if (!entries.map(_.name).startsWith(base.map(_.name))) {
           stale = true; None // another fold replaced our base: retry on it
-        } else Some(EpochEntry(name, stats) +: entries.drop(base.size))
+        } else Some(EpochEntry(name, stats) +:
+          // a tombstone committed DURING the fold is carried over, but
+          // its suppression counts were computed against the pre-fold
+          // log view (whose per-key versions the fold collapses) — strip
+          // them so metadata COUNT refuses instead of miscounting; the
+          // next fold absorbs the tombstone entirely
+          entries.drop(base.size).map { e =>
+            if (!isTombstone(e.name)) e
+            else e.copy(stats = e.stats.filterNot { case (k, _) =>
+              k == SuppTotalStat || k.startsWith("supp(") })
+          })
       }
       if (!stale) return
       attempt += 1
@@ -1193,6 +1349,57 @@ object AtomicWarehouse {
     throw new java.io.IOException(
       s"compaction at $dir lost $MaxCommitAttempts consecutive structural " +
         "races — another maintainer is re-folding continuously")
+  }
+
+  /** ENFORCED compaction cadence — the maintenance policy the fold-cost
+    * adjudication priced (BENCH.md `foldprofile`: fold after 100 epochs
+    * = 14.8 s, after 1000 = 778 s; manifest length, not data size, is
+    * the read-planning cost): when the table's persisted conf
+    * (`_manifest/table_conf`, written by SQL `CREATE TABLE ...
+    * TBLPROPERTIES ('compactEvery'='100', 'mergeKey'='k')` or
+    * [[declareWriteDefaults]]) names a cadence AND a merge key, every
+    * commit that grows the manifest to >= `compactEvery` entries folds
+    * it down with the conf's own stats/bloom/zorder defaults — so the
+    * reference's twice-daily cron drain can run for years without
+    * anyone remembering to compact. Policy-free warehouses are
+    * untouched (maintenance stays an explicit call). A failed auto-fold
+    * propagates AFTER the commit is durable: re-running the drain
+    * replays to a no-op and re-attempts the fold — convergent, never
+    * silent. */
+  private def maybeAutoCompact(spark: SparkSession, dir: String): Unit = {
+    val conf = graft.sources.v2.WarehouseCatalog.tableConf(fs(spark, dir), dir)
+    def csv(k: String): Seq[String] = conf.get(k).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    (conf.get("compactEvery").flatMap(_.toIntOption),
+        conf.get("mergeKey")) match {
+      case (Some(every), Some(key)) if every > 1 =>
+        val n = committedEntriesAt(spark, dir,
+          currentVersion(spark, dir)).size
+        if (n >= every)
+          compact(spark, dir, key, statsKey = conf.get("statsKey"),
+            statsCols = csv("statsCols"), bloomKey = conf.get("bloomKey"),
+            zorderBy = csv("zorderBy"))
+      case _ => ()
+    }
+  }
+
+  /** Persist write defaults + maintenance policy for a warehouse born
+    * OUTSIDE SQL DDL — the same `_manifest/table_conf` CREATE TABLE
+    * publishes, with the same exclusive-create semantics (refuses when
+    * one exists: the conf is part of the table's identity, not mutable
+    * tuning — racing declarers must not silently swap policies). */
+  def declareWriteDefaults(spark: SparkSession, dir: String,
+      props: Map[String, String]): Unit = {
+    val unknown = props.keySet --
+      graft.sources.v2.WarehouseCatalog.WriteDefaultKeys
+    require(unknown.isEmpty,
+      s"unknown write-default keys: ${unknown.mkString(", ")} (allowed: " +
+        graft.sources.v2.WarehouseCatalog.WriteDefaultKeys.toSeq.sorted
+          .mkString(", ") + ")")
+    val f = fs(spark, dir)
+    requireAtomicScheme(f, dir)
+    f.mkdirs(new Path(manifestDir(dir)))
+    graft.sources.v2.WarehouseCatalog.writeTableConf(f, dir, props)
   }
 
   /** Operational report of the CURRENT snapshot — the `DESCRIBE DETAIL`
@@ -1618,12 +1825,59 @@ object AtomicWarehouse {
     require(keys.nonEmpty, "no keys to purge")
     val baseV = currentVersion(spark, dir)
     if (baseV == 0L) return 0
+    val ks = canonicalKeys(typ, keys)
     val (name, stats, n) = publishTombstone(spark, dir, key, typ, keys, baseV)
     commitManifest(spark, dir, s"tombstone of $n keys") { entries =>
       if (entries.exists(_.name == name)) None // identical replay converged
-      else Some(entries :+ EpochEntry(name, stats))
+      else Some(entries :+
+        EpochEntry(name, stats ++
+          suppressionStats(spark, dir, key, typ, ks, entries)))
     }
     n
+  }
+
+  /** Per-epoch NEWLY-suppressed row counts for a tombstone of `keys`
+    * about to be appended to `entries` — recorded in the tombstone's
+    * manifest entry ([[SuppTotalStat]] / [[suppStatsCol]]) so
+    * `COUNT(*)` stays a metadata answer while tombstones are
+    * outstanding: live rows = Σ data-entry row counts − Σ tombstone
+    * supp totals, exact because each tombstone counts only rows NO
+    * earlier tombstone already suppressed (the count runs over the same
+    * log view — prior tombstones applied, try_cast key semantics — a
+    * read serves).
+    *
+    * Cost: ONE Spark count job over the bloom/zone-PRUNED affected
+    * epochs, inside the manifest-CAS compute (so a racing drain's epoch
+    * is re-counted on retry, keeping the total coherent with the
+    * manifest the tombstone lands in). This trades the deferred purge's
+    * pure-O(keys) commit for tombstone-durable metadata counts; the
+    * pruning keeps it O(epochs that may hold the keys), and compaction
+    * folds the cost away entirely. */
+  private def suppressionStats(spark: SparkSession, dir: String,
+      key: String, typ: String, keys: Seq[String],
+      entries: Seq[EpochEntry]): Map[String, ColStats] = {
+    val zero = Map(SuppTotalStat -> ColStats("long", "0", "0"))
+    val data = entries.filterNot(e => isTombstone(e.name))
+    val affected = data.filter { e =>
+      val may = pointMayHold(e, key, typ)
+      keys.exists(may)
+    }.map(_.name).toSet
+    if (data.isEmpty || affected.isEmpty) return zero
+    val lv = logViewWithPos(spark, dir, key, entries, affected)
+    import spark.implicits._
+    val keysDf = broadcast(
+      if (typ == "long") keys.map(_.toLong).toDF("__sk")
+      else keys.toDF("__sk"))
+    val nameAt = entries.map(_.name).zipWithIndex.map(_.swap).toMap
+    val counts = lv.join(keysDf, keyCol(key, typ) === col("__sk"),
+        "left_semi")
+      .groupBy(col("__pos")).count().collect()
+      .map(r => nameAt(r.getInt(0)) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    counts.filter(_._2 > 0L).map { case (e, c) =>
+      suppStatsCol(e) -> ColStats("long", c.toString, c.toString)
+    }.toMap + (SuppTotalStat ->
+      ColStats("long", total.toString, total.toString))
   }
 
   /** Publish (but do NOT commit) a tombstone entry's key-list data dir;
@@ -1717,10 +1971,15 @@ object AtomicWarehouse {
           // (its earlier position still suppresses the same keys; the
           // merge epoch holds none of them)
           Some(if (entries.exists(_.name == tombName)) withEpoch
-          else withEpoch :+ EpochEntry(tombName, tombStats))
+          else withEpoch :+ EpochEntry(tombName, tombStats ++
+            // supp counted over the PRE-merge entries: the merge epoch
+            // holds none of the deleted keys by construction (they are
+            // exactly the target keys the source does NOT carry)
+            suppressionStats(spark, dir, key, keyTyp,
+              canonicalKeys(keyTyp, tombKeys), entries)))
         }
       }
-      if (!vanished) return
+      if (!vanished) { maybeAutoCompact(spark, dir); return }
       attempt += 1
       if (attempt >= MaxCommitAttempts)
         throw new java.io.IOException(
@@ -1992,6 +2251,17 @@ object AtomicWarehouse {
       statsCol: String, lo: String, hi: String): Seq[EpochEntry] =
     entries.filter(_.statsFor(statsCol, key).forall(_.mayIntersect(lo, hi)))
 
+  /** Default drain part-size target: one part file per ~128 MB of
+    * staged bytes, the same granule Spark's own scan split
+    * (`spark.sql.files.maxPartitionBytes`) assumes. Without it a
+    * 100-row drain run under 32 shuffle partitions writes 32 ~100-byte
+    * files, and two cron drains a day compound into the fold probe's
+    * measured cliff — 32k tiny files made the 1000-epoch merged read
+    * ~12× slower than the same bytes in right-sized parts (BENCH.md
+    * `foldprofile`). Sizing reads NOTHING extra: the staging dir's file
+    * lengths are already on the driver from the snapshot's listing. */
+  val DefaultDrainPartBytes: Long = 128L << 20
+
   /** Full drain epoch against the atomic warehouse: sanitize/all-string
     * staging (F19/F20) → atomic epoch commit → staging truncate (K7).
     * Crash anywhere and re-running the same call converges: before the
@@ -2000,23 +2270,43 @@ object AtomicWarehouse {
   def drain(spark: SparkSession, stagingDir: String, dir: String,
       seq: Long, statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit =
+      partitionBy: Seq[String] = Nil,
+      targetPartBytes: Long = DefaultDrainPartBytes): Unit =
     drainSnapshot(spark, spark.read.parquet(stagingDir), stagingDir, dir,
-      seq, statsKey, statsCols, partitionBy)
+      seq, statsKey, statsCols, partitionBy, targetPartBytes)
 
   /** [[drain]] over an ALREADY-READ staging DataFrame: the rows committed
     * are exactly the snapshot's (its parquet file listing is pinned when
     * the DataFrame is created, so a concurrent staging writer's later
     * files are invisible to it) — the seam [[Constraints.drainChecked]]
     * uses so the rows it CHECKED are bit-identical to the rows DRAINED,
-    * with no second directory read between check and commit. */
+    * with no second directory read between check and commit.
+    *
+    * `targetPartBytes` sizes the epoch's part files from the staging
+    * dir's byte total: the epoch is coalesced to
+    * ceil(stagedBytes / target) partitions (never repartitioned — a
+    * drain must not buy even part sizes with an extra shuffle of the
+    * delta; the scan split already bounds partition size from above).
+    * 0 disables sizing (the write keeps its upstream partitioning). */
   def drainSnapshot(spark: SparkSession, staging: DataFrame,
       stagingDir: String, dir: String, seq: Long,
       statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit = {
-    val staged = Warehouse.allString(Warehouse.sanitizeColumns(staging))
+      partitionBy: Seq[String] = Nil,
+      targetPartBytes: Long = DefaultDrainPartBytes): Unit = {
+    val staged0 = Warehouse.allString(Warehouse.sanitizeColumns(staging))
       .withColumn("load_seq", lit(seq))
+    val staged =
+      if (targetPartBytes <= 0) staged0
+      else {
+        val f = fs(spark, stagingDir)
+        val p = new Path(stagingDir)
+        val bytes =
+          if (f.exists(p)) relativeDataFiles(f, p).map(_._2).sum else 0L
+        val parts = math.max(1L,
+          (bytes + targetPartBytes - 1) / targetPartBytes)
+        staged0.coalesce(math.min(parts, Int.MaxValue.toLong).toInt)
+      }
     commitEpoch(spark, dir, staged, seq, statsKey, statsCols, partitionBy)
     Warehouse.truncate(spark, stagingDir)
   }

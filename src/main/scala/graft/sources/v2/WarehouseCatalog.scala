@@ -241,7 +241,8 @@ object WarehouseCatalog {
     * the connector write options, so `INSERT INTO` drains behave as if
     * every write carried them. */
   val WriteDefaultKeys: Set[String] = Set("mergeKey", "statsKey",
-    "statsCols", "bloomKey", "clusterBy", "zorderBy", "writePartitions")
+    "statsCols", "bloomKey", "clusterBy", "zorderBy", "writePartitions",
+    "compactEvery")
 
   private def confPath(dir: String) = new Path(s"$dir/_manifest/table_conf")
 
@@ -254,7 +255,7 @@ object WarehouseCatalog {
     * both creators "win" with last-writer's conf (possibly a different
     * schema/mergeKey). The loser surfaces as TableAlreadyExists, exactly
     * like a non-racing duplicate CREATE. */
-  private[v2] def writeTableConf(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeTableConf(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, props: Map[String, String]): Unit = {
     val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
     val body = props.toSeq.sortBy(_._1)
@@ -268,7 +269,7 @@ object WarehouseCatalog {
   }
 
   /** The persisted table conf, empty for warehouses born outside DDL. */
-  private[v2] def tableConf(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def tableConf(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Map[String, String] = {
     val p = confPath(dir)
     if (!fs.exists(p)) return Map.empty

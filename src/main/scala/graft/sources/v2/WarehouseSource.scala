@@ -734,25 +734,33 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     * Sound only when nothing can perturb the metadata view, so every
     * condition below refuses otherwise: no filters (all our pushed
     * filters stay residual, so a filtered scan can never be
-    * metadata-answered), no GROUP BY, no tombstones (suppressed rows
-    * are not reflected in entry stats), and EVERY entry must carry the
+    * metadata-answered), no GROUP BY, and EVERY entry must carry the
     * needed stat — an entry committed without stats, or an all-null
-    * column (which records no min/max), degrades to a normal scan. */
+    * column (which records no min/max), degrades to a normal scan.
+    * COUNT(*) survives TOMBSTONES: every tombstone records the total
+    * rows it newly suppresses at commit time
+    * ([[AtomicWarehouse.SuppTotalStat]]), so live rows stay a manifest
+    * subtraction; MIN/MAX still refuse under tombstones (a suppressed
+    * row may hold the extremum). */
   private def translateAgg(a: Aggregation): Option[(StructType, Array[Any])] = {
     if (a.groupByExpressions.nonEmpty || pruneFilters.nonEmpty) return None
     val spark = SparkSession.active
     val v = version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
-    val all = AtomicWarehouse.committedEntriesAt(spark, dir, v)
-    if (all.isEmpty || all.exists(e => AtomicWarehouse.isTombstone(e.name)))
-      return None
+    val allEntries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
+    val (tombEntries, all) =
+      allEntries.partition(e => AtomicWarehouse.isTombstone(e.name))
+    if (all.isEmpty) return None
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames.head)
       case _ => None
     }
-    /** (field, internal value) for MIN/MAX of `c`, or None to refuse. */
+    /** (field, internal value) for MIN/MAX of `c`, or None to refuse.
+      * Tombstones refuse outright: a suppressed row may hold the
+      * extremum, and unlike COUNT no per-tombstone correction exists. */
     def minMax(c: String, wantMin: Boolean): Option[(StructField, Any)] = {
+      if (tombEntries.nonEmpty) return None
       val field = fullSchema.fields.find(_.name == c).getOrElse(return None)
       val stats = all.map(_.statsFor(c,
         if (mergeKey.nonEmpty) mergeKey else "\u0000"))
@@ -790,10 +798,17 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     }
     val parts: Seq[(StructField, Any)] = a.aggregateExpressions.toSeq.map {
       case _: CountStar =>
+        // tombstone-durable: live rows = Σ data-entry exact counts −
+        // Σ per-tombstone newly-suppressed totals (recorded at tombstone
+        // commit — [[AtomicWarehouse.SuppTotalStat]]); EVERY tombstone
+        // must carry one (a legacy/stripped entry degrades to a scan)
         val counts = all.map(_.stats.get(AtomicWarehouse.RowCountStat))
         if (counts.exists(_.isEmpty)) return None
+        val supp = tombEntries.map(_.stats.get(AtomicWarehouse.SuppTotalStat))
+        if (supp.exists(_.isEmpty)) return None
         (StructField("count(*)", LongType, nullable = false),
-          counts.flatten.map(_.mn.toLong).sum: Any)
+          (counts.flatten.map(_.mn.toLong).sum -
+            supp.flatten.map(_.mn.toLong).sum): Any)
       case m: Min =>
         colName(m.column).flatMap(minMax(_, wantMin = true))
           .getOrElse(return None)
@@ -871,6 +886,16 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     private val files = listPlannedFiles()
     private val planned = files.map(_.epoch).toSet
     private val bytes: Long = files.map(_.len).sum
+    // rows each tombstone newly suppresses, per epoch — subtracting for
+    // exactly the PLANNED epochs keeps the estimate tight after pruning
+    // (missing slices just leave a conservative overestimate)
+    private val suppByEpoch: Map[String, Long] = allEntries
+      .filter(e => AtomicWarehouse.isTombstone(e.name))
+      .flatMap(_.stats.collect {
+        case (k, st) if k.startsWith("supp(") && k.endsWith(")") =>
+          k.stripPrefix("supp(").stripSuffix(")") -> st.mn.toLong
+      })
+      .groupMapReduce(_._1)(_._2)(_ + _)
     private val rowCounts: Seq[Option[Long]] =
       entries.filter(e => planned.contains(e.name)).map(e =>
         // exact row count when the entry carries one (null keys
@@ -879,7 +904,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
           .orElse(e.stats.collectFirst {
             case (c, ColStats("bloom", _, n)) if c.startsWith("bloom(") =>
               n.toLong
-          }))
+          })
+          .map(n => math.max(0L, n - suppByEpoch.getOrElse(e.name, 0L))))
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong =

@@ -547,4 +547,118 @@ class AtomicWarehouseSpec extends SparkSuite {
     // out-of-range point: range stats empty the scan, schema intact
     assert(AtomicWarehouse.readPoint(spark, wh, "k", 5000L).count() == 0)
   }
+
+  private def parquetScans(df: org.apache.spark.sql.DataFrame): Int =
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose tree isn't traversable until execution finalizes it
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+
+  test("merged read plans O(1) parquet relations, not O(epochs)") {
+    // the round-10 fold probe measured the one-relation-per-epoch union
+    // at 918 s for 1000 epochs × 32 files vs 78 s for the same bytes in
+    // single-relation shape — identically-schema'd flat epochs must
+    // share ONE native scan (per-row manifest position recovered from
+    // _metadata.file_name), however long the manifest grows
+    val wh = tmp("aw_flatplan") + "/wh"
+    for (seq <- 1L to 30L)
+      AtomicWarehouse.commitEpoch(spark, wh,
+        Seq((seq, s"v$seq", seq)).toDF("k", "v", "load_seq")
+          .repartition(3), seq, statsKey = Some("k"))
+    val read = AtomicWarehouse.read(spark, wh, "k")
+    assert(parquetScans(read) == 1,
+      s"30 uniform epochs must plan exactly one scan; got ${parquetScans(read)}")
+    // correctness unchanged: every key resolves, last-wins intact
+    assert(read.count() == 30)
+    assert(read.where(col("k") === 7L).head.getString(1) == "v7")
+    // an additively-evolved epoch adds ONE more relation (its schema
+    // generation), not one per epoch — and old rows serve null there
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((31L, "v31", 31L, "x")).toDF("k", "v", "load_seq", "extra"),
+      31L, statsKey = Some("k"))
+    val evolved = AtomicWarehouse.read(spark, wh, "k")
+    assert(parquetScans(evolved) == 2)
+    assert(evolved.columns.toSeq == Seq("k", "v", "load_seq", "extra"))
+    assert(evolved.where(col("k") === 31L).head.getString(3) == "x")
+    assert(evolved.where(col("k") === 7L).head.isNullAt(3))
+  }
+
+  test("tombstones and pruned reads keep the single-relation plan") {
+    val wh = tmp("aw_flatplan2") + "/wh"
+    for (seq <- 1L to 10L)
+      AtomicWarehouse.commitEpoch(spark, wh,
+        (seq * 100L until seq * 100L + 50L).map(k => (k, s"v$k", seq))
+          .toDF("k", "v", "load_seq"), seq,
+        statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.purgeKeysDeferred(spark, wh, "k", Seq(105L, 333L))
+    val read = AtomicWarehouse.read(spark, wh, "k")
+    assert(parquetScans(read) == 1,
+      "tombstone anti-joins ride broadcast local relations, not scans")
+    assert(read.count() == 498)
+    // a range read scans ONE relation over the surviving epochs only
+    val ranged = AtomicWarehouse.readRange(spark, wh, "k", 300L, 360L)
+    assert(parquetScans(ranged) == 1)
+    assert(ranged.count() == 49) // epoch 3's 50 keys minus purged 333
+    // fully-pruned read: zero scans, schema intact
+    val empty = AtomicWarehouse.readRange(spark, wh, "k", 5000L, 6000L)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "v", "load_seq"))
+  }
+
+  private def epochParquetFiles(wh: String, epoch: String): Int =
+    new java.io.File(s"$wh/$epoch").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+
+  test("drain sizes epoch parts from staged bytes, not shuffle width") {
+    val base = tmp("aw_partsize")
+    val staging = s"$base/staging"; val wh = s"$base/wh"
+    // 8 tiny staged shards — the cron-drain shape that compounded into
+    // the fold probe's 32k-file cliff; a few hundred bytes must land as
+    // ONE part file, not 8
+    (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartition(8).write.parquet(staging)
+    AtomicWarehouse.drain(spark, staging, wh, 1L, statsKey = Some("k"))
+    assert(epochParquetFiles(wh, "epoch_1") == 1)
+    // sizing off (targetPartBytes = 0): upstream partitioning kept —
+    // drive the snapshot form with a pinned 8-partition frame (the
+    // dir-reading form would let Spark's small-file packing choose)
+    (41L to 80L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.mode("overwrite").parquet(staging)
+    AtomicWarehouse.drainSnapshot(spark,
+      spark.read.parquet(staging).repartition(8), staging, wh, 2L,
+      statsKey = Some("k"), targetPartBytes = 0L)
+    assert(epochParquetFiles(wh, "epoch_2") == 8)
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == 80)
+  }
+
+  test("compactEvery table property auto-folds the manifest on drains") {
+    val base = tmp("aw_cadence")
+    val staging = s"$base/staging"; val wh = s"$base/wh"
+    AtomicWarehouse.declareWriteDefaults(spark, wh,
+      Map("compactEvery" -> "4", "mergeKey" -> "k", "statsKey" -> "k"))
+    def drainOne(seq: Long): Unit = {
+      Seq((seq, s"v$seq")).toDF("k", "v")
+        .write.mode("overwrite").parquet(staging)
+      AtomicWarehouse.drain(spark, staging, wh, seq, statsKey = Some("k"))
+    }
+    (1L to 3L).foreach(drainOne)
+    assert(AtomicWarehouse.committedEpochs(spark, wh).size == 3,
+      "below the cadence nothing folds")
+    drainOne(4L) // the cadence-th commit triggers the fold
+    val folded = AtomicWarehouse.committedEpochs(spark, wh)
+    assert(folded.size == 1 && folded.head.startsWith("compact_v"),
+      s"4th drain must auto-fold; manifest: $folded")
+    drainOne(5L) // next window opens fresh
+    assert(AtomicWarehouse.committedEpochs(spark, wh).size == 2)
+    // the fold changed read cost, never results
+    val read = AtomicWarehouse.read(spark, wh, "k")
+    assert(read.count() == 5)
+    assert(read.where(col("k") === "3").head.getString(1) == "v3")
+    // a second declaration is refused — the conf is table identity
+    intercept[IllegalStateException] {
+      AtomicWarehouse.declareWriteDefaults(spark, wh,
+        Map("compactEvery" -> "9"))
+    }
+  }
 }

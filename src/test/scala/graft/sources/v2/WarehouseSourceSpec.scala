@@ -351,11 +351,25 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(noStats.head.getDouble(0) == 1.5)
     assert(!noStats.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
-    // a tombstone invalidates metadata answers
+    // COUNT survives a tombstone as a manifest subtraction (the
+    // tombstone records its newly-suppressed total at commit time)...
     AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(5L))
     val afterTomb = connRead(dir).agg(count(lit(1)).as("n"))
     assert(afterTomb.head.getLong(0) == 19)
-    assert(!afterTomb.queryExecution.executedPlan.toString
+    assert(afterTomb.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    // ...a SECOND tombstone overlapping the first must not double-count
+    // (5 is already suppressed; only 6 is new)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(5L, 6L))
+    val afterTomb2 = connRead(dir).agg(count(lit(1)).as("n"))
+    assert(afterTomb2.head.getLong(0) == 18)
+    assert(afterTomb2.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    // ...but MIN/MAX still refuse under tombstones: a suppressed row
+    // may hold the extremum and no per-tombstone correction exists
+    val minAfterTomb = connRead(dir).agg(min("k").as("m"))
+    assert(minAfterTomb.head.getLong(0) == 1L)
+    assert(!minAfterTomb.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
   }
 
