@@ -32,6 +32,13 @@ case class FilePos(child: Expression, posByFile: Map[String, Int])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_file_pos"
 
+  // Catalyst hashes expression trees freely (rule sets, semantic-equals
+  // canonicalization); the default case-class hash walks the whole map
+  // — O(files) PER CALL at tens of thousands of entries. Compute once.
+  @transient private lazy val cachedHash: Int =
+    scala.util.hashing.MurmurHash3.productHash(this)
+  override def hashCode(): Int = cachedHash
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -1453,6 +1453,7 @@ object AtomicWarehouse {
       val statsCols = e.stats.keys
         .filterNot(c => c.startsWith("bloom(") || c.startsWith("bloomstr("))
         .filterNot(_.startsWith("#")) // reserved slots (row count), not columns
+        .filterNot(_.startsWith("supp(")) // per-epoch suppression counts
         .toSeq.sorted.mkString(",")
       (e.name, kind, nRows, files.size.toLong, statsCols,
         e.stats.keys.exists(c =>
