@@ -273,8 +273,8 @@ object ScaleProbe {
     def timeIt[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    println("| epoch shape | build s | merged-read count s | snapshot write s | full compact s |")
-    println("|---|---|---|---|---|")
+    println("| epoch shape | build s | raw multi-root count s | merged-read count s | snapshot write s | full compact s |")
+    println("|---|---|---|---|---|---|")
     for ((shape, onePart) <- Seq(("32 files/epoch", false),
         ("1 file/epoch", true))) {
       val wh = s"$base/fp_${if (onePart) 1 else 32}"
@@ -288,6 +288,14 @@ object ScaleProbe {
             statsKey = Some("key"))
         }
       }
+      // the FAIR baseline: a plain Spark multi-root parquet count over
+      // the same dirs — no merge window, no position recovery, no
+      // manifest. The engine read can approach but never beat this; the
+      // gap between shapes below it is the per-file open/footer floor.
+      val (nRaw, tRaw) = timeIt(
+        spark.read.parquet(AtomicWarehouse
+          .committedEpochs(spark, wh).map(e => s"$wh/$e"): _*).count())
+      require(nRaw == k * 100L, s"raw row drift: $nRaw")
       val (n, tCount) = timeIt(
         AtomicWarehouse.read(spark, wh, "key").count())
       require(n == k * 100L, s"row drift: $n")
@@ -296,8 +304,8 @@ object ScaleProbe {
           .mode("overwrite").parquet(s"$wh/_fp_out"))
       val (_, tCompact) = timeIt(
         AtomicWarehouse.compact(spark, wh, "key", statsKey = Some("key")))
-      println(f"| $shape | $tBuild%.1f | $tCount%.1f | $tWrite%.1f | " +
-        f"$tCompact%.1f |")
+      println(f"| $shape | $tBuild%.1f | $tRaw%.1f | $tCount%.1f | " +
+        f"$tWrite%.1f | $tCompact%.1f |")
     }
   }
 

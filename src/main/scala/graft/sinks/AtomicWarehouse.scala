@@ -304,7 +304,13 @@ object AtomicWarehouse {
   def committedEpochsAt(spark: SparkSession, dir: String, v: Long): Seq[String] =
     committedEntriesAt(spark, dir, v).map(_.name)
 
-  /** Manifest entries (names + per-column stats) as of version `v`. */
+  /** Manifest entries (names + per-column stats) as of version `v`.
+    * Deliberately UNCACHED at this level: a recreated warehouse at the
+    * same path (tests, reused scratch dirs) legitimately re-uses
+    * version numbers with different content, so a session-global parse
+    * cache could serve stale file lists. Long-lived consumers that can
+    * assume immutability for their own lifetime (the connector's
+    * manifest tail) memoize per-instance instead. */
   def committedEntriesAt(spark: SparkSession, dir: String,
       v: Long): Seq[EpochEntry] = {
     if (v == 0L) Seq.empty

@@ -71,9 +71,11 @@ import graft.sinks.AtomicWarehouse.{ColStats, EpochEntry}
   * pruned, what is projected, what is residual — is what this class pins.
   *
   * Scale: planning reads ONE manifest file (O(epochs) entries, kept short
-  * by compaction) and lists only surviving epochs' dirs; each file is one
-  * InputPartition, so scan parallelism is file-granular exactly like the
-  * native parquet source. At 100 TB with time-windowed drains, a
+  * by compaction) and lists only surviving epochs' dirs; files BIN-PACK
+  * into input partitions by Spark's own maxSplitBytes formula
+  * ([[WarehouseConnector.packPartitions]]), so task count tracks
+  * bytes/parallelism exactly like the native parquet source — never one
+  * task per tiny file. At 100 TB with time-windowed drains, a
   * date-windowed query opens O(window) epochs — the manifest does for the
   * warehouse what partition discovery does for a hive table, without
   * listing a single pruned directory.
@@ -336,6 +338,46 @@ object WarehouseConnector {
       case Some(_) => Nil // recorded-empty epoch: no data files
       case None => listEpochFiles(f, dir, e.name)
     }
+
+  /** Spark's own FilePartition BIN-PACKING applied to the connector's
+    * planned files: one task per FILE made every tiny-file epoch pay
+    * ~2 ms of scheduler overhead per file — the round-11 probe's 28 s
+    * scan floor at 12.8k files was task scheduling, not I/O. Packing
+    * follows the native formula (`maxSplitBytes = min(maxPartitionBytes,
+    * max(openCostInBytes, totalBytes / defaultParallelism))`, greedy
+    * first-fit over size-descending files) so the connector schedules
+    * the same O(bytes) task count the built-in parquet source would,
+    * while small tables still fan out across cores. Files are whole
+    * units here (the Group reader doesn't split row groups) — for the
+    * MB-scale parts the sized drains write, a file fits one bin
+    * anyway. */
+  def packPartitions(spark: SparkSession,
+      files: Seq[(WarehouseFilePartition, Long)])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val maxBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val parallelism = spark.sparkContext.defaultParallelism.toLong max 1L
+    val total = files.map { case (_, len) => len + openCost }.sum
+    val maxSplit = math.min(maxBytes,
+      math.max(openCost, total / parallelism))
+    val bins = Array.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
+    val cur = Array.newBuilder[WarehouseFilePartition]
+    var curBytes = 0L
+    var curN = 0
+    def flush(): Unit = if (curN > 0) {
+      val fs = cur.result()
+      bins += (if (fs.length == 1) fs(0) else WarehouseFilesPartition(fs))
+      cur.clear(); curBytes = 0L; curN = 0
+    }
+    files.sortBy { case (_, len) => -len }.foreach { case (fp, len) =>
+      val cost = len + openCost
+      if (curN > 0 && curBytes + cost > maxSplit) flush()
+      cur += fp; curBytes += cost; curN += 1
+    }
+    flush()
+    bins.result()
+  }
 
   def listEpochFiles(f: FileSystem, dir: String, epoch: String): Seq[WhFile] = {
     def walk(p: Path, parts: Seq[(String, String)]): Seq[WhFile] =
@@ -986,9 +1028,9 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         val posOf = allEntries.map(_.name).zipWithIndex.toMap
         val files = listPlannedFiles()
           .filter(file => all.forall(fileMayMatch(file, _)))
-        files.map(file =>
+        WarehouseConnector.packPartitions(spark, files.map(file =>
           WarehouseFilePartition(file.path, file.partValues.toArray,
-            posOf(file.epoch)): InputPartition).toArray
+            posOf(file.epoch)) -> file.len))
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1044,6 +1086,12 @@ final case class WarehouseFilePartition(path: String,
     partValues: Array[(String, String)],
     pos: Int = 0,
     applyDrops: Boolean = true)
+    extends InputPartition
+
+/** Several bin-packed small files served by ONE task (see
+  * [[WarehouseConnector.packPartitions]]); the reader chains the
+  * per-file readers lazily, so memory stays one-file-bounded. */
+final case class WarehouseFilesPartition(files: Array[WarehouseFilePartition])
     extends InputPartition
 
 /** Executor-side parquet decode via the public parquet-hadoop Group
@@ -1182,21 +1230,57 @@ class WarehouseReaderFactory(required: StructType,
   }
 
   override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = partition match {
+    case m: WarehouseFilesPartition => new PartitionReader[InternalRow] {
+      private var i = 0
+      private var cur: PartitionReader[InternalRow] = _
+      @annotation.tailrec
+      override final def next(): Boolean = {
+        if (cur == null) {
+          if (i >= m.files.length) return false
+          cur = fileReader(m.files(i)); i += 1
+        }
+        if (cur.next()) true
+        else { cur.close(); cur = null; next() }
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+    case p: WarehouseFilePartition => fileReader(p)
+    case other => throw new IllegalStateException(
+      s"unexpected partition type ${other.getClass.getName}")
+  }
+
+  /** Footer schema per CONTAINING DIR, memoized executor-wide: engine
+    * epochs are publish-once and schema-uniform within a dir (one write
+    * job per epoch/partition subdir), so a 12.8k-tiny-file scan pays
+    * ~400 footer opens instead of 12.8k — the probe measured the
+    * per-file open+parse at over half the tiny-file scan floor. */
+  @transient private lazy val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
+
+  /** Configuration per PROJECTED READ SCHEMA, memoized executor-wide:
+    * `new Configuration(base)` costs milliseconds (Properties deep
+    * copy), and every file of a uniform table projects identically.
+    * Readers only READ the shared instance (Configuration reads are
+    * Hashtable-synchronized), and the read schema is baked in at
+    * construction, so nothing mutates it afterwards. */
+  @transient private lazy val confCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
+
+  private def fileReader(p: WarehouseFilePartition)
       : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[WarehouseFilePartition]
-    // the session's Hadoop configuration rides the (serializable) factory
-    // to executors — a fresh Configuration() would drop session-configured
-    // fs.* settings (ABFS credentials etc.). Copied per reader: the read
-    // schema set below must not leak across concurrent tasks.
-    val conf =
+    val baseConf =
       if (hadoopConf == null) new Configuration()
-      else new Configuration(hadoopConf.value)
+      else hadoopConf.value
     val inPath = new Path(p.path)
 
-    val footerSchema: MessageType = {
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(inPath, conf))
-      try r.getFileMetaData.getSchema finally r.close()
-    }
+    val footerSchema: MessageType =
+      footerCache.computeIfAbsent(inPath.getParent.toString, _ => {
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(inPath, baseConf))
+        try r.getFileMetaData.getSchema finally r.close()
+      })
     val partMap = p.partValues.toMap
     val drops: Array[(String, Array[Long], Array[String])] =
       if (p.applyDrops) dropsAt(p.pos)
@@ -1214,8 +1298,17 @@ class WarehouseReaderFactory(required: StructType,
     val projected = new MessageType("spark_schema",
       (present.map(_.name) ++ dropExtra).map(n =>
         footerSchema.getType(footerSchema.getFieldIndex(n))): _*)
-    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projected.toString)
+    // the session's Hadoop configuration rides the (serializable)
+    // factory to executors — a fresh Configuration() would drop
+    // session-configured fs.* settings (ABFS credentials etc.); the
+    // projected-schema copy is shared across every file that projects
+    // identically (concurrent readers only read it)
+    val conf = confCache.computeIfAbsent(projected.toString, _ => {
+      val c = new Configuration(baseConf)
+      c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+      c
+    })
 
     val presentIdx: Map[String, Int] =
       present.map(_.name).zipWithIndex.toMap
@@ -1463,6 +1556,22 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
   @volatile private var snapshotTombs: Seq[WarehouseConnector.TombstoneKeys] =
     Nil
 
+  /** Per-STREAM memo of each version's committed entry names: the tail
+    * diffs consecutive manifests, so without it a batch of V versions
+    * re-read+parsed ~2×V manifest files of O(entries × stats-cols)
+    * lines — the connstream probe measured per-batch cost GROWING with
+    * manifest length from exactly this (1.0 s/batch at 100 epochs vs
+    * 2.3 s at 1000). Manifests are immutable for the life of a tail
+    * (folds/purges fail it loudly or are ignoreDeletes-skipped), so the
+    * memo is sound here where a session-global cache would not be (a
+    * recreated warehouse may re-use version numbers). Names only —
+    * O(versions × avg names) strings per stream. */
+  private val namesAt =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Seq[String]]()
+  private def epochsAt(v: Long): Seq[String] =
+    namesAt.computeIfAbsent(v,
+      _ => AtomicWarehouse.committedEpochsAt(spark, dir, v))
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(AtomicWarehouse.currentVersion(spark, dir))
 
@@ -1500,11 +1609,11 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     * consumers' initial snapshot never sees them — batch 0 applies
     * tombstones as scan-time key drops). */
   private[v2] def entriesToServe(s: Long, e: Long): Seq[String] =
-    if (s == 0L) AtomicWarehouse.committedEpochsAt(spark, dir, e)
+    if (s == 0L) epochsAt(e)
       .filterNot(AtomicWarehouse.isTombstone)
     else (s + 1 to e).flatMap { v =>
-      val prev = AtomicWarehouse.committedEpochsAt(spark, dir, v - 1).toSet
-      val added = AtomicWarehouse.committedEpochsAt(spark, dir, v)
+      val prev = epochsAt(v - 1).toSet
+      val added = epochsAt(v)
         .filterNot(prev)
       val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
         AtomicWarehouse.isTombstone(n))
@@ -1542,7 +1651,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
     if (s == 0L)
       snapshotTombs = WarehouseConnector.loadTombstones(spark, dir, allEntries)
-    entriesToServe(s, e)
+    val files = entriesToServe(s, e)
       .filter(n => byName.get(n).forall(en =>
         pruneFilters.forall(fl =>
           WarehouseConnector.epochMayMatch(en, mergeKey, fl))))
@@ -1551,8 +1660,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n)))
       .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
       .map(file => WarehouseFilePartition(file.path, file.partValues.toArray,
-        posOf.getOrElse(file.epoch, 0), applyDrops = s == 0L)
-        : InputPartition).toArray
+        posOf.getOrElse(file.epoch, 0), applyDrops = s == 0L) -> file.len)
+    WarehouseConnector.packPartitions(spark, files)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

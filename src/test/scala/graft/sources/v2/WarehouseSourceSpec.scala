@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
 class WarehouseSourceSpec extends SparkSuite {
   import spark.implicits._
 
+  /** Planned FILE paths regardless of bin-packing shape. */
+  private def plannedPaths(parts: Array[
+      org.apache.spark.sql.connector.read.InputPartition]): Seq[String] =
+    parts.toSeq.flatMap {
+      case f: WarehouseFilePartition => Seq(f.path)
+      case m: WarehouseFilesPartition => m.files.toSeq.map(_.path)
+      case _ => Nil
+    }
+
   private def freshDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"wh_src_$tag").toString + "/wh"
 
@@ -163,9 +172,28 @@ class WarehouseSourceSpec extends SparkSuite {
     val q = connRead(dir).where(col("bucket") === 1)
     assert(q.count() == 20)
     // file-level pruning: only bucket=1 subdir files planned
+    val paths = plannedPaths(scanOf(q).planInputPartitions())
+    assert(paths.nonEmpty && paths.forall(_.contains("bucket=1")))
+  }
+
+  test("tiny files bin-pack into O(parallelism) input partitions") {
+    // one task per FILE made a 12.8k-tiny-file scan pay ~2 ms scheduler
+    // overhead each (the probe's 28 s floor); packing follows Spark's
+    // own maxSplitBytes formula, so task count tracks bytes/parallelism
+    val dir = freshDir("pack")
+    for (s <- 1L to 20L)
+      AtomicWarehouse.commitEpoch(spark, dir,
+        typedRows(s.toInt * 10, s.toInt * 10 + 9, s).repartition(4), s)
+    val q = connRead(dir)
     val parts = scanOf(q).planInputPartitions()
-    assert(parts.nonEmpty && parts.forall(
-      _.asInstanceOf[WarehouseFilePartition].path.contains("bucket=1")))
+    assert(plannedPaths(parts).size == 80, "every file still planned")
+    assert(parts.length < 50 && parts.length > 1,
+      s"80 tiny files should pack to ~parallelism bins, got ${parts.length}")
+    assert(q.count() == 200)
+    // packed reads keep per-file semantics: partition values, _pos,
+    // tombstone drops all ride the per-file sub-readers
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(105L))
+    assert(connRead(dir).count() == 199)
   }
 
   test("time travel via option(version)") {
@@ -296,10 +324,9 @@ class WarehouseSourceSpec extends SparkSuite {
       typedRows(1, 1, 1L).schema,
       Array(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1000L)),
       "", 0)
-    val parts = stream.planInputPartitions(
-      WarehouseVersionOffset(0L), WarehouseVersionOffset(cur))
-    assert(parts.nonEmpty && parts.forall(
-      _.asInstanceOf[WarehouseFilePartition].path.contains("epoch_2")))
+    val paths = plannedPaths(stream.planInputPartitions(
+      WarehouseVersionOffset(0L), WarehouseVersionOffset(cur)))
+    assert(paths.nonEmpty && paths.forall(_.contains("epoch_2")))
     // end-to-end: the filtered tail's sink holds only matching rows
     val base = java.nio.file.Files.createTempDirectory("tailprune").toString
     val q = spark.readStream.format("graft-warehouse").option("path", dir)
