@@ -162,6 +162,61 @@ object Extended68 {
     AtomicWarehouse.read(s, dir, "k")
   }
 
+  /** C68 — BATCH CHANGE FEED: `.option("startingVersion", s)` [+
+    * `endingVersion`] serves exactly the rows APPENDED to the warehouse
+    * in the manifest range (s, e] — the Delta-CDF consumer surface on
+    * the log-structured manifest, sharing the micro-batch tail's diff
+    * and its refusal contract at purge boundaries
+    * ([[graft.sources.v2.WarehouseConnector.addedEntriesBetween]]).
+    * `_pos` rides along with END-manifest positions, so a downstream
+    * incremental merge can apply the feed with the same
+    * `(load_seq DESC, _pos DESC)` tiebreaker every other read path
+    * uses. The reference re-reads its WHOLE warehouse to rebuild the
+    * dashboard each run (ref: Python-pipeline/ingestdatainbigquery.py:
+    * 84-99, CREATE OR REPLACE over the full table); an incremental
+    * consumer reads O(delta) instead.
+    *
+    * Scale: planning lists only the appended epochs' files (the diff is
+    * O(versions in range) manifest reads), so a daily sync of a 100 TB
+    * store reads two drains, not the table. */
+  val c68ChangeFeed = q("c68_change_feed",
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_orderstatus AS VARCHAR) AS status FROM orders)
+      |SELECT k, status, load_seq, pos FROM (
+      |  SELECT k, 'UPD-' || status AS status,
+      |         CAST(2 AS BIGINT) AS load_seq, 1 AS pos
+      |  FROM src WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k + 9000000, status, CAST(3 AS BIGINT), 2
+      |  FROM src WHERE k % 11 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val dir = s"${freshScratch("c68")}/wh"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").cast("string").as("status"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L, statsKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 5 === 0)
+        .withColumn("status", concat(lit("UPD-"), col("status")))
+        .withColumn("load_seq", lit(2L)), 2L, statsKey = Some("k")) // v2
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 11 === 0)
+        .withColumn("k", col("k") + 9000000L)
+        .withColumn("load_seq", lit(3L)), 3L, statsKey = Some("k")) // v3
+    val cdf = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").load()
+      .select(col("k"), col("status"), col("load_seq"),
+        col("_pos").as("pos"))
+    // the feed is O(delta), never the table: v1's rows must be absent
+    val full = s.read.format("graft-warehouse").option("path", dir)
+      .load().count()
+    require(cdf.count() < full,
+      "change feed must serve the appended delta, not the snapshot")
+    cdf
+  }
+
   val all: Seq[Q] = Seq(c65MetaCountSuppressed, c66AutoCompactCadence,
-    c67DrainPartSizing)
+    c67DrainPartSizing, c68ChangeFeed)
 }

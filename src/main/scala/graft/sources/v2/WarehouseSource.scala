@@ -90,7 +90,9 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
     require(dir != null && dir.nonEmpty,
       "graft-warehouse requires .option(\"path\", <warehouse dir>)")
     val spark = SparkSession.active
+    // change-feed reads resolve their schema at the END version
     val v = Option(options.get("version")).map(_.toLong)
+      .orElse(Option(options.get("endingVersion")).map(_.toLong))
       .getOrElse(AtomicWarehouse.currentVersion(spark, dir))
     WarehouseConnector.snapshotSchema(spark, dir, v)
   }
@@ -338,6 +340,38 @@ object WarehouseConnector {
       case Some(_) => Nil // recorded-empty epoch: no data files
       case None => listEpochFiles(f, dir, e.name)
     }
+
+  /** Entry names ADDED to the manifest in the version range (s, e] —
+    * the CHANGE-FEED diff shared by the micro-batch tail and the batch
+    * `startingVersion` read. `s == 0` is the initial snapshot: every
+    * committed entry at `e` (minus tombstone key lists, which are
+    * applied as drops, not served as rows). A stepped range serves
+    * every NEW data entry — drained `epoch_*`, SQL `insert_*`/`merge_*`
+    * — but never a `compact_*` fold (a re-materialization of rows the
+    * consumer already has). Purge rewrites or tombstones inside a
+    * stepped range REFUSE unless `ignoreDeletes`: an append-only feed
+    * cannot retract already-served rows. `namesAt` supplies each
+    * version's committed names — the stream passes its per-instance
+    * memo, batch readers pass the direct manifest read. */
+  def addedEntriesBetween(s: Long, e: Long, ignoreDeletes: Boolean,
+      namesAt: Long => Seq[String]): Seq[String] =
+    if (s == 0L) namesAt(e).filterNot(AtomicWarehouse.isTombstone)
+    else (s + 1 to e).flatMap { v =>
+      val prev = namesAt(v - 1).toSet
+      val added = namesAt(v).filterNot(prev)
+      val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
+        AtomicWarehouse.isTombstone(n))
+      if (purgeSwaps.nonEmpty && !ignoreDeletes)
+        throw new UnsupportedOperationException(
+          s"graft-warehouse change feed hit a PURGE at manifest v$v " +
+            s"(${purgeSwaps.mkString(", ")}): an append-only feed " +
+            "cannot retract already-served rows — restart from a fresh " +
+            "snapshot, or set .option(\"ignoreDeletes\", true) to skip " +
+            "purge rewrites")
+      added.filterNot(n => n.startsWith("compact_") ||
+        AtomicWarehouse.isPurgeRewrite(n) ||
+        AtomicWarehouse.isTombstone(n))
+    }.distinct
 
   /** Spark's own FilePartition BIN-PACKING applied to the connector's
     * planned files: one task per FILE made every tiny-file epoch pay
@@ -739,10 +773,20 @@ class WarehouseTable(val dir: String, version: Option[Long],
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val changeStart = Option(options.get("startingVersion")).map(_.toLong)
+    val changeEnd = Option(options.get("endingVersion")).map(_.toLong)
+    require(changeStart.isDefined || changeEnd.isEmpty,
+      "endingVersion requires startingVersion (use .option(\"version\", " +
+        "N) for a plain time-travel read)")
+    require(changeStart.isEmpty || version.isEmpty,
+      "startingVersion/endingVersion (change feed) and version " +
+        "(time travel) are mutually exclusive")
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0),
-      options.getBoolean("ignoreDeletes", false))
+      options.getBoolean("ignoreDeletes", false),
+      changeStart = changeStart, changeEnd = changeEnd)
+  }
   /** Write options default to the CREATE TABLE-persisted table conf
     * (mergeKey/stats/bloom/cluster/zorder) so a SQL `INSERT INTO`
     * behaves as if every write carried them; per-write options win. */
@@ -754,7 +798,8 @@ class WarehouseTable(val dir: String, version: Option[Long],
 
 class WarehouseScanBuilder(dir: String, version: Option[Long],
     fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    changeStart: Option[Long] = None, changeEnd: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -786,6 +831,9 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     * row may hold the extremum). */
   private def translateAgg(a: Aggregation): Option[(StructType, Array[Any])] = {
     if (a.groupByExpressions.nonEmpty || pruneFilters.nonEmpty) return None
+    // a change-feed read serves a version RANGE's appended rows — entry
+    // stats describe whole entries at one version, so no metadata answer
+    if (changeStart.isDefined) return None
     val spark = SparkSession.active
     val v = version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
     val allEntries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
@@ -895,13 +943,14 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
 
   override def build(): Scan =
     new WarehouseScan(dir, version, mergeKey, required, pruneFilters,
-      maxVersionsPerBatch, ignoreDeletes, pushedAgg)
+      maxVersionsPerBatch, ignoreDeletes, pushedAgg, changeStart, changeEnd)
 }
 
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     required: StructType, pruneFilters: Array[Filter],
     maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false,
-    pushedAgg: Option[(StructType, Array[Any])] = None)
+    pushedAgg: Option[(StructType, Array[Any])] = None,
+    changeStart: Option[Long] = None, changeEnd: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import WarehouseConnector._
@@ -957,16 +1006,37 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   }
 
   private def spark = SparkSession.active
-  private lazy val resolvedVersion: Long =
-    version.getOrElse(AtomicWarehouse.currentVersion(spark, dir))
+  private lazy val resolvedVersion: Long = {
+    val cur = AtomicWarehouse.currentVersion(spark, dir)
+    val v = changeEnd.orElse(version).getOrElse(cur)
+    require(v <= cur,
+      s"requested manifest version $v of $dir does not exist yet " +
+        s"(current is $cur)")
+    v
+  }
   private lazy val allEntries: Seq[EpochEntry] =
     AtomicWarehouse.committedEntriesAt(spark, dir, resolvedVersion)
+  /** CHANGE FEED (`.option("startingVersion", s)` [+ endingVersion]):
+    * the entry names appended in (s, resolvedVersion] — the batch face
+    * of the manifest tail's diff, same refusal contract at purge
+    * boundaries ([[WarehouseConnector.addedEntriesBetween]]).
+    * `startingVersion = 0` is the initial snapshot (tombstone drops
+    * applied); a stepped range serves appended rows only, so drops are
+    * NOT applied (a tombstone in range either refused or was
+    * ignoreDeletes-skipped). `_pos` stays the END-version manifest
+    * position — identical tiebreaker semantics to snapshot and tail. */
+  private lazy val changeNames: Option[Set[String]] =
+    changeStart.map(s0 => WarehouseConnector.addedEntriesBetween(
+      s0, resolvedVersion, ignoreDeletes,
+      v => AtomicWarehouse.committedEpochsAt(spark, dir, v)).toSet)
   // DATA entries only — tombstones are split out and applied as per-file
   // key-drop lists (merge-on-read deletion vectors)
   private lazy val entries: Seq[EpochEntry] =
     allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
+      .filter(e => changeNames.forall(_.contains(e.name)))
   private lazy val tombstones: Seq[TombstoneKeys] =
-    WarehouseConnector.loadTombstones(spark, dir, allEntries)
+    if (changeStart.exists(_ > 0L)) Nil // appended rows only: no drops
+    else WarehouseConnector.loadTombstones(spark, dir, allEntries)
 
   // listing cache, keyed by the planned epoch set (runtime filters can
   // shrink it after planning — filter() invalidates by key mismatch)
@@ -1609,24 +1679,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     * consumers' initial snapshot never sees them — batch 0 applies
     * tombstones as scan-time key drops). */
   private[v2] def entriesToServe(s: Long, e: Long): Seq[String] =
-    if (s == 0L) epochsAt(e)
-      .filterNot(AtomicWarehouse.isTombstone)
-    else (s + 1 to e).flatMap { v =>
-      val prev = epochsAt(v - 1).toSet
-      val added = epochsAt(v)
-        .filterNot(prev)
-      val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
-        AtomicWarehouse.isTombstone(n))
-      if (purgeSwaps.nonEmpty && !ignoreDeletes)
-        throw new UnsupportedOperationException(
-          s"graft-warehouse tail hit a PURGE at manifest v$v " +
-            s"(${purgeSwaps.mkString(", ")}): an append-only stream " +
-            "cannot retract already-served rows — restart the stream " +
-            "fresh, or set .option(\"ignoreDeletes\", true) to skip " +
-            "purge rewrites")
-      added.filter(n => n.startsWith("epoch_") &&
-        !AtomicWarehouse.isPurgeRewrite(n))
-    }.distinct
+    WarehouseConnector.addedEntriesBetween(s, e, ignoreDeletes, epochsAt)
 
   override def planInputPartitions(start: StreamOffset,
       end: StreamOffset): Array[InputPartition] = {

@@ -196,6 +196,72 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(connRead(dir).count() == 199)
   }
 
+  test("batch change feed: startingVersion serves appended entries only") {
+    val dir = freshDir("cdf")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(5, 15, 2L), 2L) // v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(20, 25, 3L), 3L) // v3
+    val cdf = connRead(dir, "startingVersion" -> "1")
+    assert(cdf.count() == 11 + 6, "epochs appended after v1 only")
+    assert(cdf.agg(min("k")).head.getLong(0) == 5L)
+    // endingVersion bounds the range (and fixes the served schema)
+    val mid = connRead(dir, "startingVersion" -> "1", "endingVersion" -> "2")
+    assert(mid.count() == 11)
+    // startingVersion = 0 is the initial snapshot
+    assert(connRead(dir, "startingVersion" -> "0").count() == 27)
+    // _pos rides along with END-manifest positions (same tiebreaker as
+    // snapshot and tail reads)
+    assert(cdf.where(col("k") === 20L).select(col("_pos"))
+      .head.getInt(0) == 2)
+    // time travel and change feed are mutually exclusive
+    intercept[IllegalArgumentException] {
+      connRead(dir, "version" -> "2", "startingVersion" -> "1").count()
+    }
+  }
+
+  test("change feed refuses purge ranges unless ignoreDeletes") {
+    val dir = freshDir("cdf2")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 20, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(3L)) // v3
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(21, 25, 3L), 3L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v4
+    val err = intercept[UnsupportedOperationException] {
+      connRead(dir, "startingVersion" -> "2").count()
+    }
+    assert(err.getMessage.contains("PURGE"))
+    // ignoreDeletes skips the tombstone; appended rows only, no drops
+    val skipped = connRead(dir, "startingVersion" -> "2",
+      "ignoreDeletes" -> "true")
+    assert(skipped.count() == 5)
+    assert(skipped.agg(min("k")).head.getLong(0) == 21L)
+    // the 0-snapshot still applies the tombstone drop
+    assert(connRead(dir, "startingVersion" -> "0").count() == 24)
+  }
+
+  test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
+    // named entries (insert_*/merge_* — the SQL writers' collision-free
+    // namespace) are NEW data and must ride the tail; round 10's
+    // epoch_-prefix filter silently dropped them
+    val dir = freshDir("tailins")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 5, 1L), 1L) // v1
+    AtomicWarehouse.commitNamedEpoch(spark, dir, typedRows(6, 8, 2L),
+      "insert_v1_test0001", 2L) // v2
+    AtomicWarehouse.compact(spark, dir, "k") // v3: fold
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(9, 9, 4L), 4L) // v4
+    val stream = new WarehouseMicroBatchStream(dir,
+      typedRows(1, 1, 1L).schema, Array.empty, "", 0)
+    val served = stream.entriesToServe(1L,
+      AtomicWarehouse.currentVersion(spark, dir))
+    assert(served.contains("insert_v1_test0001"),
+      s"SQL insert entries must ride the tail; served: $served")
+    assert(served.contains("epoch_4"))
+    assert(!served.exists(_.startsWith("compact_")),
+      "folds re-materialize already-served rows and must be skipped")
+  }
+
   test("time travel via option(version)") {
     val dir = freshDir("tt")
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L)
