@@ -1343,11 +1343,7 @@ object AtomicWarehouse {
           // log view (whose per-key versions the fold collapses) — strip
           // them so metadata COUNT refuses instead of miscounting; the
           // next fold absorbs the tombstone entirely
-          entries.drop(base.size).map { e =>
-            if (!isTombstone(e.name)) e
-            else e.copy(stats = e.stats.filterNot { case (k, _) =>
-              k == SuppTotalStat || k.startsWith("supp(") })
-          })
+          stripSuppStats(entries.drop(base.size)))
       }
       if (!stale) return
       attempt += 1
@@ -1778,12 +1774,16 @@ object AtomicWarehouse {
             .exists(_._1 == e.name))) None // identical purge already won
         else if (!affected.forall(entries.map(_.name).contains)) {
           stale = true; None // a fold replaced our base: retry against it
-        } else Some(entries.map { e =>
+        } else Some(stripSuppStats(entries.map { e =>
+          // the rewrite changes the row counts outstanding tombstones'
+          // suppression totals were computed against (a CoW purge may
+          // physically remove rows a tombstone still counts) — strip
+          // them or the pushed COUNT(*) would double-subtract
           rewritten.get(e.name) match {
             case Some((newName, stats)) => EpochEntry(newName, stats)
             case None => e
           }
-        })
+        }))
       }
       if (!stale) return (affected.size, purged)
       attempt += 1
@@ -1840,8 +1840,25 @@ object AtomicWarehouse {
         EpochEntry(name, stats ++
           suppressionStats(spark, dir, key, typ, ks, entries)))
     }
+    // a tombstone GROWS the manifest like any commit: a compliance job
+    // issuing many deferred purges between drains must trigger the
+    // declared cadence too, or T runs unbounded until the next drain
+    maybeAutoCompact(spark, dir)
     n
   }
+
+  /** Strip suppression bookkeeping from tombstone entries whose counts
+    * no longer describe the manifest's data entries — any commit that
+    * REWRITES data epochs (compact fold, CoW purge) invalidates them
+    * (the rewrite changes the very row counts the totals were computed
+    * against). A tombstone without [[SuppTotalStat]] degrades the
+    * metadata COUNT to a scan — conservative, never wrong. */
+  private def stripSuppStats(entries: Seq[EpochEntry]): Seq[EpochEntry] =
+    entries.map { e =>
+      if (!isTombstone(e.name)) e
+      else e.copy(stats = e.stats.filterNot { case (k, _) =>
+        k == SuppTotalStat || k.startsWith("supp(") })
+    }
 
   /** Per-epoch NEWLY-suppressed row counts for a tombstone of `keys`
     * about to be appended to `entries` — recorded in the tombstone's

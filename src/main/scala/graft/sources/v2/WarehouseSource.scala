@@ -1026,14 +1026,33 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     * ignoreDeletes-skipped). `_pos` stays the END-version manifest
     * position — identical tiebreaker semantics to snapshot and tail. */
   private lazy val changeNames: Option[Set[String]] =
-    changeStart.map(s0 => WarehouseConnector.addedEntriesBetween(
-      s0, resolvedVersion, ignoreDeletes,
-      v => AtomicWarehouse.committedEpochsAt(spark, dir, v)).toSet)
+    changeStart.map { s0 =>
+      // == resolvedVersion is a legitimate empty poll; BEYOND it is a
+      // corrupt/foreign checkpoint and must fail loudly — an empty feed
+      // would be indistinguishable from "no new data" and stall forever
+      require(s0 >= 0L && s0 <= resolvedVersion,
+        s"startingVersion $s0 is outside this table's history (served " +
+          s"end version is $resolvedVersion)")
+      // memoized per read: the diff touches each version twice
+      val memo = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
+      WarehouseConnector.addedEntriesBetween(s0, resolvedVersion,
+        ignoreDeletes, v => memo.getOrElseUpdate(v,
+          AtomicWarehouse.committedEpochsAt(spark, dir, v))).toSet
+    }
   // DATA entries only — tombstones are split out and applied as per-file
   // key-drop lists (merge-on-read deletion vectors)
-  private lazy val entries: Seq[EpochEntry] =
-    allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
-      .filter(e => changeNames.forall(_.contains(e.name)))
+  private lazy val entries: Seq[EpochEntry] = changeNames match {
+    case None => allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
+    case Some(names) =>
+      // an in-range entry FOLDED OUT of the end manifest (auto-compact
+      // landed inside the range) is still servable — its dir outlives
+      // the fold until vacuum. Synthesize a stats-less entry so its
+      // files are listed directly (the tail's byName fallback); a
+      // vacuumed dir fails LOUDLY at listing instead of silently
+      // dropping the appended rows from the feed.
+      val byName = allEntries.map(e => e.name -> e).toMap
+      names.toSeq.sorted.map(n => byName.getOrElse(n, EpochEntry(n)))
+  }
   private lazy val tombstones: Seq[TombstoneKeys] =
     if (changeStart.exists(_ > 0L)) Nil // appended rows only: no drops
     else WarehouseConnector.loadTombstones(spark, dir, allEntries)
@@ -1100,7 +1119,9 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
           .filter(file => all.forall(fileMayMatch(file, _)))
         WarehouseConnector.packPartitions(spark, files.map(file =>
           WarehouseFilePartition(file.path, file.partValues.toArray,
-            posOf(file.epoch)) -> file.len))
+            // 0 for an epoch folded out of the end manifest mid-range
+            // (change feeds only) — same contract as the tail
+            posOf.getOrElse(file.epoch, 0)) -> file.len))
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

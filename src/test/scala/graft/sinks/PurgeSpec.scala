@@ -471,6 +471,26 @@ class PurgeSpec extends SparkSuite {
     assert(log.count() == 2, "connector drop check must parse like try_cast")
   }
 
+  test("CoW purge invalidates outstanding tombstones' suppression counts") {
+    // a copy-on-write rewrite physically removes rows a tombstone's
+    // suppression total still counts — leaving the total in place would
+    // make the pushed COUNT(*) double-subtract (9 data rows − 1 supp =
+    // 8, while a scan serves 9)
+    val dir = freshDir("cow_supp")
+    commit(dir, 1, 10, 1L)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(5L)) // supp=1
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(5L),
+      statsKey = Some("k"), bloomKey = Some("k")) // CoW rewrite: 9 rows
+    val counted = spark.read.format("graft-warehouse").option("path", dir)
+      .load().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(counted.head.getLong(0) == 9L)
+    // the stale total was stripped, so the metadata answer REFUSED
+    // (conservative scan) rather than answering 8
+    assert(!counted.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+  }
+
   test("string tombstone digests cannot alias across key-set shapes") {
     // {"a,b"} vs {"a","b"}: a comma-join digest would collide, and the
     // second purge's manifest commit would see the first tombstone as an
