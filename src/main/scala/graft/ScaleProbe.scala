@@ -248,6 +248,19 @@ object ScaleProbe {
         f"${tPlanFull * 1000}%.0f |")
       require(scanned <= 2, s"zone maps stopped pruning: $scanned epochs")
     }
+    // CHANGE FEED at full depth: a consumer 2 versions behind reads
+    // O(delta) — planning diffs 2 manifests and lists 2 epochs' files,
+    // whatever the table's total size (the incremental-sync story)
+    val (cdfRows, tCdf) = timeIt {
+      spark.read.format("graft-warehouse").option("path", wh)
+        .option("startingVersion",
+          (AtomicWarehouse.currentVersion(spark, wh) - 2).toString)
+        .load().count()
+    }
+    require(cdfRows == 2L * rowsPerEpoch,
+      s"change feed must serve exactly the 2-epoch delta, got $cdfRows")
+    println(f"| change feed, 2 of $k epochs behind: ${tCdf * 1000}%.0f ms " +
+      f"($cdfRows rows) |")
     val (_, tCompact) = timeIt(AtomicWarehouse.compact(spark, wh, "key",
       statsKey = Some("key")))
     val (n, tRead) = timeIt(AtomicWarehouse.read(spark, wh, "key").count())
