@@ -53,7 +53,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The harness that records per-round numbers keeps only the LAST ~2 KB
+    // of stdout: at 300+ queries the full JSON line is ~10 KB, so its tail
+    // is an unparseable fragment. Persist the full line to a file and end
+    // with a COMPACT summary line (slowest queries only, rounded) that fits
+    // any tail window — the last line of output is always valid JSON.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    val slow = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"sf":"$sfDir","full":"bench_full.json"}""")
     spark.stop()
   }
 }

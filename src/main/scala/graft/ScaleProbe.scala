@@ -40,6 +40,7 @@ object ScaleProbe {
     if (mode == "events") { eventsProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "stream") { streamProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
+    if (mode == "anndensify") { annDensifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "manifest") { manifestProbe(spark, base, k); spark.stop(); return }
@@ -253,8 +254,8 @@ object ScaleProbe {
     // whatever the table's total size (the incremental-sync story)
     val (cdfRows, tCdf) = timeIt {
       spark.read.format("graft-warehouse").option("path", wh)
-        .option("startingVersion",
-          (AtomicWarehouse.currentVersion(spark, wh) - 2).toString)
+        .option("startingVersion", // inclusive: last 2 versions' adds
+          (AtomicWarehouse.currentVersion(spark, wh) - 1).toString)
         .load().count()
     }
     require(cdfRows == 2L * rowsPerEpoch,
@@ -622,6 +623,46 @@ object ScaleProbe {
     println("|---|---|---|---|")
     for ((label, d) <- Seq("1x" -> docs, s"${k}x" -> dense);
          cap <- Seq(Int.MaxValue, 5)) {
+      val (n, t) = run(d, cap)
+      val capStr = if (cap == Int.MaxValue) "none" else cap.toString
+      println(f"| $label | $capStr | $n%d | $t%.2f |")
+    }
+  }
+
+  /** ANN densification probe — the [[graft.vec.Similarity.lshTopK]] twin
+    * of `densify`: K id-shifted replicas of a CONSTANT-vector corpus, so
+    * every vector of every replica lands in the SAME (tbl, bucket) of
+    * every hash table and the corpus-side of the candidate join is one
+    * saturated bucket. Self-ANN (queries = corpus, the v24 kNN-join
+    * shape) makes uncapped candidate volume quadratic in corpus size;
+    * the md5-ranked `maxBucket` cap bounds it at
+    * O(corpus × tables × cap). Candidates are counted by running the
+    * full pipeline with an unbounded k (every scored pair survives). */
+  private def annDensifyProbe(spark: SparkSession, sfDir: String,
+      k: Int): Unit = {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val nVecs = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val const = emb.withColumn("embedding",
+      transform(col("embedding"), _ => lit(0.5f)))
+    val dense = (0 until k).map(r =>
+        const.withColumn("vec_id", col("vec_id") + lit(r * nVecs)))
+      .reduce(_.unionByName(_)).localCheckpoint(true)
+
+    def run(d: DataFrame, cap: Int): (Long, Double) = {
+      def once(): Long = vec.Similarity.lshTopK(d, d, "vec_id", "embedding",
+        k = Int.MaxValue, dims = 64, planes = 3, tables = 4,
+        maxBucket = cap).count()
+      once() // warmup
+      val t0 = System.nanoTime()
+      val n = once()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+
+    println(s"| corpus | cap | candidate pairs | s |")
+    println("|---|---|---|---|")
+    for ((label, d) <- Seq("1x" -> const.localCheckpoint(true),
+           s"${k}x" -> dense);
+         cap <- Seq(Int.MaxValue, 16)) {
       val (n, t) = run(d, cap)
       val capStr = if (cap == Int.MaxValue) "none" else cap.toString
       println(f"| $label | $capStr | $n%d | $t%.2f |")

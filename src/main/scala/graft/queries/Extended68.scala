@@ -164,9 +164,11 @@ object Extended68 {
 
   /** C68 — BATCH CHANGE FEED: `.option("startingVersion", s)` [+
     * `endingVersion`] serves exactly the rows APPENDED to the warehouse
-    * in the manifest range (s, e] — the Delta-CDF consumer surface on
-    * the log-structured manifest, sharing the micro-batch tail's diff
-    * and its refusal contract at purge boundaries
+    * in the manifest range [s, e] — INCLUSIVE of both bounds, matching
+    * Delta CDF's convention for the identically-named options — the
+    * Delta-CDF consumer surface on the log-structured manifest, sharing
+    * the micro-batch tail's diff and its refusal contract at purge
+    * boundaries
     * ([[graft.sources.v2.WarehouseConnector.addedEntriesBetween]]).
     * `_pos` rides along with END-manifest positions, so a downstream
     * incremental merge can apply the feed with the same
@@ -206,7 +208,7 @@ object Extended68 {
         .withColumn("k", col("k") + 9000000L)
         .withColumn("load_seq", lit(3L)), 3L, statsKey = Some("k")) // v3
     val cdf = s.read.format("graft-warehouse").option("path", dir)
-      .option("startingVersion", "1").load()
+      .option("startingVersion", "2").load() // versions [2, 3] inclusive
       .select(col("k"), col("status"), col("load_seq"),
         col("_pos").as("pos"))
     // the feed is O(delta), never the table: v1's rows must be absent

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-12 widening, part 69: the ROW-LEVEL change feed — retractions
+  * as data. The reference's consumer loop deduplicates its warehouse by
+  * re-reading everything (ref: Python-pipeline/ingestdatainbigquery.py:
+  * 84-96, CREATE OR REPLACE over the full table); a Delta-CDF-shaped
+  * feed lets the same loop apply O(delta) inserts AND deletes instead.
+  */
+object Extended69 {
+
+  /** C69 — ROW-LEVEL CHANGE FEED (`readChangeFeed`): the batch feed of
+    * c68 upgraded to Delta CDF's consumer contract — every fed row
+    * carries `_change_type` ('insert' | 'delete') and `_commit_version`
+    * (the manifest version whose commit produced it), and DEFERRED
+    * PURGES are served as delete rows (key populated, other columns
+    * null — the tombstone's key list IS the retraction, verbatim:
+    * note the key below that matches no data row still rides the feed)
+    * instead of failing the feed at the purge boundary.
+    *
+    * Pinned here: the full insert/delete history of a 4-version
+    * warehouse (two appends, one deferred purge, one append) hash-
+    * matches a DuckDB replay of the same history — the e11_cdc_apply
+    * oracle pattern pointed at the engine's own manifest.
+    *
+    * Scale: planning stays O(versions in range) manifest reads; delete
+    * rows are O(purged keys) synthesized driver-side from the key
+    * lists already cached for scan-time drops — zero data files opened
+    * for the retraction part of the feed. */
+  val c69RowChangeFeed = q("c69_row_change_feed",
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_orderstatus AS VARCHAR) AS status FROM orders)
+      |SELECT k, status, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, status, CAST(1 AS BIGINT) AS load_seq,
+      |         'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'UPD-' || status, CAST(2 AS BIGINT), 'insert',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT CAST(t.k AS BIGINT), CAST(NULL AS VARCHAR),
+      |         CAST(NULL AS BIGINT), 'delete', CAST(3 AS BIGINT)
+      |  FROM (VALUES (2), (33), (998244353)) t(k)
+      |  UNION ALL
+      |  SELECT k + 9000000, status, CAST(4 AS BIGINT), 'insert',
+      |         CAST(4 AS BIGINT)
+      |  FROM src WHERE k % 11 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val dir = s"${freshScratch("c69")}/wh"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").cast("string").as("status"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 5 === 0)
+        .withColumn("status", concat(lit("UPD-"), col("status")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    // deferred purge = tombstone commit; 998244353 matches NO data row —
+    // the feed serves the key list verbatim, not a data join
+    AtomicWarehouse.purgeKeysDeferred(s, dir, "k",
+      Seq(33L, 2L, 998244353L)) // v3
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 11 === 0)
+        .withColumn("k", col("k") + 9000000L)
+        .withColumn("load_seq", lit(4L)), 4L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v4
+    s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1") // inclusive: the whole history
+      .option("readChangeFeed", "true").load()
+      .select(col("k"), col("status"), col("load_seq"),
+        col("_change_type"), col("_commit_version"))
+  }
+
+  /** C70 — metadata MIN/MAX that SURVIVES TOMBSTONES (c65's COUNT trade
+    * extended to the other two manifest-answerable aggregates): with
+    * deferred purges outstanding, the connector re-scans ONLY the
+    * epochs whose zone maps/blooms say a purged key might live there —
+    * with drops applied — and serves every other epoch from its
+    * recorded stats; the result is still a COMPLETE pushdown (Spark
+    * plans no aggregate of its own).
+    *
+    * Pinned in-query: the purge hits the CURRENT GLOBAL MINIMUM (keys
+    * 1, 2), so serving stale zone maps would answer 1 — the pushed
+    * answer must be the recomputed post-suppression extremum, and the
+    * plan must still carry `PushedAggregates`.
+    *
+    * Scale: `MIN(col)` against a 100 TB store with a compliance purge
+    * outstanding reads the manifest plus the few bloom-positive epochs
+    * instead of every data file. */
+  val c70MetaMinMaxSuppressed = q("c70_meta_minmax_suppressed",
+    """WITH src AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+      |log AS (SELECT k FROM src UNION ALL SELECT k FROM src WHERE k % 4 = 0)
+      |SELECT CAST(min(k) AS BIGINT) AS mn, CAST(max(k) AS BIGINT) AS mx
+      |FROM log WHERE k NOT IN (1, 2)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val dir = s"${freshScratch("c70")}/wh"
+    val src = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("k"), col("c_name"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 4 === 0)
+        .withColumn("c_name", concat(lit("AUD-"), col("c_name")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.purgeKeysDeferred(s, dir, "k", Seq(1L, 2L))
+    val agged = s.read.format("graft-warehouse").option("path", dir)
+      .load().agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+    require(agged.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "MIN/MAX must stay a manifest answer with tombstones outstanding")
+    agged
+  }
+
+  val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed)
+}

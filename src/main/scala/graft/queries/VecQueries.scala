@@ -180,6 +180,60 @@ object VecQueries {
         (col("n_hits") / 5.0).as("recall_at_5"))
   }
 
+  /** V27 — LSH ANN with the HOT-BUCKET CAP engaged (maxBucket = 16 on a
+    * ~62-vector average bucket, so truncation provably fires): the
+    * degenerate-bucket bound that keeps the (tbl, bucket) candidate join
+    * from going quadratic when a constant/boilerplate embedding cluster
+    * saturates one bucket — the ANN twin of the minhash path's
+    * d22_lsh_bucket_cap. The md5-ranked corpus truncation is
+    * deterministic and engine-portable, so the ORACLE reproduces the
+    * exact capped candidate set, not just its size: same weights, same
+    * buckets, same md5 rank, same survivors, same re-ranked top-k. */
+  val v27LshAnnCapped = q("v27_lsh_ann_capped",
+    vecCte + s"""
+      |, w AS (
+      |  SELECT t.t, p.p, j.j,
+      |         strpos('0123456789abcdef',
+      |                substr(md5('plane:' || t.t || ':' || p.p || ':' || ((j.j - 1) // 32)),
+      |                       CAST((j.j - 1) % 32 AS INT) + 1, 1)) - 1 - 7.5 AS wt
+      |  FROM range(0, 4) t(t) CROSS JOIN range(0, 3) p(p) CROSS JOIN range(1, 65) j(j)),
+      |proj AS (
+      |  SELECT v.vec_id, w.t, w.p, sum(v.x * w.wt) AS pr
+      |  FROM v JOIN w ON v.i = w.j GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |         CAST(sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |capped AS (
+      |  SELECT vec_id, t, bucket FROM (
+      |    SELECT vec_id, t, bucket,
+      |           row_number() OVER (PARTITION BY t, bucket
+      |             ORDER BY md5(CAST(t AS VARCHAR) || ':cap:' ||
+      |                          CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      |    FROM buckets) WHERE rk <= 16),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM buckets q JOIN capped c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+      |scored AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |         ${rnd("sum(qv.x * cv.x) / (nq.nrm * nc.nrm)", 3)} AS cos
+      |  FROM cand
+      |  JOIN v qv ON qv.vec_id = cand.query_id
+      |  JOIN v cv ON cv.vec_id = cand.neighbor_id AND qv.i = cv.i
+      |  JOIN norms nq ON nq.vec_id = cand.query_id
+      |  JOIN norms nc ON nc.vec_id = cand.neighbor_id
+      |  GROUP BY 1, 2, nq.nrm, nc.nrm)
+      |SELECT query_id, neighbor_id, cos, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, dims = 64, planes = 3, tables = 4,
+      maxBucket = 16)
+  }
+
   val all: Seq[Q] = Seq(v1BruteTopK, v2IvfTopK, v3LshAnn, v4EmbeddingNearDup,
-    v8AnnRecall)
+    v8AnnRecall, v27LshAnnCapped)
 }

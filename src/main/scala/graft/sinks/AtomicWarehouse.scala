@@ -427,6 +427,36 @@ object AtomicWarehouse {
     union
   }
 
+  /** MIN and MAX of column `c` over ONLY the given entries' LOG view —
+    * data entries with every given tombstone applied as merge-on-read
+    * drops (manifest-relative order preserved: a subset keeps its
+    * original ordering, so "tombstone suppresses earlier entries"
+    * holds unchanged). The connector's metadata-aggregate helper for
+    * the c70 trade: when tombstones are outstanding, only the epochs
+    * whose zone-map extremum COULD be suppressed are re-scanned (one
+    * pruned planning-time job over the suspect epochs — the same
+    * spend-at-maintenance shape as the tombstone suppression counts),
+    * while every other epoch keeps serving stats. Returns EXTERNAL
+    * values (Row.get) — (null, null) when the entries hold no non-null
+    * `c` (all suppressed / column absent from every epoch). */
+  private[graft] def minMaxOfEntries(spark: SparkSession, dir: String,
+      key: String, entries: Seq[EpochEntry], c: String): (Any, Any) = {
+    val data = entries.filterNot(e => isTombstone(e.name))
+    val scanned = data.map(_.name).toSet
+    val posOf = entries.map(_.name).zipWithIndex.toMap
+    val union0 = unionOfEpochs(spark, dir, data, scanned, posOf)
+    if (!union0.columns.contains(c)) return (null, null)
+    // a union schema lacking the key column means every scanned epoch
+    // predates it: those rows hold null keys, which are never purge
+    // targets — no drop can apply, read the union directly
+    val lv =
+      if (union0.columns.contains(key))
+        logViewWithPos(spark, dir, key, entries, scanned)
+      else union0
+    val r = lv.agg(min(col(c)), max(col(c))).head()
+    (r.get(0), r.get(1))
+  }
+
   /** The committed-epoch union as ONE native parquet relation per
     * distinct epoch SCHEMA (almost always exactly one), not one per
     * EPOCH. The per-epoch shape — `spark.read.parquet(dir/epoch)` ×
@@ -1655,6 +1685,19 @@ object AtomicWarehouse {
   private[sinks] def purgeDigest(keys: Seq[Long]): String =
     digestOf(keys.distinct.sorted.map(_.toString))
 
+  /** FORMAT NOTE (round 11 → 12): the per-key URL-encoding changed the
+    * digest for string keys containing `,`/`%`/non-ASCII (long-key and
+    * plain-ASCII digests are unchanged — they encode to themselves). A
+    * string-key purge REPLAYED against a warehouse whose tombstone was
+    * published under the old bare comma-join digest therefore no longer
+    * converges to the same entry name: it commits a fresh tombstone
+    * whose suppression total is 0 (every key already suppressed) —
+    * harmless-but-redundant, one extra manifest line until the next
+    * fold, never a correctness event. No pre-change warehouses with
+    * affected keys exist in this repo's history (the format is
+    * round-11-born); if one ever matters, accept the legacy digest as
+    * an identical-replay alias in the manifest-commit convergence
+    * check. */
   private[sinks] def digestOf(sortedDistinctKeys: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(sortedDistinctKeys

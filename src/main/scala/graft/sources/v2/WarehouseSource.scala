@@ -94,7 +94,22 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
     val v = Option(options.get("version")).map(_.toLong)
       .orElse(Option(options.get("endingVersion")).map(_.toLong))
       .getOrElse(AtomicWarehouse.currentVersion(spark, dir))
-    WarehouseConnector.snapshotSchema(spark, dir, v)
+    val base = WarehouseConnector.snapshotSchema(spark, dir, v)
+    if (!options.getBoolean("readChangeFeed", false)) base
+    else {
+      // row-level feed: data columns + the CDF columns, Delta-style.
+      // A data column already named `_change_type`/`_commit_version`
+      // would be shadowed — refuse rather than serve ambiguity.
+      val cdfCols = Seq(WarehouseConnector.ChangeTypeColumn,
+        WarehouseConnector.CommitVersionColumn)
+      require(!base.fieldNames.exists(cdfCols.contains),
+        s"readChangeFeed reserves columns ${cdfCols.mkString(", ")}, " +
+          s"which this table already has")
+      base.add(StructField(WarehouseConnector.ChangeTypeColumn,
+          StringType, nullable = false))
+        .add(StructField(WarehouseConnector.CommitVersionColumn,
+          LongType, nullable = false))
+    }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -121,6 +136,16 @@ object WarehouseConnector {
     * metadata the same way (SupportsMetadataColumns: only materialized
     * when selected — zero cost otherwise). */
   val PosColumn = "_pos"
+
+  /** Row-level change-feed columns, served only under
+    * `.option("readChangeFeed", true)` — the Delta-CDF consumer
+    * surface: every fed row carries `_change_type`
+    * ('insert' | 'delete') and `_commit_version` (the manifest version
+    * whose commit produced it). Delete rows are synthesized from
+    * tombstone key lists: the key column populated, every other data
+    * column null (the manifest records keys, not pre-images). */
+  val ChangeTypeColumn = "_change_type"
+  val CommitVersionColumn = "_commit_version"
 
   private[v2] object PosMetadataColumn
       extends org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -366,12 +391,49 @@ object WarehouseConnector {
           s"graft-warehouse change feed hit a PURGE at manifest v$v " +
             s"(${purgeSwaps.mkString(", ")}): an append-only feed " +
             "cannot retract already-served rows — restart from a fresh " +
-            "snapshot, or set .option(\"ignoreDeletes\", true) to skip " +
-            "purge rewrites")
+            "snapshot, set .option(\"ignoreDeletes\", true) to skip " +
+            "purge rewrites, or set .option(\"readChangeFeed\", true) " +
+            "to receive deletes as _change_type='delete' rows")
       added.filterNot(n => n.startsWith("compact_") ||
         AtomicWarehouse.isPurgeRewrite(n) ||
         AtomicWarehouse.isTombstone(n))
     }.distinct
+
+  /** ROW-LEVEL change-feed classification of the version range (s, e]:
+    * `(data, deletes)` — data entries (`epoch_*`/`insert_*`/`merge_*`,
+    * each an `_change_type='insert'` batch) and TOMBSTONE entries (each
+    * a batch of `_change_type='delete'` key rows — the deferred purge's
+    * key list IS the delete set, already in the manifest), both tagged
+    * with the manifest version that committed them (`_commit_version`).
+    * Compaction folds are skipped (no logical change). CoW purge
+    * REWRITES still refuse: a rewrite records only the 8-hex key-set
+    * digest, not the keys, so the retraction is not reconstructible —
+    * use deferred purges ([[AtomicWarehouse.purgeKeysDeferred]]) when a
+    * change-feed consumer must observe deletes. `ignoreDeletes` keeps
+    * its meaning: skip every retraction (no delete rows, rewrites
+    * skipped) and serve appends only. */
+  def cdfAddsBetween(s: Long, e: Long, ignoreDeletes: Boolean,
+      namesAt: Long => Seq[String])
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val adds = (s + 1 to e).flatMap { v =>
+      val prev = namesAt(v - 1).toSet
+      namesAt(v).filterNot(prev).map(_ -> v)
+    }.distinctBy(_._1)
+    val rewrites = adds.filter(p => AtomicWarehouse.isPurgeRewrite(p._1))
+    if (rewrites.nonEmpty && !ignoreDeletes)
+      throw new UnsupportedOperationException(
+        s"graft-warehouse change feed hit a copy-on-write PURGE at " +
+          s"manifest v${rewrites.head._2} (${rewrites.map(_._1).mkString(", ")}): " +
+          "a rewrite names only its key-set digest, so the deleted keys " +
+          "cannot be served as _change_type='delete' rows — purge with " +
+          "purgeKeysDeferred (tombstones) for CDF-visible deletes, or " +
+          "set .option(\"ignoreDeletes\", true) to skip retractions")
+    val (tombs, rest) = adds
+      .filterNot(p => AtomicWarehouse.isPurgeRewrite(p._1))
+      .partition(p => AtomicWarehouse.isTombstone(p._1))
+    (rest.filterNot(_._1.startsWith("compact_")),
+      if (ignoreDeletes) Nil else tombs)
+  }
 
   /** Spark's own FilePartition BIN-PACKING applied to the connector's
     * planned files: one task per FILE made every tiny-file epoch pay
@@ -782,10 +844,15 @@ class WarehouseTable(val dir: String, version: Option[Long],
     require(changeStart.isEmpty || version.isEmpty,
       "startingVersion/endingVersion (change feed) and version " +
         "(time travel) are mutually exclusive")
+    val cdf = options.getBoolean("readChangeFeed", false)
+    require(!cdf || changeStart.isDefined,
+      "readChangeFeed requires .option(\"startingVersion\", s) — a " +
+        "row-level feed needs an explicit history start (Delta CDF's " +
+        "own contract)")
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0),
       options.getBoolean("ignoreDeletes", false),
-      changeStart = changeStart, changeEnd = changeEnd)
+      changeStart = changeStart, changeEnd = changeEnd, cdf = cdf)
   }
   /** Write options default to the CREATE TABLE-persisted table conf
     * (mergeKey/stats/bloom/cluster/zorder) so a SQL `INSERT INTO`
@@ -799,7 +866,8 @@ class WarehouseTable(val dir: String, version: Option[Long],
 class WarehouseScanBuilder(dir: String, version: Option[Long],
     fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int,
     ignoreDeletes: Boolean = false,
-    changeStart: Option[Long] = None, changeEnd: Option[Long] = None)
+    changeStart: Option[Long] = None, changeEnd: Option[Long] = None,
+    cdf: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -807,6 +875,15 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
   private var pruneFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var pushedAgg: Option[(StructType, Array[Any])] = None
+  /** Memos for the tombstone-tolerant MIN/MAX path: translateAgg runs
+    * twice (supportCompletePushDown, then pushAggregation) and an
+    * Aggregation can hold both MIN(c) and MAX(c) — the key lists load
+    * once and the pruned dirty-entry scan (a real job) runs once per
+    * column. */
+  private val tombstonesMemo = scala.collection.mutable.HashMap
+    .empty[Long, Seq[WarehouseConnector.TombstoneKeys]]
+  private val dirtyMinMax =
+    scala.collection.mutable.HashMap.empty[String, (Any, Any)]
 
   /** METADATA-ONLY aggregation: unfiltered global `COUNT(*)` /
     * `MIN(col)` / `MAX(col)` answered from the manifest alone — COUNT
@@ -840,6 +917,9 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     val (tombEntries, all) =
       allEntries.partition(e => AtomicWarehouse.isTombstone(e.name))
     if (all.isEmpty) return None
+    lazy val aggTombstones: Seq[WarehouseConnector.TombstoneKeys] =
+      tombstonesMemo.getOrElseUpdate(v,
+        WarehouseConnector.loadTombstones(spark, dir, allEntries))
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -847,21 +927,114 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
       case _ => None
     }
     /** (field, internal value) for MIN/MAX of `c`, or None to refuse.
-      * Tombstones refuse outright: a suppressed row may hold the
-      * extremum, and unlike COUNT no per-tombstone correction exists. */
+      *
+      * TOMBSTONES no longer refuse outright (the c70 trade, extending
+      * c65's COUNT): a tombstone can only perturb MIN/MAX through
+      * entries committed BEFORE it that may CONTAIN one of its keys --
+      * checked against the entries' zone maps + blooms on the
+      * tombstone's key column. Only those DIRTY entries' extrema are
+      * recomputed, by one pruned planning-time job over exactly the
+      * suspect epochs with drops applied
+      * ([[AtomicWarehouse.minMaxOfEntries]]); every clean entry keeps
+      * serving its recorded stats. At T tombstones over a 100 TB store
+      * this keeps `MIN(col)` a manifest answer plus a scan of the few
+      * bloom-positive epochs instead of a full-table scan. Refusals
+      * that remain: any entry without stats for `c`, unsupported type
+      * renderings, and tombstones with heterogeneous key columns (the
+      * engine's log-view drop join applies one key column). */
     def minMax(c: String, wantMin: Boolean): Option[(StructField, Any)] = {
-      if (tombEntries.nonEmpty) return None
       val field = fullSchema.fields.find(_.name == c).getOrElse(return None)
-      val stats = all.map(_.statsFor(c,
-        if (mergeKey.nonEmpty) mergeKey else "\u0000"))
+      def statsOf(e: EpochEntry) = e.statsFor(c,
+        if (mergeKey.nonEmpty) mergeKey else "\u0000")
+      val stats = all.map(statsOf)
       if (stats.exists(_.isEmpty)) return None
-      val sts = stats.flatten
-      val internal: Any = (field.dataType, sts.head.typ) match {
+      val typ = stats.flatten.head.typ
+      val supported = (field.dataType, typ) match {
+        case (LongType, "long") | (IntegerType, "long") |
+            (StringType, "string") | (DateType, "string") => true
+        case _ => false // timestamps etc: rendering round-trip unsafe
+      }
+      if (!supported) return None
+      // Entries whose REQUESTED extremum a LATER tombstone could have
+      // suppressed. When the aggregated column IS the tombstone's key
+      // column (min/max of the merge key — the common shape), the test
+      // is exact: suppression removes whole key-value groups, so the
+      // entry's recorded extremum moves only if that VALUE is itself a
+      // purged key — scattered purges elsewhere in the entry leave the
+      // extremum attained. Otherwise (aggregating a different column)
+      // any possibly-present purged key taints the entry, zone/bloom
+      // checked.
+      val dirty: Seq[EpochEntry] =
+        if (tombEntries.isEmpty) Nil
+        else {
+          val tombs = aggTombstones
+          if (tombs.map(_.keyCol).distinct.size > 1) return None
+          val posOfAll = allEntries.map(_.name).zipWithIndex.toMap
+          def extremumSuppressible(e: EpochEntry,
+              t: WarehouseConnector.TombstoneKeys): Boolean =
+            if (t.keyCol == c) {
+              val st = statsOf(e).get
+              val endVal = if (wantMin) st.mn else st.mx
+              typ match {
+                case "long" =>
+                  val v = endVal.toLong
+                  t.keys.contains(v) || t.strKeys.exists(s =>
+                    AtomicWarehouse.sparkLongCast(s).contains(v))
+                case _ =>
+                  t.strKeys.contains(endVal) ||
+                    AtomicWarehouse.sparkLongCast(endVal)
+                      .exists(t.keys.contains)
+              }
+            } else
+              (t.keys.nonEmpty && WarehouseConnector.epochMayMatch(e,
+                mergeKey, In(t.keyCol, t.keys.map(Long.box(_): Any)))) ||
+                (t.strKeys.nonEmpty && WarehouseConnector.epochMayMatch(e,
+                  mergeKey, In(t.keyCol, t.strKeys.toArray[Any])))
+          all.filter { e =>
+            val p = posOfAll(e.name)
+            tombs.exists(t => t.pos > p && extremumSuppressible(e, t))
+          }
+        }
+      val dirtyNames = dirty.map(_.name).toSet
+      // candidate extrema, all in the stats' RENDERED string form:
+      // recorded stats for clean entries + the pruned scan's result for
+      // dirty ones (memoized per column -- min and max share one job,
+      // and the two translateAgg passes share the memo)
+      val cleanRendered: Seq[String] = all
+        .filterNot(e => dirtyNames(e.name))
+        .map(e => statsOf(e).get)
+        .map(s => if (wantMin) s.mn else s.mx)
+      val scannedRendered: Seq[String] =
+        if (dirty.isEmpty) Nil
+        else {
+          val keyName = aggTombstones.head.keyCol
+          // keyed per (column, end): the exact extremum test makes the
+          // min-dirty and max-dirty entry sets differ
+          val (mnv, mxv) = dirtyMinMax.getOrElseUpdate(s"$c#$wantMin", {
+            val subset = allEntries.filter(e =>
+              dirtyNames(e.name) || AtomicWarehouse.isTombstone(e.name))
+            AtomicWarehouse.minMaxOfEntries(spark, dir, keyName, subset, c)
+          })
+          def render(v: Any): Option[String] = v match {
+            case null => None
+            case l: java.lang.Long => Some(l.toString)
+            case i: java.lang.Integer => Some(i.toString)
+            case s: String => Some(s)
+            case d: java.sql.Date => Some(d.toString)
+            case d: java.time.LocalDate => Some(d.toString)
+            case _ => None
+          }
+          render(if (wantMin) mnv else mxv).toSeq
+        }
+      val candidates = cleanRendered ++ scannedRendered
+      val internal: Any =
+        if (candidates.isEmpty) null // every live row holds null `c`
+        else (field.dataType, typ) match {
         case (LongType, "long") =>
-          val vs = sts.map(s => (if (wantMin) s.mn else s.mx).toLong)
+          val vs = candidates.map(_.toLong)
           if (wantMin) vs.min else vs.max
         case (IntegerType, "long") =>
-          val vs = sts.map(s => (if (wantMin) s.mn else s.mx).toLong)
+          val vs = candidates.map(_.toLong)
           (if (wantMin) vs.min else vs.max).toInt
         case (StringType, "string") =>
           // Compare candidates as UTF-8 bytes (UTF8String's ordering),
@@ -870,18 +1043,17 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
           // use UTF-16 code-unit order, which disagrees for non-BMP
           // characters (surrogates sort above U+E000..U+FFFF in UTF-16
           // but below them in UTF-8).
-          val vs = sts.map(s => UTF8String.fromString(
-            if (wantMin) s.mn else s.mx))
+          val vs = candidates.map(UTF8String.fromString)
           import scala.math.Ordering.comparatorToOrdering
           implicit val ord: Ordering[UTF8String] =
             comparatorToOrdering(
               java.util.Comparator.naturalOrder[UTF8String]())
           if (wantMin) vs.min else vs.max
         case (DateType, "string") =>
-          val vs = sts.map(s => if (wantMin) s.mn else s.mx)
-          java.time.LocalDate.parse(if (wantMin) vs.min else vs.max)
+          java.time.LocalDate.parse(
+            if (wantMin) candidates.min else candidates.max)
             .toEpochDay.toInt
-        case _ => return None // timestamps etc: rendering round-trip unsafe
+        case _ => return None
       }
       Some((StructField(s"${if (wantMin) "min" else "max"}($c)",
         field.dataType), internal))
@@ -943,14 +1115,16 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
 
   override def build(): Scan =
     new WarehouseScan(dir, version, mergeKey, required, pruneFilters,
-      maxVersionsPerBatch, ignoreDeletes, pushedAgg, changeStart, changeEnd)
+      maxVersionsPerBatch, ignoreDeletes, pushedAgg, changeStart, changeEnd,
+      cdf)
 }
 
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     required: StructType, pruneFilters: Array[Filter],
     maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false,
     pushedAgg: Option[(StructType, Array[Any])] = None,
-    changeStart: Option[Long] = None, changeEnd: Option[Long] = None)
+    changeStart: Option[Long] = None, changeEnd: Option[Long] = None,
+    cdf: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import WarehouseConnector._
@@ -1017,33 +1191,64 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   private lazy val allEntries: Seq[EpochEntry] =
     AtomicWarehouse.committedEntriesAt(spark, dir, resolvedVersion)
   /** CHANGE FEED (`.option("startingVersion", s)` [+ endingVersion]):
-    * the entry names appended in (s, resolvedVersion] — the batch face
-    * of the manifest tail's diff, same refusal contract at purge
-    * boundaries ([[WarehouseConnector.addedEntriesBetween]]).
+    * the entries appended in manifest versions [s, resolvedVersion] —
+    * INCLUSIVE of the starting version, Delta CDF's convention for the
+    * identically-named option — the batch face of the manifest tail's
+    * diff, same refusal contract at purge boundaries
+    * ([[WarehouseConnector.addedEntriesBetween]]).
     * `startingVersion = 0` is the initial snapshot (tombstone drops
     * applied); a stepped range serves appended rows only, so drops are
-    * NOT applied (a tombstone in range either refused or was
-    * ignoreDeletes-skipped). `_pos` stays the END-version manifest
-    * position — identical tiebreaker semantics to snapshot and tail. */
-  private lazy val changeNames: Option[Set[String]] =
+    * NOT applied (a tombstone in range either refused, was
+    * ignoreDeletes-skipped, or — under `readChangeFeed` — became
+    * explicit delete rows). `_pos` stays the END-version manifest
+    * position for entries the end manifest still lists; an in-range
+    * entry FOLDED OUT by a compaction gets a stable NEGATIVE position
+    * (first-appearance order in the range, below every end-manifest
+    * position — folded-out entries predate the fold, so the
+    * `(load_seq DESC, _pos DESC)` tiebreaker stays commit-ordered even
+    * when several folded-out entries carry tied load_seq values).
+    *
+    * The plan is `(data entries in commit order, delete entries,
+    * name → commit version)`; delete entries are nonempty only under
+    * `readChangeFeed` (tombstone key lists served as
+    * `_change_type='delete'` rows, [[WarehouseConnector
+    * .cdfAddsBetween]]). */
+  private lazy val changePlan
+      : Option[(Seq[(String, Long)], Seq[(String, Long)])] =
     changeStart.map { s0 =>
-      // == resolvedVersion is a legitimate empty poll; BEYOND it is a
-      // corrupt/foreign checkpoint and must fail loudly — an empty feed
-      // would be indistinguishable from "no new data" and stall forever
-      require(s0 >= 0L && s0 <= resolvedVersion,
+      // == resolvedVersion + 1 is a legitimate empty poll ("anything
+      // after what I have?"); BEYOND that is a corrupt/foreign
+      // checkpoint and must fail loudly — an empty feed would be
+      // indistinguishable from "no new data" and stall forever
+      require(s0 >= 0L && s0 <= resolvedVersion + 1,
         s"startingVersion $s0 is outside this table's history (served " +
           s"end version is $resolvedVersion)")
       // memoized per read: the diff touches each version twice
       val memo = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
-      WarehouseConnector.addedEntriesBetween(s0, resolvedVersion,
-        ignoreDeletes, v => memo.getOrElseUpdate(v,
-          AtomicWarehouse.committedEpochsAt(spark, dir, v))).toSet
+      val at = (v: Long) => memo.getOrElseUpdate(v,
+        AtomicWarehouse.committedEpochsAt(spark, dir, v))
+      val sExcl = math.max(s0 - 1, 0L)
+      if (cdf)
+        WarehouseConnector.cdfAddsBetween(sExcl, resolvedVersion,
+          ignoreDeletes, at)
+      else (WarehouseConnector.addedEntriesBetween(sExcl, resolvedVersion,
+        ignoreDeletes, at).map(_ -> -1L), Nil)
     }
+  /** Stable positions for served entries missing from the end manifest
+    * (folded out mid-range): [-m, -1] in first-appearance order. */
+  private lazy val foldedPos: Map[String, Int] = changePlan match {
+    case None => Map.empty
+    case Some((data, dels)) =>
+      val endNames = allEntries.map(_.name).toSet
+      val folded = (data ++ dels).map(_._1).filterNot(endNames)
+      val m = folded.size
+      folded.zipWithIndex.map { case (n, i) => n -> (i - m) }.toMap
+  }
   // DATA entries only — tombstones are split out and applied as per-file
   // key-drop lists (merge-on-read deletion vectors)
-  private lazy val entries: Seq[EpochEntry] = changeNames match {
+  private lazy val entries: Seq[EpochEntry] = changePlan match {
     case None => allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
-    case Some(names) =>
+    case Some((data, _)) =>
       // an in-range entry FOLDED OUT of the end manifest (auto-compact
       // landed inside the range) is still servable — its dir outlives
       // the fold until vacuum. Synthesize a stats-less entry so its
@@ -1051,7 +1256,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       // vacuumed dir fails LOUDLY at listing instead of silently
       // dropping the appended rows from the feed.
       val byName = allEntries.map(e => e.name -> e).toMap
-      names.toSeq.sorted.map(n => byName.getOrElse(n, EpochEntry(n)))
+      data.map(_._1).sorted.map(n => byName.getOrElse(n, EpochEntry(n)))
   }
   private lazy val tombstones: Seq[TombstoneKeys] =
     if (changeStart.exists(_ > 0L)) Nil // appended rows only: no drops
@@ -1115,13 +1320,35 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       case None =>
         val all = pruneFilters ++ runtimeFilters
         val posOf = allEntries.map(_.name).zipWithIndex.toMap
+        val versionOf: Map[String, Long] =
+          changePlan.fold(Map.empty[String, Long])(p => p._1.toMap)
         val files = listPlannedFiles()
           .filter(file => all.forall(fileMayMatch(file, _)))
-        WarehouseConnector.packPartitions(spark, files.map(file =>
+        val packed = WarehouseConnector.packPartitions(spark, files.map(file =>
           WarehouseFilePartition(file.path, file.partValues.toArray,
-            // 0 for an epoch folded out of the end manifest mid-range
-            // (change feeds only) — same contract as the tail
-            posOf.getOrElse(file.epoch, 0)) -> file.len))
+            // a stable NEGATIVE position for an epoch folded out of the
+            // end manifest mid-range (change feeds only; same contract
+            // as the tail) — first-appearance order below position 0
+            posOf.getOrElse(file.epoch, foldedPos.getOrElse(file.epoch, 0)),
+            commitVersion = versionOf.getOrElse(file.epoch, -1L)) -> file.len))
+        // readChangeFeed: each in-range tombstone's key list becomes one
+        // partition of synthesized _change_type='delete' rows — O(purged
+        // keys) rows, no files opened (the keys ARE the manifest's
+        // deletion vector). Residual row filters still apply Spark-side.
+        val deletes: Array[InputPartition] = changePlan match {
+          case Some((_, dels)) if dels.nonEmpty =>
+            dels.map { case (name, v) =>
+              val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
+                .getOrElse("")
+              val (_, ls, ss) =
+                AtomicWarehouse.readTombstoneKeys(spark, dir, name)
+              WarehouseDeleteKeysPartition(keyCol, ls, ss,
+                posOf.getOrElse(name, foldedPos.getOrElse(name, 0)), v)
+                : InputPartition
+            }.toArray
+          case _ => Array.empty
+        }
+        packed ++ deletes
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1142,8 +1369,14 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty,
       "graft-warehouse streaming read supports filter/column pushdown only")
+    // a stream tracks its own end offsets — a silent ignore here would
+    // re-serve the full snapshot a startingVersion consumer already has
+    require(changeEnd.isEmpty,
+      "endingVersion is a batch-only option: a readStream tracks its " +
+        "own end offsets (use Trigger.AvailableNow to drain to a point)")
     new WarehouseMicroBatchStream(dir, required, pruneFilters, mergeKey,
-      maxVersionsPerBatch, ignoreDeletes)
+      maxVersionsPerBatch, ignoreDeletes, startVersion = changeStart,
+      cdf = cdf)
   }
 }
 
@@ -1176,13 +1409,25 @@ class WarehouseAggReaderFactory extends PartitionReaderFactory {
 final case class WarehouseFilePartition(path: String,
     partValues: Array[(String, String)],
     pos: Int = 0,
-    applyDrops: Boolean = true)
+    applyDrops: Boolean = true,
+    commitVersion: Long = -1L)
     extends InputPartition
 
 /** Several bin-packed small files served by ONE task (see
   * [[WarehouseConnector.packPartitions]]); the reader chains the
   * per-file readers lazily, so memory stays one-file-bounded. */
 final case class WarehouseFilesPartition(files: Array[WarehouseFilePartition])
+    extends InputPartition
+
+/** One in-range TOMBSTONE served as `_change_type='delete'` rows
+  * (`readChangeFeed` only): the purged key values ride the partition
+  * itself — O(purged keys) by the purge contract, zero files opened.
+  * Every data column except the key is null (the manifest records the
+  * retracted IDENTITIES, not pre-images — exactly what a downstream
+  * merge needs to apply the retraction). */
+final case class WarehouseDeleteKeysPartition(keyCol: String,
+    keys: Array[Long], strKeys: Array[String],
+    pos: Int, commitVersion: Long)
     extends InputPartition
 
 /** Executor-side parquet decode via the public parquet-hadoop Group
@@ -1338,15 +1583,62 @@ class WarehouseReaderFactory(required: StructType,
       override def close(): Unit = if (cur != null) cur.close()
     }
     case p: WarehouseFilePartition => fileReader(p)
+    case d: WarehouseDeleteKeysPartition => new PartitionReader[InternalRow] {
+      private val total = d.keys.length + d.strKeys.length
+      private var i = -1
+      /** Key value coerced to the TABLE's key-column type: long keys
+        * render to string columns in canonical decimal form and string
+        * keys parse to long columns with the engine's cast semantics —
+        * the same correspondences the scan-time drop checks use, so a
+        * consumer anti-joining the delete rows retracts exactly the
+        * rows the engine suppresses. */
+      private def keyAt(dt: DataType, j: Int): Any =
+        if (j < d.keys.length) dt match {
+          case LongType => d.keys(j)
+          case IntegerType =>
+            val k = d.keys(j); if (k.isValidInt) k.toInt else null
+          case StringType => UTF8String.fromString(d.keys(j).toString)
+          case _ => null
+        } else {
+          val s = d.strKeys(j - d.keys.length)
+          dt match {
+            case StringType => UTF8String.fromString(s)
+            case LongType => AtomicWarehouse.sparkLongCast(s).orNull
+            case IntegerType => AtomicWarehouse.sparkLongCast(s)
+              .collect { case k if k.isValidInt => k.toInt }.orNull
+            case _ => null
+          }
+        }
+      private val getters: Array[Int => Any] = required.fields.map { f =>
+        if (f.name == WarehouseConnector.PosColumn) (_: Int) => d.pos
+        else if (f.name == WarehouseConnector.ChangeTypeColumn) {
+          val v = UTF8String.fromString("delete"); (_: Int) => v
+        } else if (f.name == WarehouseConnector.CommitVersionColumn)
+          (_: Int) => d.commitVersion
+        else if (f.name == d.keyCol) (j: Int) => keyAt(f.dataType, j)
+        else (_: Int) => null
+      }
+      override def next(): Boolean = { i += 1; i < total }
+      override def get(): InternalRow =
+        new GenericInternalRow(getters.map(_(i)))
+      override def close(): Unit = ()
+    }
     case other => throw new IllegalStateException(
       s"unexpected partition type ${other.getClass.getName}")
   }
 
-  /** Footer schema per CONTAINING DIR, memoized executor-wide: engine
+  /** Footer schema per CONTAINING DIR, memoized for the life of THIS
+    * reader factory instance (Spark deserializes one factory per task,
+    * so the practical scope is per-task: a bin-packed partition of many
+    * tiny files from one dir pays one footer open, not one per file —
+    * the probe measured the per-file open+parse at over half the
+    * tiny-file scan floor). Keying by dir is sound because engine
     * epochs are publish-once and schema-uniform within a dir (one write
-    * job per epoch/partition subdir), so a 12.8k-tiny-file scan pays
-    * ~400 footer opens instead of 12.8k — the probe measured the
-    * per-file open+parse at over half the tiny-file scan floor. */
+    * job per epoch/partition subdir); a foreign file violating that
+    * uniformity fails LOUDLY in the projected read (parquet-hadoop
+    * checks the requested projection against the file's own footer and
+    * the decoder checks primitive types) — never a silent wrong-column
+    * decode. */
   @transient private lazy val footerCache =
     new java.util.concurrent.ConcurrentHashMap[String, MessageType]()
 
@@ -1466,6 +1758,16 @@ class WarehouseReaderFactory(required: StructType,
         // `_pos` metadata column: the partition's manifest position, a
         // per-file constant (every row in a file belongs to one entry)
         val v: Any = p.pos
+        (_: Group) => v
+      } else if (f.name == WarehouseConnector.ChangeTypeColumn &&
+          !footerSchema.containsField(f.name)) {
+        // readChangeFeed: every row decoded from a data file is an
+        // append — 'insert', a per-file constant like `_pos`
+        val v: Any = UTF8String.fromString("insert")
+        (_: Group) => v
+      } else if (f.name == WarehouseConnector.CommitVersionColumn &&
+          !footerSchema.containsField(f.name)) {
+        val v: Any = p.commitVersion
         (_: Group) => v
       } else partMap.get(f.name) match {
         case Some(raw) =>
@@ -1631,7 +1933,8 @@ final case class WarehouseVersionOffset(v: Long)
   * already the pruning granule). */
 class WarehouseMicroBatchStream(dir: String, required: StructType,
     pruneFilters: Array[Filter], mergeKey: String, maxVersionsPerBatch: Int,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    startVersion: Option[Long] = None, cdf: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1668,7 +1971,23 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def initialOffset(): StreamOffset = WarehouseVersionOffset(0L)
+  /** A fresh stream starts at version 0 (initial snapshot, then tail) —
+    * or, with `.option("startingVersion", s)`, at s−1 (serve the
+    * changes OF version s and later, INCLUSIVE like Delta's
+    * identically-named streaming option, with no snapshot). Checked
+    * against live history here because a too-new start would otherwise
+    * plan empty batches forever — indistinguishable from "no new
+    * data". */
+  override def initialOffset(): StreamOffset = {
+    val s = startVersion.map(v => math.max(v - 1, 0L)).getOrElse(0L)
+    if (s > 0L) {
+      val cur = AtomicWarehouse.currentVersion(spark, dir)
+      require(s <= cur + 1,
+        s"startingVersion ${startVersion.get} is outside this table's " +
+          s"history (current version is $cur)")
+    }
+    WarehouseVersionOffset(s)
+  }
   override def deserializeOffset(json: String): StreamOffset =
     WarehouseVersionOffset(json.toLong)
 
@@ -1719,23 +2038,52 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     // batch 0's INITIAL SNAPSHOT applies tombstones as scan-time key
     // drops (its contract is the warehouse's logical content); stepped
     // batches never apply drops — a tombstone addition either failed
-    // the tail loudly or was ignoreDeletes-skipped above. The tombstone
-    // LIST ships once per stage via the reader factory; partitions
-    // carry only (pos, applyDrops).
+    // the tail loudly, was ignoreDeletes-skipped, or (readChangeFeed)
+    // became explicit delete rows. The tombstone LIST ships once per
+    // stage via the reader factory; partitions carry only
+    // (pos, applyDrops). A CDF tail never snapshots: its batch 0 is a
+    // stepped walk from the start version.
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
-    if (s == 0L)
-      snapshotTombs = WarehouseConnector.loadTombstones(spark, dir, allEntries)
-    val files = entriesToServe(s, e)
-      .filter(n => byName.get(n).forall(en =>
+    val (dataAdds, delAdds) =
+      if (cdf)
+        WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt)
+      else {
+        if (s == 0L)
+          snapshotTombs =
+            WarehouseConnector.loadTombstones(spark, dir, allEntries)
+        (entriesToServe(s, e).map(_ -> -1L), Nil)
+      }
+    // entries folded out of the END manifest mid-batch get stable
+    // NEGATIVE positions in first-appearance order (same contract as
+    // the batch change feed): folded-out entries predate the fold, so
+    // the (load_seq DESC, _pos DESC) tiebreaker stays commit-ordered
+    val folded = (dataAdds ++ delAdds).map(_._1)
+      .filterNot(posOf.contains)
+    val negPos = folded.zipWithIndex
+      .map { case (n, i) => n -> (i - folded.size) }.toMap
+    def posFor(n: String): Int = posOf.getOrElse(n, negPos.getOrElse(n, 0))
+    val files = dataAdds
+      .filter { case (n, _) => byName.get(n).forall(en =>
         pruneFilters.forall(fl =>
-          WarehouseConnector.epochMayMatch(en, mergeKey, fl))))
-      .flatMap(n => byName.get(n)
+          WarehouseConnector.epochMayMatch(en, mergeKey, fl))) }
+      .flatMap { case (n, v) => byName.get(n)
         .map(WarehouseConnector.entryFiles(f, dir, _))
-        .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n)))
-      .filter(file => pruneFilters.forall(fileMayMatch(file, _)))
-      .map(file => WarehouseFilePartition(file.path, file.partValues.toArray,
-        posOf.getOrElse(file.epoch, 0), applyDrops = s == 0L) -> file.len)
-    WarehouseConnector.packPartitions(spark, files)
+        .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n))
+        .map(_ -> v) }
+      .filter { case (file, _) =>
+        pruneFilters.forall(fileMayMatch(file, _)) }
+      .map { case (file, v) =>
+        WarehouseFilePartition(file.path, file.partValues.toArray,
+          posFor(file.epoch), applyDrops = !cdf && s == 0L,
+          commitVersion = v) -> file.len }
+    val deletes: Array[InputPartition] = delAdds.map { case (name, v) =>
+      val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
+        .getOrElse("")
+      val (_, ls, ss) = AtomicWarehouse.readTombstoneKeys(spark, dir, name)
+      WarehouseDeleteKeysPartition(keyCol, ls, ss, posFor(name), v)
+        : InputPartition
+    }.toArray
+    WarehouseConnector.packPartitions(spark, files) ++ deletes
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -87,16 +87,42 @@ object Similarity {
     * query's buckets across `tables` hash tables, then exact cosine
     * re-rank. The 100 TB-scale path — a groupBy-shaped join on
     * (table, bucket) instead of a cross join; recall tunes with
-    * planes (bucket size) × tables (independent chances). */
+    * planes (bucket size) × tables (independent chances).
+    *
+    * `maxBucket` is the HOT-BUCKET CAP, the ANN twin of
+    * [[graft.text.NearDup.lshCandidatesFromSigs]]'s: candidate volume is
+    * Σ(queries-in-bucket × corpus-in-bucket), so a degenerate bucket —
+    * constant/zero embeddings, boilerplate vectors — makes the
+    * (tbl, bucket) join quadratic in that bucket's population. The cap
+    * keeps at most `maxBucket` CORPUS members per (tbl, bucket), chosen
+    * by a DETERMINISTIC md5 rank of (tbl, id) — unbiased w.r.t. id
+    * order, reproducible across runs/engines, and table-dependent so
+    * each hash table samples a DIFFERENT subset of an oversized cluster
+    * (union coverage across tables). Applied via row_number on the same
+    * (tbl, bucket) hash partitioning the candidate join needs — Catalyst
+    * reuses the exchange — so an adversarial 10M-member bucket costs
+    * O(tables · maxBucket · queries) candidates instead of an OOM.
+    * Query-side membership is never capped: every query still probes all
+    * its buckets; only how many corpus candidates a saturated bucket may
+    * nominate is bounded. Default Int.MaxValue = off (hash-stable with
+    * the uncapped battery entries). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-      k: Int, dims: Int, planes: Int, tables: Int = 4): DataFrame = {
+      k: Int, dims: Int, planes: Int, tables: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     def explodeBuckets(df: DataFrame, idAs: String, vecAs: String, nrmAs: String) =
       df.select(col(id).as(idAs), asDouble(col(vec)).as(vecAs))
         .withColumn(nrmAs, norm(col(vecAs)))
         .withColumn("tb", explode(lshBuckets(col(vecAs), dims, planes, tables)))
         .select(col(idAs), col(vecAs), col(nrmAs),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val c = explodeBuckets(corpus, "neighbor_id", "cv", "cn")
+    val c0 = explodeBuckets(corpus, "neighbor_id", "cv", "cn")
+    val c =
+      if (maxBucket == Int.MaxValue) c0
+      else c0.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("tbl"), col("bucket"))
+            .orderBy(md5(concat(col("tbl").cast("string"), lit(":cap:"),
+              col("neighbor_id").cast("string"))), col("neighbor_id"))))
+        .where(col("__rk") <= maxBucket).drop("__rk")
     val q = explodeBuckets(queries, "query_id", "qv", "qn")
     val cands = q.join(c, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))

@@ -207,21 +207,24 @@ class WarehouseSourceSpec extends SparkSuite {
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(5, 15, 2L), 2L) // v2
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(20, 25, 3L), 3L) // v3
-    val cdf = connRead(dir, "startingVersion" -> "1")
-    assert(cdf.count() == 11 + 6, "epochs appended after v1 only")
+    // INCLUSIVE bounds, Delta CDF's convention: [2, end]
+    val cdf = connRead(dir, "startingVersion" -> "2")
+    assert(cdf.count() == 11 + 6, "versions 2..3's appends only")
     assert(cdf.agg(min("k")).head.getLong(0) == 5L)
     // endingVersion bounds the range (and fixes the served schema)
-    val mid = connRead(dir, "startingVersion" -> "1", "endingVersion" -> "2")
+    val mid = connRead(dir, "startingVersion" -> "2", "endingVersion" -> "2")
     assert(mid.count() == 11)
     // startingVersion = 0 is the initial snapshot
     assert(connRead(dir, "startingVersion" -> "0").count() == 27)
+    // one-past-the-end is a legitimate empty poll, not corruption
+    assert(connRead(dir, "startingVersion" -> "4").count() == 0)
     // _pos rides along with END-manifest positions (same tiebreaker as
     // snapshot and tail reads)
     assert(cdf.where(col("k") === 20L).select(col("_pos"))
       .head.getInt(0) == 2)
     // time travel and change feed are mutually exclusive
     intercept[IllegalArgumentException] {
-      connRead(dir, "version" -> "2", "startingVersion" -> "1").count()
+      connRead(dir, "version" -> "2", "startingVersion" -> "2").count()
     }
   }
 
@@ -235,11 +238,11 @@ class WarehouseSourceSpec extends SparkSuite {
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(21, 25, 3L), 3L,
       statsKey = Some("k"), bloomKey = Some("k")) // v4
     val err = intercept[UnsupportedOperationException] {
-      connRead(dir, "startingVersion" -> "2").count()
+      connRead(dir, "startingVersion" -> "3").count()
     }
     assert(err.getMessage.contains("PURGE"))
     // ignoreDeletes skips the tombstone; appended rows only, no drops
-    val skipped = connRead(dir, "startingVersion" -> "2",
+    val skipped = connRead(dir, "startingVersion" -> "3",
       "ignoreDeletes" -> "true")
     assert(skipped.count() == 5)
     assert(skipped.agg(min("k")).head.getLong(0) == 21L)
@@ -263,13 +266,145 @@ class WarehouseSourceSpec extends SparkSuite {
     // the 3rd commit auto-folded: end manifest holds ONE compact entry
     val names = AtomicWarehouse.committedEpochs(spark, dir)
     assert(names.size == 1 && names.head.startsWith("compact_v"))
-    val cdf = connRead(dir, "startingVersion" -> "1")
+    val cdf = connRead(dir, "startingVersion" -> "2")
     assert(cdf.count() == 4 + 3, "epochs 2+3 must ride the feed")
     assert(cdf.agg(min("k")).head.getLong(0) == 6L)
+    // folded-out entries get stable NEGATIVE _pos in commit order
+    // (below every end-manifest position), so the (load_seq DESC,
+    // _pos DESC) tiebreaker still ranks epoch_3's rows over epoch_2's
+    val pos = cdf.select(col("k"), col("_pos")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pos(6L) == -2 && pos(10L) == -1,
+      s"commit-ordered negative positions expected, got $pos")
     // a corrupt checkpoint beyond history fails loudly, never empty
     intercept[IllegalArgumentException] {
       connRead(dir, "startingVersion" -> "500").count()
     }
+  }
+
+  test("change feed planned before a fold+vacuum fails loudly, never empty") {
+    // the full race: feed PLANNED → auto-compact folds its epochs out →
+    // vacuum destroys their dirs → feed EXECUTES. The synthesized
+    // entries' listing must throw (the rows are unrecoverable), not
+    // serve an empty/partial feed a consumer would checkpoint past.
+    val root = java.nio.file.Files.createTempDirectory("wh_src_cdfrace")
+      .toString
+    val dir = s"$root/wh"
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 5, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(6, 9, 2L), 2L) // v2
+    val feed = connRead(dir, "startingVersion" -> "2")
+    // plan is resolved lazily; maintenance lands before the action
+    AtomicWarehouse.compact(spark, dir, "k") // v3: epoch_2 folded out
+    AtomicWarehouse.vacuum(spark, dir, retainVersions = 1, graceMs = 0L)
+    val err = intercept[Exception] { feed.count() }
+    assert(err.isInstanceOf[java.io.FileNotFoundException] ||
+      err.getMessage.contains("epoch_2"),
+      s"vacuumed feed must fail loudly, got: $err")
+    // feed planned across the fold but BEFORE vacuum still serves
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(10, 11, 3L), 4L)
+    assert(connRead(dir, "startingVersion" -> "4").count() == 2)
+  }
+
+  test("readChangeFeed serves inserts AND deletes with _change_type") {
+    val dir = freshDir("cdfrow")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 15, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(3L, 12L)) // v3
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(16, 18, 3L), 3L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v4
+    val feed = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true")
+    // schema: data columns + _change_type + _commit_version
+    assert(feed.schema.fieldNames.contains("_change_type") &&
+      feed.schema.fieldNames.contains("_commit_version"))
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 18L, "delete" -> 2L), s"$byType")
+    // delete rows: key populated, other data columns null, version = 3
+    val dels = feed.where(col("_change_type") === "delete")
+      .select("k", "name", "_commit_version").collect()
+    assert(dels.map(_.getLong(0)).toSet == Set(3L, 12L))
+    assert(dels.forall(r => r.isNullAt(1) && r.getLong(2) == 3L))
+    // insert rows carry their committing version
+    val vOf = feed.where(col("_change_type") === "insert")
+      .select("k", "_commit_version").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vOf(1L) == 1L && vOf(11L) == 2L && vOf(17L) == 4L)
+    // bounded range: only v3's tombstone + v4's insert
+    val tail = connRead(dir, "startingVersion" -> "3",
+      "readChangeFeed" -> "true")
+    assert(tail.count() == 2 + 3)
+    // ignoreDeletes keeps its meaning: appends only, no delete rows
+    val noDel = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true", "ignoreDeletes" -> "true")
+    assert(noDel.where(col("_change_type") === "delete").count() == 0 &&
+      noDel.count() == 18)
+    // readChangeFeed requires an explicit start
+    intercept[IllegalArgumentException] {
+      connRead(dir, "readChangeFeed" -> "true").count()
+    }
+    // a REPLAY of the feed reconstructs the live table: last-wins over
+    // inserts, then anti-join the deletes committed after
+    val applied = feed.where(col("_change_type") === "insert")
+      .join(feed.where(col("_change_type") === "delete").select(
+        col("k").as("dk")), col("k") === col("dk"), "left_anti")
+    assert(applied.count() == 16 &&
+      connRead(dir).count() == 16, "feed replay must match the snapshot")
+  }
+
+  test("readChangeFeed tails as a STREAM from startingVersion") {
+    val dir = freshDir("cdfstream")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(2L)) // v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 13, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v3
+    val out = java.nio.file.Files.createTempDirectory("cdfstream_out")
+      .toString
+    val q = spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "2").option("readChangeFeed", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+    val byType = got.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // versions [2, 3]: v2's tombstone (1 delete) + v3's insert (3 rows);
+    // v1's snapshot is NOT re-served
+    assert(byType == Map("delete" -> 1L, "insert" -> 3L), s"$byType")
+    // endingVersion on a stream is refused loudly, not ignored
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-warehouse").option("path", dir)
+        .option("startingVersion", "2").option("endingVersion", "3")
+        .load()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("plain stream honors startingVersion (no snapshot re-serve)") {
+    val dir = freshDir("streamsv")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 12, 2L), 2L) // v2
+    val out = java.nio.file.Files.createTempDirectory("streamsv_out")
+      .toString
+    val q = spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/data").count() == 2,
+      "a startingVersion stream must not re-serve the snapshot")
   }
 
   test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
@@ -489,12 +624,27 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(afterTomb2.head.getLong(0) == 18)
     assert(afterTomb2.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
-    // ...but MIN/MAX still refuse under tombstones: a suppressed row
-    // may hold the extremum and no per-tombstone correction exists
+    // ...and MIN/MAX survive tombstones too (the c70 trade): entries a
+    // later tombstone may touch are re-scanned at planning with drops
+    // applied, the rest serve from stats — still a COMPLETE pushdown
     val minAfterTomb = connRead(dir).agg(min("k").as("m"))
     assert(minAfterTomb.head.getLong(0) == 1L)
-    assert(!minAfterTomb.queryExecution.executedPlan.toString
+    assert(minAfterTomb.queryExecution.executedPlan.toString
       .contains("PushedAggregates"))
+    // purge the extremum itself: the recomputed answer must move off
+    // the (stale) zone-map value
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(1L, 20L))
+    val shifted = connRead(dir).agg(min("k").as("mn"), max("k").as("mx"))
+    assert(shifted.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(shifted.head.getLong(0) == 2L && shifted.head.getLong(1) == 19L,
+      "suppressed extrema must not be served from stats")
+    // a key RE-ADDED after the purge is new data and wins again
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(20, 20, 9L), 9L,
+      statsKey = Some("k"))
+    val back = connRead(dir).agg(max("k").as("mx"))
+    assert(back.head.getLong(0) == 20L,
+      "a post-tombstone re-add must survive the drop ordering")
   }
 
   test("admission control bounds versions per batch") {

@@ -42,6 +42,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("hot-bucket cap bounds corpus candidates per (tbl, bucket)") {
+    // adversarial densification: 400 IDENTICAL vectors all land in the
+    // same bucket of every table — uncapped, each query in that bucket
+    // sees all 400 as candidates; capped, at most maxBucket per table
+    val dims = 8
+    val dense = (0L until 400L).map(i => (i, Array.fill(dims)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val qs = dense.where(col("vec_id") < 2)
+    val capped = Similarity.lshTopK(dense, qs, "vec_id", "embedding",
+      k = 500, dims = dims, planes = 3, tables = 4, maxBucket = 10)
+    // ≤ tables × maxBucket distinct candidates per query (union across
+    // tables; here all tables collide on one bucket so ≤ 40, and the
+    // md5 rank is id-uniform so > 10 survive the union)
+    val perQ = capped.groupBy("query_id").count().collect()
+      .map(r => r.getLong(1))
+    assert(perQ.forall(_ <= 40), s"cap must bound candidates: ${perQ.toSeq}")
+    // cap off (default) is the identical uncapped plan/result
+    val qs2 = dense.where(col("vec_id") < 1)
+    val off = Similarity.lshTopK(dense, qs2, "vec_id", "embedding",
+      k = 500, dims = dims, planes = 3, tables = 2)
+    assert(off.count() == 399, "default cap=MaxValue must serve all")
+  }
+
   test("plane weights are deterministic and zero-mean-ish") {
     val ws = (0 until 8).flatMap(p => (0 until 64).map(j => Similarity.planeWeight(0, p, j)))
     assert(ws == (0 until 8).flatMap(p => (0 until 64).map(j => Similarity.planeWeight(0, p, j))))
