@@ -350,9 +350,10 @@ object ScaleProbe {
     }
     val totalRows = k.toLong * rowsPerEpoch
     println(s"| tombstones | keys purged | last tombstone commit ms | " +
-      "metadata count ms (rows) | scan read s (rows) | " +
+      "metadata count ms (rows) | metadata min/max ms (mn,mx) | " +
+      "scan read s (rows) | " +
       "connector plan ms | point read ms (epochs) |")
-    println("|---|---|---|---|---|---|---|")
+    println("|---|---|---|---|---|---|---|---|")
     var purgedKeys = 0L
     var committedTombs = 0
     val keysPerTomb = 5
@@ -371,14 +372,15 @@ object ScaleProbe {
         lastCommit = tc
         committedTombs += 1
       }
-      val expected = {
-        // recompute exactly: distinct keys over all tombstones so far
-        val all = (0 until committedTombs).flatMap { j =>
-          val lo = (j.toLong * keysPerTomb * 7919L) % (totalRows - 100)
-          (0 until keysPerTomb).map(i => 100 + (lo + i * 97) % (totalRows - 100))
-        }.distinct
-        totalRows - all.size
-      }
+      val purged = (0 until committedTombs).flatMap { j =>
+        val lo = (j.toLong * keysPerTomb * 7919L) % (totalRows - 100)
+        (0 until keysPerTomb).map(i => 100 + (lo + i * 97) % (totalRows - 100))
+      }.distinct
+      val expected = totalRows - purged.size
+      val purgedSet = purged.toSet
+      val expMin = Iterator.from(0).map(_.toLong).filterNot(purgedSet).next()
+      val expMax = Iterator.from(0).map(totalRows - 1 - _)
+        .filterNot(purgedSet).next()
       // metadata COUNT: tombstones record newly-suppressed totals at
       // commit, so count(*) stays a manifest subtraction at ANY T — and
       // the equality tripwire validates the suppression bookkeeping
@@ -387,6 +389,19 @@ object ScaleProbe {
           .count())
       require(metaRows == expected,
         s"metadata count drifted at T=$committedTombs: $metaRows != $expected")
+      // metadata MIN/MAX under tombstones (c70): the exact extremum
+      // test keeps epochs clean unless a purged key IS a recorded
+      // extremum, so the answer stays a manifest read plus a pruned
+      // re-scan of only the tainted epochs — verified EXACT against
+      // the purge lattice
+      val (mm, tMinMax) = timeIt {
+        val r = spark.read.format("graft-warehouse").option("path", wh)
+          .load().agg(min(col("key")), max(col("key"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(mm == (expMin, expMax),
+        s"metadata min/max drifted at T=$committedTombs: $mm " +
+          s"!= ($expMin, $expMax)")
       val ((rows, planMs), tRead) = timeIt {
         val df = spark.read.format("graft-warehouse").option("path", wh).load()
           // an always-true pushed filter defeats the agg pushdown, so
@@ -416,6 +431,7 @@ object ScaleProbe {
         s"point read stopped pruning under tombstones: $opened data epochs")
       println(f"| $committedTombs | $purgedKeys | ${lastCommit * 1000}%.0f | " +
         f"${tMeta * 1000}%.0f ($metaRows) | " +
+        f"${tMinMax * 1000}%.0f ($expMin,$expMax) | " +
         f"$tRead%.1f ($rows) | $planMs%.0f | ${tPoint * 1000}%.0f ($opened) |")
     }
     // compact must FOLD every tombstone away: T is bounded by cadence

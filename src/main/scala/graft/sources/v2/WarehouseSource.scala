@@ -381,7 +381,16 @@ object WarehouseConnector {
   def addedEntriesBetween(s: Long, e: Long, ignoreDeletes: Boolean,
       namesAt: Long => Seq[String]): Seq[String] =
     if (s == 0L) namesAt(e).filterNot(AtomicWarehouse.isTombstone)
-    else (s + 1 to e).flatMap { v =>
+    else steppedEntriesBetween(s, e, ignoreDeletes, namesAt)
+
+  /** The STEPPED walk of (s, e] without the s=0 snapshot special case —
+    * an explicit `startingVersion = 1` (inclusive) means "every entry
+    * added since the table's birth", which serves the originally
+    * committed epochs (folds skipped, purge boundaries refusing),
+    * NOT the end manifest's folded/drop-applied snapshot. */
+  def steppedEntriesBetween(s: Long, e: Long, ignoreDeletes: Boolean,
+      namesAt: Long => Seq[String]): Seq[String] =
+    (s + 1 to e).flatMap { v =>
       val prev = namesAt(v - 1).toSet
       val added = namesAt(v).filterNot(prev)
       val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
@@ -1231,8 +1240,18 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       if (cdf)
         WarehouseConnector.cdfAddsBetween(sExcl, resolvedVersion,
           ignoreDeletes, at)
-      else (WarehouseConnector.addedEntriesBetween(sExcl, resolvedVersion,
-        ignoreDeletes, at).map(_ -> -1L), Nil)
+      else if (s0 == 0L)
+        // startingVersion = 0: the initial SNAPSHOT (end-manifest
+        // content, tombstone drops applied) — the documented extension
+        // beyond Delta's surface
+        (WarehouseConnector.addedEntriesBetween(0L, resolvedVersion,
+          ignoreDeletes, at).map(_ -> -1L), Nil)
+      else
+        // startingVersion >= 1: stepped walk of versions [s0, e] —
+        // s0 = 1 is "everything since the table's birth", served as
+        // the ORIGINAL commits (folds skipped), never the snapshot
+        (WarehouseConnector.steppedEntriesBetween(sExcl, resolvedVersion,
+          ignoreDeletes, at).map(_ -> -1L), Nil)
     }
   /** Stable positions for served entries missing from the end manifest
     * (folded out mid-range): [-m, -1] in first-appearance order. */
@@ -2018,8 +2037,17 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     * them (downstream keeps the purged rows it already saw; new
     * consumers' initial snapshot never sees them — batch 0 applies
     * tombstones as scan-time key drops). */
+  /** Offset 0 means "initial snapshot" ONLY for a default-start stream:
+    * an explicit `startingVersion` asked for the changes OF version s
+    * and later (Delta's streaming contract), so even its first batch is
+    * a stepped walk — the original commits, folds skipped, purge
+    * boundaries refusing — never the end-manifest snapshot. */
+  private def snapshotAtZero: Boolean = startVersion.isEmpty
   private[v2] def entriesToServe(s: Long, e: Long): Seq[String] =
-    WarehouseConnector.addedEntriesBetween(s, e, ignoreDeletes, epochsAt)
+    if (s == 0L && !snapshotAtZero)
+      WarehouseConnector.steppedEntriesBetween(s, e, ignoreDeletes, epochsAt)
+    else
+      WarehouseConnector.addedEntriesBetween(s, e, ignoreDeletes, epochsAt)
 
   override def planInputPartitions(start: StreamOffset,
       end: StreamOffset): Array[InputPartition] = {
@@ -2048,7 +2076,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
       if (cdf)
         WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt)
       else {
-        if (s == 0L)
+        if (s == 0L && snapshotAtZero)
           snapshotTombs =
             WarehouseConnector.loadTombstones(spark, dir, allEntries)
         (entriesToServe(s, e).map(_ -> -1L), Nil)
@@ -2074,7 +2102,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         pruneFilters.forall(fileMayMatch(file, _)) }
       .map { case (file, v) =>
         WarehouseFilePartition(file.path, file.partValues.toArray,
-          posFor(file.epoch), applyDrops = !cdf && s == 0L,
+          posFor(file.epoch),
+          applyDrops = !cdf && s == 0L && snapshotAtZero,
           commitVersion = v) -> file.len }
     val deletes: Array[InputPartition] = delAdds.map { case (name, v) =>
       val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)

@@ -276,6 +276,14 @@ class WarehouseSourceSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(pos(6L) == -2 && pos(10L) == -1,
       s"commit-ordered negative positions expected, got $pos")
+    // startingVersion = 1 (the whole history, inclusive) walks STEPPED:
+    // it serves the three ORIGINAL epochs (all folded out → negative
+    // _pos), never the end manifest's compact entry (_pos 0)
+    val full = connRead(dir, "startingVersion" -> "1")
+    assert(full.count() == 12)
+    assert(full.agg(min(col("_pos"))).head.getInt(0) == -3 &&
+      full.agg(max(col("_pos"))).head.getInt(0) == -1,
+      "history-from-birth must serve original commits, not the fold")
     // a corrupt checkpoint beyond history fails loudly, never empty
     intercept[IllegalArgumentException] {
       connRead(dir, "startingVersion" -> "500").count()
@@ -405,6 +413,29 @@ class WarehouseSourceSpec extends SparkSuite {
     q.awaitTermination(120000)
     assert(spark.read.parquet(s"$out/data").count() == 2,
       "a startingVersion stream must not re-serve the snapshot")
+    // startingVersion = 1 means "the changes of every version" — a
+    // STEPPED walk from the table's birth, not the snapshot: with a
+    // purge in history it must refuse (a snapshot would have served
+    // drop-applied rows and silently hidden the retraction)
+    val dir2 = freshDir("streamsv2")
+    AtomicWarehouse.commitEpoch(spark, dir2, typedRows(1, 5, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.purgeKeysDeferred(spark, dir2, "k", Seq(2L)) // v2
+    val out2 = java.nio.file.Files.createTempDirectory("streamsv2_out")
+      .toString
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-warehouse").option("path", dir2)
+        .option("startingVersion", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$out2/data")
+        .option("checkpointLocation", s"$out2/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(err.getMessage.contains("PURGE") ||
+      Option(err.getCause).exists(_.getMessage.contains("PURGE")),
+      s"explicit-start stream must walk stepped and refuse purges: $err")
   }
 
   test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
