@@ -20,6 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL face of the row-level change feed (Delta's `table_changes`):
+    //   SELECT * FROM graft_table_changes('<warehouse dir>', 2[, 5])
+    // resolves to the same DSv2 relation as
+    // `.option("readChangeFeed", true).option("startingVersion", 2)` —
+    // a table-valued FUNCTION, not a procedure, because a feed is data
+    // (distributed scan, prunable, joinable), never a driver-collected
+    // maintenance result.
+    ext.injectTableFunction((FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo(classOf[graft.sources.v2.WarehouseSource].getName,
+        "graft_table_changes"),
+      args => GraftExtensions.tableChanges(args)))
     // post-hoc RESOLUTION rule, not an optimizer rule: the fuse matches
     // the freshly-analyzed chain; by optimizer time ConstantFolding /
     // PushFoldableIntoBranches have already rewritten it beyond template
@@ -39,6 +50,57 @@ object GraftExtensions {
   private def one(args: Seq[Expression], name: String): Expression = {
     require(args.length == 1, s"$name expects exactly 1 argument")
     args.head
+  }
+
+  /** `graft_table_changes(path, startingVersion[, endingVersion])` →
+    * the row-level change-feed relation (readChangeFeed semantics:
+    * `_change_type`/`_commit_version` columns, deletes as rows,
+    * inclusive version bounds). Arguments must be foldable literals —
+    * they parameterize ANALYSIS (which table, which versions), not
+    * per-row evaluation. */
+  private[graft] def tableChanges(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_table_changes expects (path, startingVersion" +
+        "[, endingVersion])")
+    def folded(e: Expression, what: String): Any = {
+      require(e.foldable,
+        s"graft_table_changes: $what must be a literal")
+      e.eval()
+    }
+    val path = folded(args(0), "path") match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_table_changes: path must be a string literal, got $other")
+    }
+    // integer literal → version bound; string literal → timestamp bound
+    // (Delta's table_changes accepts either form)
+    def bound(e: Expression, verOpt: String, tsOpt: String)
+        : (String, String) = folded(e, verOpt) match {
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        (tsOpt, u.toString)
+      case _ => Cast(e, LongType).eval() match {
+        case l: java.lang.Long => (verOpt, l.toString)
+        case _ => throw new IllegalArgumentException(
+          s"graft_table_changes: $verOpt must be an integer or " +
+            "timestamp-string literal")
+      }
+    }
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("path", path)
+    opts.put("readChangeFeed", "true")
+    val (sk, sv) = bound(args(1), "startingVersion", "startingTimestamp")
+    opts.put(sk, sv)
+    if (args.length == 3) {
+      val (ek, ev) = bound(args(2), "endingVersion", "endingTimestamp")
+      opts.put(ek, ev)
+    }
+    val cis = new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+    val provider = new graft.sources.v2.WarehouseSource
+    val table = provider.getTable(provider.inferSchema(cis),
+      Array.empty, opts)
+    org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(table, None, None, cis, None)
   }
 
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

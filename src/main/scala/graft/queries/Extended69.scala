@@ -121,5 +121,55 @@ object Extended69 {
     agged
   }
 
-  val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed)
+  /** C71 — the SQL FACE of the row-level feed:
+    * `SELECT … FROM graft_table_changes('<dir>', start[, end])`, a
+    * table-valued function (Delta's `table_changes`) resolving to the
+    * same DSv2 relation the `readChangeFeed` option builds — a
+    * distributed, prunable scan, not a driver-collected procedure
+    * result. Same 4-version insert/delete history as c69, consumed
+    * entirely through `spark.sql`; the oracle replays it identically.
+    * Bounded-range semantics ride the third argument (inclusive, like
+    * Delta): this query reads [2, 3] — the update epoch and the
+    * tombstone — proving the SQL surface carries version bounds, not
+    * just the full history. */
+  val c71SqlTableChanges = q("c71_sql_table_changes",
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_orderstatus AS VARCHAR) AS status FROM orders)
+      |SELECT k, status, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, 'UPD-' || status AS status,
+      |         CAST(2 AS BIGINT) AS load_seq, 'insert' AS _change_type,
+      |         CAST(2 AS BIGINT) AS _commit_version
+      |  FROM src WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT CAST(t.k AS BIGINT), CAST(NULL AS VARCHAR),
+      |         CAST(NULL AS BIGINT), 'delete', CAST(3 AS BIGINT)
+      |  FROM (VALUES (2), (33), (998244353)) t(k))""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val dir = s"${freshScratch("c71")}/wh"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").cast("string").as("status"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 5 === 0)
+        .withColumn("status", concat(lit("UPD-"), col("status")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    AtomicWarehouse.purgeKeysDeferred(s, dir, "k",
+      Seq(33L, 2L, 998244353L)) // v3
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 11 === 0)
+        .withColumn("k", col("k") + 9000000L)
+        .withColumn("load_seq", lit(4L)), 4L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v4
+    s.sql(
+      s"""SELECT k, status, load_seq, _change_type, _commit_version
+         |FROM graft_table_changes('$dir', 2, 3)""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed,
+    c71SqlTableChanges)
 }

@@ -90,6 +90,28 @@ object AtomicWarehouse {
   def committedEpochs(spark: SparkSession, dir: String): Seq[String] =
     committedEpochsAt(spark, dir, currentVersion(spark, dir))
 
+  /** Wall-clock commit time of every RETAINED manifest version, as
+    * (version → micros since epoch) — each version's manifest file
+    * modification time, exactly how Delta derives `_commit_timestamp`
+    * and resolves `startingTimestamp` (the commit file IS the commit,
+    * so its mtime is the commit instant; a filesystem copy that
+    * rewrites mtimes loses this history, same caveat as Delta's). ONE
+    * directory listing, O(retained versions). Vacuumed versions are
+    * simply absent — callers that need one fail loudly on the gap. */
+  private[graft] def manifestTimes(spark: SparkSession,
+      dir: String): Map[Long, Long] = {
+    val f = fs(spark, dir)
+    val md = new Path(manifestDir(dir))
+    if (!f.exists(md)) Map.empty
+    else f.listStatus(md).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".json"))
+        Some(n.stripPrefix("v").stripSuffix(".json").toLong ->
+          st.getModificationTime * 1000L)
+      else None
+    }.toMap
+  }
+
   /** Highest `load_seq` present in the CURRENT snapshot, or None on a
     * warehouse with no data entries — the floor a self-sequencing writer
     * (SQL MERGE) must exceed to win the keyed merge. Metadata-only in

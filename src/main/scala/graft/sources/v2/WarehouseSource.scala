@@ -101,7 +101,8 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
       // A data column already named `_change_type`/`_commit_version`
       // would be shadowed — refuse rather than serve ambiguity.
       val cdfCols = Seq(WarehouseConnector.ChangeTypeColumn,
-        WarehouseConnector.CommitVersionColumn)
+        WarehouseConnector.CommitVersionColumn,
+        WarehouseConnector.CommitTimestampColumn)
       require(!base.fieldNames.exists(cdfCols.contains),
         s"readChangeFeed reserves columns ${cdfCols.mkString(", ")}, " +
           s"which this table already has")
@@ -109,6 +110,8 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
           StringType, nullable = false))
         .add(StructField(WarehouseConnector.CommitVersionColumn,
           LongType, nullable = false))
+        .add(StructField(WarehouseConnector.CommitTimestampColumn,
+          TimestampType, nullable = false))
     }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -146,6 +149,9 @@ object WarehouseConnector {
     * column null (the manifest records keys, not pre-images). */
   val ChangeTypeColumn = "_change_type"
   val CommitVersionColumn = "_commit_version"
+  /** Wall-clock commit instant of `_commit_version` — the version's
+    * manifest-file mtime, Delta's own derivation. */
+  val CommitTimestampColumn = "_commit_timestamp"
 
   private[v2] object PosMetadataColumn
       extends org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -845,8 +851,48 @@ class WarehouseTable(val dir: String, version: Option[Long],
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val changeStart = Option(options.get("startingVersion")).map(_.toLong)
-    val changeEnd = Option(options.get("endingVersion")).map(_.toLong)
+    val verStart = Option(options.get("startingVersion")).map(_.toLong)
+    val verEnd = Option(options.get("endingVersion")).map(_.toLong)
+    // TIMESTAMP bounds (Delta's startingTimestamp/endingTimestamp):
+    // resolved here to the version whose manifest mtime brackets the
+    // instant — start = earliest commit AT OR AFTER, end = latest
+    // commit AT OR BEFORE — then the feed machinery is version-only.
+    def parseTs(s: String, what: String): Long =
+      try java.time.Instant.parse(s).toEpochMilli * 1000L
+      catch { case _: Exception =>
+        try java.sql.Timestamp.valueOf(s).getTime * 1000L
+        catch { case _: Exception =>
+          throw new IllegalArgumentException(
+            s"$what must be an ISO-8601 instant or " +
+              s"'yyyy-MM-dd HH:mm:ss[.f…]', got '$s'")
+        }
+      }
+    val tsStartOpt = Option(options.get("startingTimestamp"))
+      .map(parseTs(_, "startingTimestamp"))
+    val tsEndOpt = Option(options.get("endingTimestamp"))
+      .map(parseTs(_, "endingTimestamp"))
+    require(tsStartOpt.isDefined || tsEndOpt.isEmpty,
+      "endingTimestamp requires startingTimestamp")
+    require((tsStartOpt.isEmpty && tsEndOpt.isEmpty) ||
+      (verStart.isEmpty && verEnd.isEmpty),
+      "startingVersion/endingVersion and startingTimestamp/" +
+        "endingTimestamp are mutually exclusive")
+    lazy val times = AtomicWarehouse.manifestTimes(SparkSession.active, dir)
+    val changeStart = verStart.orElse(tsStartOpt.map { ts =>
+      val cands = times.filter(_._2 >= ts)
+      require(cands.nonEmpty,
+        s"startingTimestamp ${options.get("startingTimestamp")} is after " +
+          "the latest commit — nothing to serve (use startingVersion " +
+          "for open-ended polling)")
+      cands.keys.min
+    })
+    val changeEnd = verEnd.orElse(tsEndOpt.map { ts =>
+      val cands = times.filter(_._2 <= ts)
+      require(cands.nonEmpty,
+        s"endingTimestamp ${options.get("endingTimestamp")} precedes the " +
+          "earliest retained commit")
+      cands.keys.max
+    })
     require(changeStart.isDefined || changeEnd.isEmpty,
       "endingVersion requires startingVersion (use .option(\"version\", " +
         "N) for a plain time-travel read)")
@@ -855,9 +901,9 @@ class WarehouseTable(val dir: String, version: Option[Long],
         "(time travel) are mutually exclusive")
     val cdf = options.getBoolean("readChangeFeed", false)
     require(!cdf || changeStart.isDefined,
-      "readChangeFeed requires .option(\"startingVersion\", s) — a " +
-        "row-level feed needs an explicit history start (Delta CDF's " +
-        "own contract)")
+      "readChangeFeed requires .option(\"startingVersion\", s) or " +
+        ".option(\"startingTimestamp\", t) — a row-level feed needs an " +
+        "explicit history start (Delta CDF's own contract)")
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0),
       options.getBoolean("ignoreDeletes", false),
@@ -1341,15 +1387,21 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         val posOf = allEntries.map(_.name).zipWithIndex.toMap
         val versionOf: Map[String, Long] =
           changePlan.fold(Map.empty[String, Long])(p => p._1.toMap)
+        // commit instants (manifest mtimes), one listing — CDF only
+        val tsOf: Map[Long, Long] =
+          if (cdf) AtomicWarehouse.manifestTimes(spark, dir) else Map.empty
         val files = listPlannedFiles()
           .filter(file => all.forall(fileMayMatch(file, _)))
-        val packed = WarehouseConnector.packPartitions(spark, files.map(file =>
+        val packed = WarehouseConnector.packPartitions(spark, files.map { file =>
+          val v = versionOf.getOrElse(file.epoch, -1L)
           WarehouseFilePartition(file.path, file.partValues.toArray,
             // a stable NEGATIVE position for an epoch folded out of the
             // end manifest mid-range (change feeds only; same contract
             // as the tail) — first-appearance order below position 0
             posOf.getOrElse(file.epoch, foldedPos.getOrElse(file.epoch, 0)),
-            commitVersion = versionOf.getOrElse(file.epoch, -1L)) -> file.len))
+            commitVersion = v,
+            commitTsMicros = tsOf.getOrElse(v, -1L)) -> file.len
+        })
         // readChangeFeed: each in-range tombstone's key list becomes one
         // partition of synthesized _change_type='delete' rows — O(purged
         // keys) rows, no files opened (the keys ARE the manifest's
@@ -1362,7 +1414,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
               val (_, ls, ss) =
                 AtomicWarehouse.readTombstoneKeys(spark, dir, name)
               WarehouseDeleteKeysPartition(keyCol, ls, ss,
-                posOf.getOrElse(name, foldedPos.getOrElse(name, 0)), v)
+                posOf.getOrElse(name, foldedPos.getOrElse(name, 0)), v,
+                tsOf.getOrElse(v, -1L))
                 : InputPartition
             }.toArray
           case _ => Array.empty
@@ -1429,7 +1482,8 @@ final case class WarehouseFilePartition(path: String,
     partValues: Array[(String, String)],
     pos: Int = 0,
     applyDrops: Boolean = true,
-    commitVersion: Long = -1L)
+    commitVersion: Long = -1L,
+    commitTsMicros: Long = -1L)
     extends InputPartition
 
 /** Several bin-packed small files served by ONE task (see
@@ -1446,7 +1500,7 @@ final case class WarehouseFilesPartition(files: Array[WarehouseFilePartition])
   * merge needs to apply the retraction). */
 final case class WarehouseDeleteKeysPartition(keyCol: String,
     keys: Array[Long], strKeys: Array[String],
-    pos: Int, commitVersion: Long)
+    pos: Int, commitVersion: Long, commitTsMicros: Long = -1L)
     extends InputPartition
 
 /** Executor-side parquet decode via the public parquet-hadoop Group
@@ -1634,6 +1688,8 @@ class WarehouseReaderFactory(required: StructType,
           val v = UTF8String.fromString("delete"); (_: Int) => v
         } else if (f.name == WarehouseConnector.CommitVersionColumn)
           (_: Int) => d.commitVersion
+        else if (f.name == WarehouseConnector.CommitTimestampColumn)
+          (_: Int) => d.commitTsMicros
         else if (f.name == d.keyCol) (j: Int) => keyAt(f.dataType, j)
         else (_: Int) => null
       }
@@ -1787,6 +1843,10 @@ class WarehouseReaderFactory(required: StructType,
       } else if (f.name == WarehouseConnector.CommitVersionColumn &&
           !footerSchema.containsField(f.name)) {
         val v: Any = p.commitVersion
+        (_: Group) => v
+      } else if (f.name == WarehouseConnector.CommitTimestampColumn &&
+          !footerSchema.containsField(f.name)) {
+        val v: Any = p.commitTsMicros
         (_: Group) => v
       } else partMap.get(f.name) match {
         case Some(raw) =>
@@ -2090,6 +2150,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     val negPos = folded.zipWithIndex
       .map { case (n, i) => n -> (i - folded.size) }.toMap
     def posFor(n: String): Int = posOf.getOrElse(n, negPos.getOrElse(n, 0))
+    val tsOf: Map[Long, Long] =
+      if (cdf) AtomicWarehouse.manifestTimes(spark, dir) else Map.empty
     val files = dataAdds
       .filter { case (n, _) => byName.get(n).forall(en =>
         pruneFilters.forall(fl =>
@@ -2104,12 +2166,14 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         WarehouseFilePartition(file.path, file.partValues.toArray,
           posFor(file.epoch),
           applyDrops = !cdf && s == 0L && snapshotAtZero,
-          commitVersion = v) -> file.len }
+          commitVersion = v,
+          commitTsMicros = tsOf.getOrElse(v, -1L)) -> file.len }
     val deletes: Array[InputPartition] = delAdds.map { case (name, v) =>
       val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
         .getOrElse("")
       val (_, ls, ss) = AtomicWarehouse.readTombstoneKeys(spark, dir, name)
-      WarehouseDeleteKeysPartition(keyCol, ls, ss, posFor(name), v)
+      WarehouseDeleteKeysPartition(keyCol, ls, ss, posFor(name), v,
+        tsOf.getOrElse(v, -1L))
         : InputPartition
     }.toArray
     WarehouseConnector.packPartitions(spark, files) ++ deletes

@@ -16,6 +16,31 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(r.getString(1) == "QB7x")
   }
 
+  test("graft_table_changes TVF serves the row-level feed from SQL") {
+    import graft.sinks.AtomicWarehouse
+    val dir = java.nio.file.Files.createTempDirectory("tvf_cdf")
+      .toString + "/wh"
+    val rows = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "load_seq")
+    AtomicWarehouse.commitEpoch(spark, dir, rows, 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(2L)) // v2
+    val got = spark.sql(
+      s"SELECT k, v, _change_type, _commit_version " +
+        s"FROM graft_table_changes('$dir', 1)")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1),
+        r.getString(2), r.getLong(3))).toSet
+    assert(got == Set((1L, false, "insert", 1L), (2L, false, "insert", 1L),
+      (2L, true, "delete", 2L)), s"$got")
+    // bounded range via the third argument (inclusive)
+    assert(spark.sql(s"SELECT * FROM graft_table_changes('$dir', 2, 2)")
+      .count() == 1)
+    // non-literal arguments are refused at analysis, not silently wrong
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_table_changes('$dir', k) " +
+        s"CROSS JOIN VALUES (1) t(k)").collect()
+    }
+  }
+
   test("extensions class injects without error") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }

@@ -362,6 +362,56 @@ class WarehouseSourceSpec extends SparkSuite {
       connRead(dir).count() == 16, "feed replay must match the snapshot")
   }
 
+  test("CDF carries _commit_timestamp; timestamp bounds resolve to versions") {
+    val dir = freshDir("cdfts")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 3, 1L), 1L,
+      statsKey = Some("k")) // v1
+    Thread.sleep(30) // distinct manifest mtimes (ms resolution)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(4, 5, 2L), 2L,
+      statsKey = Some("k")) // v2
+    Thread.sleep(30)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(1L)) // v3
+    val feed = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true")
+      .select("k", "_change_type", "_commit_version", "_commit_timestamp")
+    val rows = feed.collect()
+    assert(rows.forall(r => !r.isNullAt(3)), "commit ts must be non-null")
+    // timestamps are the manifest mtimes: equal within a version,
+    // non-decreasing across versions
+    val byV = rows.groupBy(_.getLong(2)).view
+      .mapValues(_.map(_.getTimestamp(3).getTime).distinct).toMap
+    assert(byV.values.forall(_.size == 1),
+      s"one commit instant per version, got $byV")
+    assert(byV(1L).head <= byV(2L).head && byV(2L).head <= byV(3L).head)
+    // startingTimestamp = v2's commit instant → versions [2, 3] only
+    // (earliest commit at-or-after, Delta's resolution)
+    val t2 = new java.sql.Timestamp(byV(2L).head).toString
+    val fromT2 = connRead(dir, "startingTimestamp" -> t2,
+      "readChangeFeed" -> "true")
+    assert(fromT2.select("_commit_version").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L), s"from $t2")
+    // endingTimestamp before v2 bounds the range at v1
+    val t1end = new java.sql.Timestamp(byV(2L).head - 1).toString
+    val onlyV1 = connRead(dir, "startingTimestamp" ->
+      new java.sql.Timestamp(0L).toString,
+      "endingTimestamp" -> t1end, "readChangeFeed" -> "true")
+    assert(onlyV1.select("_commit_version").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // a start past the last commit fails loudly (no silent empty feed)
+    intercept[IllegalArgumentException] {
+      connRead(dir, "startingTimestamp" ->
+        new java.sql.Timestamp(byV(3L).head + 60000).toString).count()
+    }
+    // version and timestamp bounds are mutually exclusive
+    intercept[IllegalArgumentException] {
+      connRead(dir, "startingVersion" -> "1",
+        "startingTimestamp" -> t2).count()
+    }
+    // the TVF accepts timestamp-string bounds too
+    assert(spark.sql(s"SELECT _commit_version FROM graft_table_changes(" +
+        s"'$dir', '$t2')").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
   test("readChangeFeed tails as a STREAM from startingVersion") {
     val dir = freshDir("cdfstream")
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
