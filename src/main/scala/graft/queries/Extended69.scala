@@ -170,6 +170,52 @@ object Extended69 {
          |FROM graft_table_changes('$dir', 2, 3)""".stripMargin)
   }
 
+  /** C72 — `CALL whc.system.history('t')`: Delta's `DESCRIBE HISTORY`
+    * shape — one row per retained manifest version, newest first, with
+    * the commit instant (manifest mtime, the `_commit_timestamp`
+    * derivation), a classified operation, and the added entry names.
+    * The operational companion of the change feed: a consumer picks
+    * its `startingVersion` from exactly this report. Timestamps and
+    * entry names are wall-clock/UUID-bearing, so the ORACLE covers the
+    * deterministic columns (version, operation) and the in-query
+    * requires pin the rest (non-null, non-decreasing instants; one
+    * added entry per version here). */
+  val c72SqlCallHistory = q("c72_sql_call_history",
+    """SELECT version, operation FROM (VALUES
+      |  (CAST(3 AS BIGINT), 'purge (deferred)'),
+      |  (CAST(2 AS BIGINT), 'sql insert'),
+      |  (CAST(1 AS BIGINT), 'sql insert')) t(version, operation)""".stripMargin
+  ) { (s, d) =>
+    val root = freshScratch("c72")
+    s.conf.set("spark.sql.catalog.whc72", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc72.root", root)
+    s.sql(
+      """CREATE TABLE whc72.parts (k BIGINT, name STRING, load_seq BIGINT)
+        |USING `graft-warehouse`
+        |TBLPROPERTIES ('mergeKey'='k', 'statsKey'='k', 'bloomKey'='k')
+        |""".stripMargin)
+    Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("k"), col("p_name"))
+      .createOrReplaceTempView("c72_src")
+    s.sql("""INSERT INTO whc72.parts
+            |SELECT k, p_name, CAST(1 AS BIGINT) FROM c72_src""".stripMargin)
+    s.sql("""INSERT INTO whc72.parts
+            |SELECT k, 'B-' || p_name, CAST(2 AS BIGINT)
+            |FROM c72_src WHERE k % 3 = 0""".stripMargin)
+    s.sql("CALL whc72.system.purge('parts', array('2', '5'))")
+    val hist = s.sql("CALL whc72.system.history('parts')").collect()
+    require(hist.length == 3 &&
+      hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L),
+      s"newest-first retained versions expected: ${hist.mkString(";")}")
+    val ts = hist.map(_.getTimestamp(1).getTime).toSeq
+    require(ts.forall(_ > 0L) && ts.zip(ts.tail).forall(p => p._1 >= p._2),
+      s"commit instants must be non-null and non-decreasing: $ts")
+    require(hist.forall(_.getString(3).split(",").length == 1),
+      "each version here added exactly one entry")
+    s.sql("CALL whc72.system.history('parts')")
+      .select(col("version"), col("operation"))
+  }
+
   val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed,
-    c71SqlTableChanges)
+    c71SqlTableChanges, c72SqlCallHistory)
 }

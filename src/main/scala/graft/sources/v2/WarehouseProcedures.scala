@@ -50,17 +50,19 @@ object WarehouseProcedures {
       case "compact" => new CompactProcedure(root, catalogMergeKey)
       case "vacuum" => new VacuumProcedure(root)
       case "describe_history" => new DescribeProcedure(root)
+      case "history" => new HistoryProcedure(root)
       case "purge" => new PurgeProcedure(root, catalogMergeKey)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — available: system.compact(table)," +
           " system.vacuum(table, retain_versions[, grace_ms])," +
           " system.describe_history(table)," +
+          " system.history(table)," +
           " system.purge(table, keys array<string>)")
     }
   }
 
   val names: Seq[String] = Seq("compact", "vacuum", "describe_history",
-    "purge")
+    "history", "purge")
 
   private[v2] def str(row: InternalRow, i: Int): String = {
     require(!row.isNullAt(i), s"procedure argument $i must not be NULL")
@@ -285,5 +287,73 @@ final class DescribeProcedure(root: String)
         r.getLong(3), utf8(r.getString(4)),
         r.getBoolean(5))): InternalRow)
     result(schema, rows.toSeq)
+  }
+}
+
+/** `CALL whc.system.history('t')` — Delta's `DESCRIBE HISTORY` shape:
+  * one row per RETAINED manifest version, newest first, with the
+  * commit instant (the manifest file's mtime, the same derivation the
+  * change feed's `_commit_timestamp` uses), a classified operation,
+  * and the entry names the version added. O(retained versions)
+  * manifest reads + one directory listing; a vacuumed prefix simply
+  * ends the walk (the earliest retained version reports itself as
+  * such rather than diffing against a destroyed manifest). The
+  * operational companion of the change feed: consumers pick their
+  * `startingVersion`/`startingTimestamp` from exactly this report. */
+final class HistoryProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import WarehouseProcedures._
+  override def name(): String = "history"
+  override def description(): String =
+    "one row per retained manifest version: commit time, operation, " +
+      "entries added"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  private val schema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("commit_ts", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("added_entries", StringType, nullable = false)))
+
+  private def classify(added: Seq[String]): String = {
+    def kind(n: String): String =
+      if (AtomicWarehouse.isTombstone(n)) "purge (deferred)"
+      else if (AtomicWarehouse.isPurgeRewrite(n)) "purge (rewrite)"
+      else if (n.startsWith("compact_")) "compact"
+      else if (n.startsWith("insert_")) "sql insert"
+      else if (n.startsWith("merge_")) "sql merge"
+      else "append"
+    added.map(kind).distinct match {
+      case Nil => "no-op"
+      case one :: Nil => one
+      case many if many.contains("purge (rewrite)") => "purge (rewrite)"
+      case many if many.contains("compact") => "compact"
+      case many => many.mkString("+")
+    }
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val dir = dirFor(root, str(input, 0))
+    val times = AtomicWarehouse.manifestTimes(spark, dir)
+    val retained = times.keys.toSeq.sorted
+    val rows = retained.map { v =>
+      val names = AtomicWarehouse.committedEpochsAt(spark, dir, v)
+      val (op, added) =
+        if (times.contains(v - 1)) {
+          val prev = AtomicWarehouse.committedEpochsAt(spark, dir, v - 1)
+            .toSet
+          val add = names.filterNot(prev)
+          (classify(add), add)
+        } else if (v == retained.min && v > 1)
+          ("(earliest retained)", names)
+        else (classify(names), names)
+      new GenericInternalRow(Array[Any](
+        v, times(v), utf8(op), utf8(added.mkString(",")))): InternalRow
+    }.reverse // newest first, Delta's DESCRIBE HISTORY order
+    result(schema, rows)
   }
 }
