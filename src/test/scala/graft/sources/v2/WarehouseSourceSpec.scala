@@ -360,6 +360,13 @@ class WarehouseSourceSpec extends SparkSuite {
         col("k").as("dk")), col("k") === col("dk"), "left_anti")
     assert(applied.count() == 16 &&
       connRead(dir).count() == 16, "feed replay must match the snapshot")
+    // column pruning reaches the CDF scan: a 2-column projection reads
+    // 2 columns, CDF columns included (they are per-partition constants,
+    // not decoded bytes — but the DATA columns must still prune)
+    val pruned = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true").select("k", "_change_type")
+    assert(scanOf(pruned).readSchema().fieldNames.toSeq ==
+      Seq("k", "_change_type"))
   }
 
   test("CDF carries _commit_timestamp; timestamp bounds resolve to versions") {
