@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** J5/K4 — keyed upsert-merge: the reference scatters per-video metric
@@ -32,5 +33,42 @@ object Merge {
         if (shared.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
       } ++ updOnly.map(c => col(s"__u_$c").as(c)))
     joined.select(outCols: _*)
+  }
+
+  /** The CONSUMER side of the row-level change feed: reduce a
+    * `readChangeFeed` DataFrame (insert rows + tombstone delete rows,
+    * `_change_type`/`_pos`/`load_seq` aboard) to the LIVE state it
+    * describes, with exactly the engine's merge discipline — a delete
+    * suppresses every insert of its key committed BEFORE it
+    * (`_pos` comparison, the manifest's tombstone ordering: a key
+    * re-added after its purge survives), then keyed last-wins by
+    * `(load_seq DESC, _pos DESC)`. Null keys never match a delete
+    * (the engine's purge contract). Applying a feed this way yields
+    * the same rows a fresh snapshot read serves — so an incremental
+    * consumer can maintain a 100 TB mirror from O(delta) reads, the
+    * loop the reference re-reads its whole warehouse for
+    * (ref: Python-pipeline/ingestdatainbigquery.py:84-96).
+    *
+    * Scale shape: deletes are O(purged keys) (the purge contract) and
+    * broadcast to the insert side — one anti-join, no shuffle of the
+    * feed; the last-wins window shuffles once on the key, same as any
+    * keyed merge. */
+  def applyChangeFeed(feed: DataFrame, key: String): DataFrame = {
+    require(Seq("_change_type", "_pos", "load_seq")
+      .forall(feed.columns.contains),
+      "applyChangeFeed needs _change_type, load_seq and the _pos " +
+        "metadata column — select it on the feed read " +
+        "(.select(col(\"*\"), col(\"_pos\")))")
+    val inserts = feed.where(col("_change_type") === "insert")
+    val dels = feed.where(col("_change_type") === "delete")
+      .select(col(key).as("__dk"), col("_pos").as("__dpos"))
+    val alive = inserts.join(broadcast(dels),
+      col(key) === col("__dk") && col("__dpos") > col("_pos"), "left_anti")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("load_seq").desc, col("_pos").desc)
+    alive.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "_change_type", "_commit_version", "_commit_timestamp",
+        "_pos")
   }
 }

@@ -216,6 +216,76 @@ object Extended69 {
       .select(col("version"), col("operation"))
   }
 
+  /** C73 — CDC APPLY: the consumer loop closed end-to-end.
+    * [[graft.ops.Merge.applyChangeFeed]] reduces the row-level feed to
+    * the live state with exactly the engine's merge discipline — a
+    * delete suppresses only inserts committed BEFORE it (`_pos`
+    * ordering: key 2 is purged at v3 and RE-ADDED at v4, and the
+    * re-add must win), then keyed last-wins by
+    * `(load_seq DESC, _pos DESC)`. The oracle replays drops-then-merge
+    * over the same 4-version history; an in-query tripwire pins the
+    * applied state's row count to the engine's own snapshot read —
+    * the "incremental mirror ≡ fresh read" contract that lets a
+    * downstream keep a 100 TB copy current from O(delta) IO (the
+    * reference re-reads its whole warehouse instead — ref:
+    * Python-pipeline/ingestdatainbigquery.py:84-99). */
+  val c73CdcApply = q("c73_cdc_apply_feed",
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_orderstatus AS VARCHAR) AS status FROM orders),
+      |log AS (
+      |  SELECT k, status, CAST(1 AS BIGINT) AS load_seq, 0 AS pos FROM src
+      |  UNION ALL
+      |  SELECT k, 'UPD-' || status, CAST(2 AS BIGINT), 1
+      |  FROM src WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT k + 9000000, status, CAST(4 AS BIGINT), 3
+      |  FROM src WHERE k % 11 = 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'REBORN', CAST(4 AS BIGINT), 3),
+      |alive AS (
+      |  SELECT * FROM log
+      |  WHERE NOT (k IN (2, 33, 998244353) AND pos < 2))
+      |SELECT k, status, load_seq FROM (
+      |  SELECT k, status, load_seq,
+      |         row_number() OVER (PARTITION BY k
+      |           ORDER BY load_seq DESC, pos DESC) AS rn
+      |  FROM alive) WHERE rn = 1""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val dir = s"${freshScratch("c73")}/wh"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").cast("string").as("status"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1, pos 0
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 5 === 0)
+        .withColumn("status", concat(lit("UPD-"), col("status")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2, pos 1
+    AtomicWarehouse.purgeKeysDeferred(s, dir, "k",
+      Seq(2L, 33L, 998244353L)) // v3, pos 2
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 11 === 0)
+        .withColumn("k", col("k") + 9000000L)
+        .withColumn("load_seq", lit(4L))
+        .unionByName(s.range(1).select(lit(2L).as("k"),
+          lit("REBORN").as("status"), lit(4L).as("load_seq"))),
+      4L, statsKey = Some("k"), bloomKey = Some("k")) // v4, pos 3
+    val feed = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load().select(col("*"), col("_pos"))
+    val applied = graft.ops.Merge.applyChangeFeed(feed, "k")
+      .select("k", "status", "load_seq")
+    // incremental mirror ≡ fresh engine read (count tripwire; the
+    // oracle hash is the row-level gate)
+    require(applied.count() ==
+      AtomicWarehouse.read(s, dir, "k").count(),
+      "applied feed must reproduce the engine's snapshot")
+    applied
+  }
+
   val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed,
-    c71SqlTableChanges, c72SqlCallHistory)
+    c71SqlTableChanges, c72SqlCallHistory, c73CdcApply)
 }
