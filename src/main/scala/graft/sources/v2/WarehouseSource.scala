@@ -90,8 +90,12 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
     require(dir != null && dir.nonEmpty,
       "graft-warehouse requires .option(\"path\", <warehouse dir>)")
     val spark = SparkSession.active
-    // change-feed reads resolve their schema at the END version
+    // change-feed reads resolve their schema at the END version;
+    // `timestampAsOf` is time travel by instant (the DataFrame face of
+    // the catalog's TIMESTAMP AS OF)
     val v = Option(options.get("version")).map(_.toLong)
+      .orElse(Option(options.get("timestampAsOf")).map(
+        WarehouseConnector.versionAtTimestamp(spark, dir, _)))
       .orElse(Option(options.get("endingVersion")).map(_.toLong))
       .getOrElse(AtomicWarehouse.currentVersion(spark, dir))
     val base = WarehouseConnector.snapshotSchema(spark, dir, v)
@@ -118,6 +122,11 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val dir = properties.get("path")
     val v = Option(properties.get("version")).map(_.toLong)
+      .orElse(Option(properties.get("timestampAsOf")).map(
+        WarehouseConnector.versionAtTimestamp(SparkSession.active, dir, _)))
+    require(properties.get("version") == null ||
+      properties.get("timestampAsOf") == null,
+      "version and timestampAsOf are mutually exclusive")
     new WarehouseTable(dir, v, schema,
       Option(properties.get("mergeKey")).getOrElse(""))
   }
@@ -161,6 +170,35 @@ object WarehouseConnector {
     override def comment(): String =
       "manifest position of the row's entry — the deterministic " +
         "load_seq tiebreaker (ORDER BY load_seq DESC, _pos DESC)"
+  }
+
+  /** Timestamp-option parser shared by `timestampAsOf` and the change
+    * feed's `startingTimestamp`/`endingTimestamp`: ISO-8601 instant or
+    * the SQL `yyyy-MM-dd HH:mm:ss[.f…]` rendering, → micros since
+    * epoch. */
+  def parseTsMicros(s: String, what: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli * 1000L
+    catch { case _: Exception =>
+      try java.sql.Timestamp.valueOf(s).getTime * 1000L
+      catch { case _: Exception =>
+        throw new IllegalArgumentException(
+          s"$what must be an ISO-8601 instant or " +
+            s"'yyyy-MM-dd HH:mm:ss[.f…]', got '$s'")
+      }
+    }
+
+  /** `timestampAsOf` resolution: the newest manifest version committed
+    * AT OR BEFORE the instant (manifest mtimes — Delta's derivation and
+    * its documented clock caveat). Loud when the instant precedes the
+    * earliest retained commit. */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+      ts: String): Long = {
+    val micros = parseTsMicros(ts, "timestampAsOf")
+    val cands = AtomicWarehouse.manifestTimes(spark, dir)
+      .filter(_._2 <= micros)
+    require(cands.nonEmpty,
+      s"timestampAsOf $ts precedes the earliest retained commit of $dir")
+    cands.keys.max
   }
 
   /** The snapshot's schema at manifest version `v`: the UNION of the
@@ -857,20 +895,10 @@ class WarehouseTable(val dir: String, version: Option[Long],
     // resolved here to the version whose manifest mtime brackets the
     // instant — start = earliest commit AT OR AFTER, end = latest
     // commit AT OR BEFORE — then the feed machinery is version-only.
-    def parseTs(s: String, what: String): Long =
-      try java.time.Instant.parse(s).toEpochMilli * 1000L
-      catch { case _: Exception =>
-        try java.sql.Timestamp.valueOf(s).getTime * 1000L
-        catch { case _: Exception =>
-          throw new IllegalArgumentException(
-            s"$what must be an ISO-8601 instant or " +
-              s"'yyyy-MM-dd HH:mm:ss[.f…]', got '$s'")
-        }
-      }
     val tsStartOpt = Option(options.get("startingTimestamp"))
-      .map(parseTs(_, "startingTimestamp"))
+      .map(WarehouseConnector.parseTsMicros(_, "startingTimestamp"))
     val tsEndOpt = Option(options.get("endingTimestamp"))
-      .map(parseTs(_, "endingTimestamp"))
+      .map(WarehouseConnector.parseTsMicros(_, "endingTimestamp"))
     require(tsStartOpt.isDefined || tsEndOpt.isEmpty,
       "endingTimestamp requires startingTimestamp")
     require((tsStartOpt.isEmpty && tsEndOpt.isEmpty) ||

@@ -22,6 +22,24 @@ class WarehouseCatalogSpec extends SparkSuite {
     (lo to hi).map(i => (i.toLong, s"n$i", seq))
       .toDF("k", "name", "load_seq")
 
+  test("CTAS: CREATE TABLE AS SELECT births a warehouse with the rows") {
+    root // force catalog registration
+    (1L to 8L).map(i => (i, s"v$i", 1L)).toDF("k", "name", "load_seq")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE whcat.ctas_t USING `graft-warehouse`
+        |TBLPROPERTIES ('mergeKey'='k', 'statsKey'='k')
+        |AS SELECT k, name, load_seq FROM ctas_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM whcat.ctas_t").head.getLong(0)
+      == 8L)
+    // the CTAS write drained through the standard commit protocol:
+    // one data entry, conf-declared stats recorded
+    val entries = AtomicWarehouse.committedEntriesAt(spark, s"$root/ctas_t",
+      AtomicWarehouse.currentVersion(spark, s"$root/ctas_t"))
+    assert(entries.size == 1 && entries.head.statsFor("k", "k").isDefined,
+      s"CTAS must commit one stats-bearing epoch: $entries")
+  }
+
   test("SQL reads a warehouse by name; VERSION AS OF travels") {
     AtomicWarehouse.commitEpoch(spark, s"$root/videos", rows(1, 10, 1L), 1L)
     // ext4 mtime granularity is fine-grained but keep a visible gap for

@@ -419,6 +419,27 @@ class WarehouseSourceSpec extends SparkSuite {
         s"'$dir', '$t2')").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("timestampAsOf time-travels the DataFrame reader") {
+    val dir = freshDir("tsao")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 5, 1L), 1L) // v1
+    Thread.sleep(30)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(6, 9, 2L), 2L) // v2
+    val times = graft.sinks.AtomicWarehouse.manifestTimes(spark, dir)
+    val t1 = new java.sql.Timestamp(times(1L) / 1000L).toString
+    assert(connRead(dir, "timestampAsOf" -> t1).count() == 5,
+      "instant of v1 must serve v1's snapshot (newest at-or-before)")
+    assert(connRead(dir, "timestampAsOf" ->
+      new java.sql.Timestamp(times(2L) / 1000L).toString).count() == 9)
+    // before the earliest retained commit: loud, never empty
+    intercept[IllegalArgumentException] {
+      connRead(dir, "timestampAsOf" ->
+        new java.sql.Timestamp(0L).toString).count()
+    }
+    intercept[IllegalArgumentException] {
+      connRead(dir, "version" -> "1", "timestampAsOf" -> t1).count()
+    }
+  }
+
   test("readChangeFeed tails as a STREAM from startingVersion") {
     val dir = freshDir("cdfstream")
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
