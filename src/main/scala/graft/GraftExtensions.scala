@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // epoch (the K4 scatter-update as SQL); must run at analysis, before
     // Spark's own row-level-operation rewrite refuses the table
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteWarehouseMerge)
+    // UPDATE on graft-warehouse catalog tables → one appended epoch of
+    // the matched winners with assignments applied (merge-on-read
+    // UPDATE; arbitrary deterministic predicates are append-safe)
+    ext.injectPostHocResolutionRule(_ => graft.plans.RewriteWarehouseUpdate)
     // physical planning for the native top-k-per-group logical node
     // (graft.plans.TopKPerGroup → partial/final bounded-heap pair)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -286,6 +286,53 @@ object Extended69 {
     applied
   }
 
+  /** C74 — SQL `UPDATE` on a warehouse catalog table, the
+    * merge-on-read way ([[graft.plans.RewriteWarehouseUpdate]]): the
+    * matched CURRENT WINNERS re-commit as one appended epoch at
+    * maxLoadSeq+1 — O(matched), no table rewrite, arbitrary
+    * deterministic predicates (an update only appends newer versions,
+    * so unlike DELETE it needs no key addressing). Two stacked UPDATEs
+    * prove the second reads the first's winners; the final SELECT is
+    * the engine's own last-wins read, and the oracle replays
+    * insert → update → update over the same rows.
+    *
+    * Scale: `UPDATE t SET price = price * 1.1 WHERE category = 'x'`
+    * against a 100 TB store reads the pruned matched slice and writes
+    * O(matched) — the Delta/Iceberg UPDATE story on the epoch log. */
+  val c74SqlUpdate = q("c74_sql_update",
+    """WITH src AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name FROM part),
+      |u1 AS (
+      |  SELECT k, CASE WHEN k % 3 = 0 THEN 'X-' || name ELSE name END
+      |           AS name FROM src),
+      |u2 AS (
+      |  SELECT k, CASE WHEN k % 6 = 0 THEN name || '!' ELSE name END
+      |           AS name FROM u1)
+      |SELECT k, name FROM u2""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c74")
+    s.conf.set("spark.sql.catalog.whc74", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc74.root", root)
+    s.conf.set("spark.sql.catalog.whc74.mergeKey", "k")
+    val dir = s"$root/parts"
+    AtomicWarehouse.commitEpoch(s, dir,
+      Tables.part(s, d).select(col("p_partkey").cast("long").as("k"),
+        col("p_name").as("name"), lit(1L).as("load_seq")), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    s.sql("UPDATE whc74.parts SET name = concat('X-', name) WHERE k % 3 = 0")
+    // stacked: matches rows the FIRST update rewrote (X-... at k%6=0)
+    s.sql("UPDATE whc74.parts SET name = concat(name, '!') WHERE k % 6 = 0")
+    val names = AtomicWarehouse.committedEpochs(s, dir)
+    require(names.size == 3 && names.tail.forall(_.startsWith("update_v")),
+      s"each UPDATE must append exactly one epoch: $names")
+    s.sql(
+      """SELECT k, name FROM (
+        |  SELECT k, name,
+        |         row_number() OVER (PARTITION BY k
+        |           ORDER BY load_seq DESC, _pos DESC) AS rn
+        |  FROM whc74.parts) WHERE rn = 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed,
-    c71SqlTableChanges, c72SqlCallHistory, c73CdcApply)
+    c71SqlTableChanges, c72SqlCallHistory, c73CdcApply, c74SqlUpdate)
 }

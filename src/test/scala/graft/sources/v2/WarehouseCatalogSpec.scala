@@ -142,6 +142,42 @@ class WarehouseCatalogSpec extends SparkSuite {
     r
   }
 
+  test("UPDATE appends one epoch of rewritten winners (merge-on-read)") {
+    val r = mergeRoot("whupd1")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    // arbitrary (non-key) predicate + expression assignment over the
+    // row's own columns
+    spark.sql(
+      """UPDATE whupd1.t SET name = concat('X-', name)
+        |WHERE k % 3 = 0 AND name LIKE 'n%'""".stripMargin)
+    val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    assert(names.size == 2 && names(1).startsWith("update_v1_"), names)
+    val after = spark.sql("SELECT k, name FROM (SELECT k, name, load_seq,"
+      + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
+      + " FROM whupd1.t) WHERE rn = 1")
+      .as[(Long, String)].collect().toMap
+    assert(after.size == 10)
+    assert(after(3L) == "X-n3" && after(6L) == "X-n6" && after(9L) == "X-n9")
+    assert(after(1L) == "n1" && after(5L) == "n5",
+      "unmatched rows keep their current version")
+    // a second UPDATE stacks on the first (reads current winners)
+    spark.sql("UPDATE whupd1.t SET name = concat(name, '!') WHERE k = 3")
+    val k3 = spark.sql("SELECT name FROM (SELECT name, load_seq,"
+      + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
+      + " FROM whupd1.t WHERE k = 3) WHERE rn = 1").head.getString(0)
+    assert(k3 == "X-n3!")
+    // identity/system columns refuse loudly
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE whupd1.t SET k = k + 1 WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("mergeKey") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mergeKey")))
+    intercept[Exception] {
+      spark.sql("UPDATE whupd1.t SET load_seq = 99 WHERE k = 1")
+    }
+  }
+
   test("MERGE INTO upserts as one appended epoch (fast path)") {
     val r = mergeRoot("whmrg1")
     AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
