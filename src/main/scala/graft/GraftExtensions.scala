@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the matched winners with assignments applied (merge-on-read
     // UPDATE; arbitrary deterministic predicates are append-safe)
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteWarehouseUpdate)
+    // predicate DELETE (shapes the key-identity SupportsDelete path
+    // refuses) → matched winners' keys collected (bounded) into one
+    // deferred-purge tombstone
+    ext.injectPostHocResolutionRule(_ => graft.plans.RewriteWarehouseDelete)
     // physical planning for the native top-k-per-group logical node
     // (graft.plans.TopKPerGroup → partial/final bounded-heap pair)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, IsNotNull, Literal, And => CAnd, Or => COr}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import graft.sinks.AtomicWarehouse
+import graft.sources.v2.WarehouseTable
+
+/** `DELETE FROM wh.t WHERE <arbitrary deterministic predicate>` on a
+  * graft-warehouse catalog table. Key-IDENTITY predicates
+  * (`mergeKey = v` / `IN (...)`) keep their existing path — the
+  * copy-on-write selective rewrite through [[WarehouseTable]]'s
+  * `SupportsDelete` — this rule handles exactly the shapes that path
+  * REFUSES: the matched CURRENT WINNERS' keys are collected (bounded by
+  * `graft.delete.maxKeys`, default 100k — the deferred-purge contract
+  * is a driver-sized key list) and committed as ONE tombstone entry,
+  * i.e. `DELETE WHERE category = 'x'` becomes a deferred purge of the
+  * keys that predicate selects today.
+  *
+  * Soundness note (why keys, not a predicate tombstone): the warehouse
+  * retracts by ROW IDENTITY. Materializing the predicate to keys at
+  * execution time makes the delete's meaning permanent — rows drained
+  * LATER that would have matched the predicate are NOT deleted (exactly
+  * SQL's semantics: DELETE acts on the table as of execution).
+  *
+  * Refused loudly: predicates selecting more than the key cap (mass
+  * deletion is the purge → compact → vacuum protocol, stated in the
+  * error), a null-keyed matched row (null keys are never purge
+  * targets), non-deterministic predicates, time-travel targets, and
+  * tables without a mergeKey. */
+object RewriteWarehouseDelete extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case d: DeleteFromTable if d.resolved && warehouseOf(d.table).isDefined
+          && !keyIdentity(d) =>
+        rewrite(d)
+    }
+
+  private def warehouseOf(t: LogicalPlan): Option[DataSourceV2Relation] =
+    t.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[WarehouseTable] =>
+        r
+    }
+
+  /** Shapes [[WarehouseTable.deleteWhere]] already serves (the CoW
+    * selective rewrite): conjunctions/disjunctions of key-literal
+    * equality/IN plus IsNotNull(key). Leave those alone. */
+  private def keyIdentity(d: DeleteFromTable): Boolean = {
+    val rel = warehouseOf(d.table).get
+    val key = rel.table.asInstanceOf[WarehouseTable].mergeKey
+    // analysis wraps literals in casts, so "literal" = foldable here
+    def keyId(e: Expression): Boolean = e match {
+      case EqualTo(a: AttributeReference, v) if v.foldable => a.name == key
+      case EqualTo(v, a: AttributeReference) if v.foldable => a.name == key
+      case In(a: AttributeReference, vs) =>
+        a.name == key && vs.forall(_.foldable)
+      case IsNotNull(a: AttributeReference) => a.name == key
+      case CAnd(l, r) => keyId(l) && keyId(r)
+      case COr(l, r) => keyId(l) && keyId(r)
+      case _ => false
+    }
+    key.nonEmpty && keyId(d.condition)
+  }
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-warehouse predicate DELETE — $what")
+
+  private def rewrite(d: DeleteFromTable): LogicalPlan = {
+    val rel = warehouseOf(d.table).get
+    val table = rel.table.asInstanceOf[WarehouseTable]
+    if (table.mergeKey.isEmpty)
+      refuse("the catalog has no mergeKey configured (deletion is " +
+        "key-addressed: a tombstone names row identities)")
+    if (table.timeTravelVersion.isDefined)
+      refuse("cannot DELETE from a time-travel (VERSION/TIMESTAMP AS OF) " +
+        "view")
+    if (!d.condition.deterministic)
+      refuse("the WHERE predicate must be deterministic (the deleted key " +
+        "set must be replayable)")
+    val targetIds = rel.output.map(_.exprId).toSet
+    val remapped = d.condition.transform {
+      case ar: AttributeReference if targetIds.contains(ar.exprId) =>
+        UnresolvedAttribute(Seq(ar.name))
+    }
+    val keyType = rel.output.find(_.name == table.mergeKey)
+      .map(_.dataType.catalogString)
+      .getOrElse(refuse(s"no mergeKey column '${table.mergeKey}'"))
+    WarehouseDeleteCommand(table.dir, table.mergeKey,
+      if (keyType == "string") "string" else "long",
+      MergeBranch(Some(remapped), Map.empty, srcOnly = false))
+  }
+}
+
+/** The rewritten predicate DELETE: collect the matched winners' keys
+  * (bounded), commit one tombstone. The predicate hides inside
+  * [[MergeBranch]] (remapped UnresolvedAttributes must not surface in
+  * QueryPlan's expression traversal). */
+final case class WarehouseDeleteCommand(
+    dir: String, mergeKey: String, keyTyp: String,
+    branch: MergeBranch)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = AtomicWarehouse.read(spark, dir, mergeKey)
+    val cond = coalesce(GraftBridge.column(branch.cond.get), lit(false))
+    val matched = snap.where(cond)
+    if (matched.where(col(mergeKey).isNull).limit(1).count() > 0)
+      throw new UnsupportedOperationException(
+        "predicate DELETE matched a NULL-keyed row — null keys are " +
+          "never purge targets (retraction is key-addressed); filter " +
+          s"`$mergeKey IS NOT NULL` explicitly if the null-keyed row " +
+          "should survive")
+    val maxKeys = spark.conf.get("graft.delete.maxKeys", "100000").toInt
+    // canonical rendering: long keys round-trip the long cast so a
+    // "07"-style stored key can never split in two
+    val keys = matched
+      .select(col(mergeKey).cast(keyTyp).cast("string"))
+      .na.drop().distinct()
+      .limit(maxKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (keys.size > maxKeys)
+      throw new IllegalStateException(
+        s"predicate DELETE selects more than $maxKeys keys " +
+          "(graft.delete.maxKeys) — tombstone key lists are driver-sized " +
+          "by the deferred-purge contract. For mass deletion use the " +
+          "purge protocol (purge → compact → vacuum), or raise the cap " +
+          "if the driver can hold the list.")
+    if (keys.nonEmpty)
+      AtomicWarehouse.purgeKeysDeferredTyped(spark, dir, mergeKey,
+        keyTyp, keys)
+    Nil
+  }
+}

@@ -333,6 +333,47 @@ object Extended69 {
         |  FROM whc74.parts) WHERE rn = 1""".stripMargin)
   }
 
+  /** C75 — SQL `DELETE` with an ARBITRARY predicate
+    * ([[graft.plans.RewriteWarehouseDelete]]): shapes the key-identity
+    * `SupportsDelete` path refuses are served by collecting the matched
+    * CURRENT WINNERS' keys (driver-bounded — the deferred-purge
+    * contract) into ONE tombstone commit. The predicate materializes to
+    * keys AS OF execution (SQL semantics: later drains re-adding a
+    * matching row are not retroactively deleted — pinned in the spec),
+    * and the read applies the tombstone as a scan-time drop — zero
+    * epoch rewrites. The oracle replays the delete as an anti-filter
+    * over the same last-wins state.
+    *
+    * Scale: `DELETE WHERE category = 'spam'` on a 100 TB store reads
+    * the pruned matched slice once and writes O(matched keys) of
+    * metadata; the mass-deletion path (beyond the key cap) refuses
+    * loudly toward purge → compact → vacuum. */
+  val c75SqlDeletePredicate = q("c75_sql_delete_predicate",
+    """WITH src AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+      |         CAST(s_acctbal AS DOUBLE) AS bal FROM supplier)
+      |SELECT k, name, bal FROM src
+      |WHERE NOT (bal < 500.0 OR k % 13 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c75")
+    s.conf.set("spark.sql.catalog.whc75", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc75.root", root)
+    s.conf.set("spark.sql.catalog.whc75.mergeKey", "k")
+    val dir = s"$root/sup"
+    AtomicWarehouse.commitEpoch(s, dir,
+      Tables.supplier(s, d).select(col("s_suppkey").cast("long").as("k"),
+        col("s_name").as("name"), col("s_acctbal").cast("double").as("bal"),
+        lit(1L).as("load_seq")), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    s.sql("DELETE FROM whc75.sup WHERE bal < 500.0 OR k % 13 = 0")
+    val names = AtomicWarehouse.committedEpochs(s, dir)
+    require(names.exists(AtomicWarehouse.isTombstone) &&
+      !names.exists(AtomicWarehouse.isPurgeRewrite),
+      s"predicate DELETE must tombstone, never rewrite: $names")
+    s.sql("SELECT k, name, bal FROM whc75.sup")
+  }
+
   val all: Seq[Q] = Seq(c69RowChangeFeed, c70MetaMinMaxSuppressed,
-    c71SqlTableChanges, c72SqlCallHistory, c73CdcApply, c74SqlUpdate)
+    c71SqlTableChanges, c72SqlCallHistory, c73CdcApply, c74SqlUpdate,
+    c75SqlDeletePredicate)
 }

@@ -88,7 +88,7 @@ class WarehouseCatalogSpec extends SparkSuite {
       props.contains("committedEntries=2"), props)
   }
 
-  test("SQL DELETE maps to the key purge; arbitrary predicates refuse") {
+  test("SQL DELETE maps to the key purge; predicates go deferred") {
     val delRoot = java.nio.file.Files.createTempDirectory("wh_del").toString
     spark.conf.set("spark.sql.catalog.whdel",
       "graft.sources.v2.WarehouseCatalog")
@@ -104,13 +104,14 @@ class WarehouseCatalogSpec extends SparkSuite {
       .as[Long].collect().toSet
     assert(left == (1L to 20L).toSet -- Set(3L, 7L, 15L))
 
-    // not a key-identity predicate → refused at analysis
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM whdel.t WHERE name = 'n4'"))
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    // nothing changed
+    // not a key-identity predicate → round 12: served as a DEFERRED
+    // purge of the matched winners' keys (was refused at analysis)
+    spark.sql("DELETE FROM whdel.t WHERE name = 'n4'")
     assert(spark.sql("SELECT count(DISTINCT k) AS c FROM whdel.t")
-      .head.getLong(0) == 17)
+      .head.getLong(0) == 16)
+    val names = AtomicWarehouse.committedEpochs(spark, s"$delRoot/t")
+    assert(names.exists(AtomicWarehouse.isTombstone),
+      s"predicate DELETE goes through the tombstone path: $names")
   }
 
   test("DELETE with contradictory conjuncts purges nothing") {
@@ -140,6 +141,41 @@ class WarehouseCatalogSpec extends SparkSuite {
     spark.conf.set(s"spark.sql.catalog.$cat.root", r)
     spark.conf.set(s"spark.sql.catalog.$cat.mergeKey", "k")
     r
+  }
+
+  test("predicate DELETE tombstones the matched winners' keys") {
+    val r = mergeRoot("whdel3")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    // a NON-key predicate: refused by the key-identity SupportsDelete
+    // path, now served as a deferred purge of the matched keys
+    spark.sql("DELETE FROM whdel3.t WHERE name IN ('n2', 'n7') OR k = 9")
+    assert(spark.sql("SELECT DISTINCT k FROM whdel3.t").as[Long]
+      .collect().toSet == (1L to 10L).toSet -- Set(2L, 7L, 9L))
+    val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    assert(names.exists(AtomicWarehouse.isTombstone),
+      s"predicate DELETE must commit a tombstone, not rewrite: $names")
+    // the delete bound keys AS OF execution: a later drain re-adding a
+    // matching row is NOT retroactively deleted (SQL semantics)
+    AtomicWarehouse.commitEpoch(spark, s"$r/t",
+      Seq((2L, "n2", 2L)).toDF("k", "name", "load_seq"), 2L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    assert(spark.sql("SELECT count(*) FROM whdel3.t WHERE k = 2")
+      .head.getLong(0) == 1L)
+    // key-identity predicates keep the CoW selective-rewrite path
+    spark.sql("DELETE FROM whdel3.t WHERE k = 5")
+    val names2 = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    assert(names2.exists(AtomicWarehouse.isPurgeRewrite),
+      s"key-identity DELETE must keep the CoW rewrite path: $names2")
+    // over-cap predicate deletes refuse loudly
+    spark.conf.set("graft.delete.maxKeys", "2")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM whdel3.t WHERE name LIKE 'n%'")
+      }
+      assert(e.getMessage.contains("maxKeys") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxKeys")))
+    } finally spark.conf.unset("graft.delete.maxKeys")
   }
 
   test("UPDATE appends one epoch of rewritten winners (merge-on-read)") {
@@ -540,14 +576,11 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT vid FROM whvid.vids").as[String]
       .collect().toSet == Set("VID1", "VID2", "VID4", "VID6", "VID7",
         "VID8"))
-    // arbitrary predicates still refuse
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM whvid.vids WHERE title = 'title1'"))
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(m => m.contains("DELETE") ||
-      m.toLowerCase.contains("cannot delete")),
-      msgs(e).take(3).mkString("; "))
+    // arbitrary predicates on a STRING-keyed table: deferred purge of
+    // the matched keys (string-typed tombstone)
+    spark.sql("DELETE FROM whvid.vids WHERE title = 'title1'")
+    assert(spark.sql("SELECT vid FROM whvid.vids").as[String]
+      .collect().toSet == Set("VID2", "VID4", "VID6", "VID7", "VID8"))
 
     // sync MERGE on the string key: update VID1, insert VID9, delete
     // the keys the feed no longer carries (VID6-8); epoch + tombstone
