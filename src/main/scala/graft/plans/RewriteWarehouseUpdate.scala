@@ -94,9 +94,50 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
       name -> remap(as.value)
     }.toMap
     if (assigns.isEmpty) refuse("no assignments")
+    // KEY-BOUND extraction for the execution plan: when a conjunct of
+    // the predicate pins the mergeKey to literal value(s), the command
+    // reads through the engine's PRUNED point lookups (zone maps +
+    // blooms open only the epochs that can hold the keys) instead of a
+    // full merged scan — `UPDATE t SET ... WHERE k = 5` on a 100 TB
+    // store must not read the store. The bound is a SUPERSET contract
+    // (the full predicate still applies residually), so any conjunct's
+    // bound is sound; an Or needs both sides bounded.
+    def keyBound(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[Seq[String]] = {
+      import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, And => CAnd, Or => COr}
+      def render(v: Any): Option[String] = v match {
+        case null => None
+        case u8: org.apache.spark.unsafe.types.UTF8String => Some(u8.toString)
+        case other => Some(other.toString)
+      }
+      def isKey(a: org.apache.spark.sql.catalyst.expressions.Expression) =
+        a match {
+          case ar: AttributeReference =>
+            targetIds.contains(ar.exprId) && ar.name == table.mergeKey
+          case _ => false
+        }
+      e match {
+        case EqualTo(a, v) if isKey(a) && v.foldable =>
+          render(v.eval()).map(Seq(_))
+        case EqualTo(v, a) if isKey(a) && v.foldable =>
+          render(v.eval()).map(Seq(_))
+        case In(a, vs) if isKey(a) && vs.forall(_.foldable) =>
+          val rs = vs.map(v => render(v.eval()))
+          if (rs.forall(_.isDefined)) Some(rs.flatten.distinct) else None
+        case CAnd(l, r) => keyBound(l).orElse(keyBound(r))
+        case COr(l, r) => for { a <- keyBound(l); b <- keyBound(r) }
+          yield (a ++ b).distinct
+        case _ => None
+      }
+    }
+    val keyTyp = rel.output.find(_.name == table.mergeKey)
+      .map(a => if (a.dataType.catalogString == "string") "string"
+        else "long").getOrElse("long")
     WarehouseUpdateCommand(table.dir, table.mergeKey,
       rel.output.map(a => a.name -> a.dataType.catalogString),
-      MergeBranch(u.condition.map(remap), assigns, srcOnly = false))
+      MergeBranch(u.condition.map(remap), assigns, srcOnly = false),
+      pointKeys = u.condition.flatMap(keyBound).getOrElse(Nil),
+      keyTyp = keyTyp)
   }
 }
 
@@ -107,7 +148,9 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
 final case class WarehouseUpdateCommand(
     dir: String, mergeKey: String,
     targetCols: Seq[(String, String)],
-    branch: MergeBranch)
+    branch: MergeBranch,
+    pointKeys: Seq[String] = Nil,
+    keyTyp: String = "long")
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -116,7 +159,20 @@ final case class WarehouseUpdateCommand(
         s"UPDATE of an empty warehouse at $dir — nothing to update"))
     val newSeq = maxSeq + 1
     val dataCols = targetCols.map(_._1).filter(_ != "load_seq")
-    val snap = AtomicWarehouse.read(spark, dir, mergeKey)
+    // key-bound predicates read through the PRUNED point lookups (one
+    // per key — blooms/zone maps open only the epochs that can hold
+    // it); the full predicate still applies residually below, so the
+    // bound only has to be a superset of the matched rows
+    val snap =
+      if (pointKeys.nonEmpty && pointKeys.size <= 64)
+        pointKeys.flatMap { k =>
+          if (keyTyp == "string")
+            Some(AtomicWarehouse.readPointStr(spark, dir, mergeKey, k))
+          else k.toLongOption
+            .map(AtomicWarehouse.readPoint(spark, dir, mergeKey, _))
+        }.reduceOption(_.unionByName(_))
+          .getOrElse(AtomicWarehouse.read(spark, dir, mergeKey))
+      else AtomicWarehouse.read(spark, dir, mergeKey)
     val cond = branch.cond
       .map(c => coalesce(GraftBridge.column(c), lit(false)))
       .getOrElse(lit(true))
@@ -129,8 +185,11 @@ final case class WarehouseUpdateCommand(
     } :+ lit(newSeq).as("load_seq")
     val newRows = snap.where(cond).select(outCols: _*)
     val baseV = AtomicWarehouse.currentVersion(spark, dir)
+    // plain toString, NOT canonicalized: the remapped expressions hold
+    // UnresolvedAttributes, and canonicalization asks them their
+    // dataType (Cast.needsTimeZone) — names are already stable
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest((branch.cond.map(_.canonicalized.toString).getOrElse("") +
+      .digest((branch.cond.map(_.toString).getOrElse("") +
           branch.assigns.toSeq.sortBy(_._1).toString)
         .getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)

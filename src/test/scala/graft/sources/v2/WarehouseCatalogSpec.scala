@@ -203,6 +203,22 @@ class WarehouseCatalogSpec extends SparkSuite {
       + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
       + " FROM whupd1.t WHERE k = 3) WHERE rn = 1").head.getString(0)
     assert(k3 == "X-n3!")
+    // key-bound predicates ride the PRUNED point-read path; results
+    // must be identical to the scan path across multi-epoch keys,
+    // IN-lists, and mixed conjunctions (the key bound is a superset;
+    // the rest of the predicate applies residually)
+    AtomicWarehouse.commitEpoch(spark, s"$r/t",
+      Seq((5L, "v2-n5", 5L)).toDF("k", "name", "load_seq"), 5L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    spark.sql("UPDATE whupd1.t SET name = concat(name, '@') " +
+      "WHERE k IN (5, 7) AND name LIKE 'v2%'")
+    val after2 = spark.sql("SELECT k, name FROM (SELECT k, name, load_seq,"
+      + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
+      + " FROM whupd1.t) WHERE rn = 1")
+      .as[(Long, String)].collect().toMap
+    assert(after2(5L) == "v2-n5@",
+      "the point path must read the key's LATEST version across epochs")
+    assert(after2(7L) == "n7", "residual conjunct must still filter")
     // identity/system columns refuse loudly
     val e1 = intercept[Exception] {
       spark.sql("UPDATE whupd1.t SET k = k + 1 WHERE k = 1")
