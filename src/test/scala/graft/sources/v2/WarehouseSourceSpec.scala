@@ -367,6 +367,23 @@ class WarehouseSourceSpec extends SparkSuite {
       "readChangeFeed" -> "true").select("k", "_change_type")
     assert(scanOf(pruned).readSchema().fieldNames.toSeq ==
       Seq("k", "_change_type"))
+    // SQL UPDATE epochs (update_v* entries) ride the feed as inserts
+    // with their committing version, like insert_*/merge_* entries
+    AtomicWarehouse.declareWriteDefaults(spark, dir, Map("mergeKey" -> "k"))
+    spark.conf.set("spark.sql.catalog.whcdfu",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whcdfu.root",
+      new java.io.File(dir).getParent)
+    spark.sql(s"UPDATE whcdfu.${new java.io.File(dir).getName} " +
+      "SET name = 'upd' WHERE k = 16")
+    val v5 = AtomicWarehouse.currentVersion(spark, dir)
+    val updFeed = connRead(dir, "startingVersion" -> v5.toString,
+      "readChangeFeed" -> "true")
+    val updRows = updFeed.select("k", "name", "_change_type").collect()
+    assert(updRows.length == 1 && updRows.head.getLong(0) == 16L &&
+      updRows.head.getString(1) == "upd" &&
+      updRows.head.getString(2) == "insert",
+      s"update epochs must ride the feed: ${updRows.toSeq}")
   }
 
   test("CDF carries _commit_timestamp; timestamp bounds resolve to versions") {
