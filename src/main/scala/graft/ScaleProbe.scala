@@ -31,6 +31,7 @@ object ScaleProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,6 +42,7 @@ object ScaleProbe {
     if (mode == "stream") { streamProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "anndensify") { annDensifyProbe(spark, sfDir, k); spark.stop(); return }
+    if (mode == "dml") { dmlProbe(spark, base, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "manifest") { manifestProbe(spark, base, k); spark.stop(); return }
@@ -683,6 +685,69 @@ object ScaleProbe {
       val capStr = if (cap == Int.MaxValue) "none" else cap.toString
       println(f"| $label | $capStr | $n%d | $t%.2f |")
     }
+  }
+
+  /** SQL DML at manifest depth: a K-epoch warehouse (1000 rows each,
+    * disjoint key ranges, zone maps + blooms), then the round-12 DML
+    * verbs timed against it — the claim under test is that a KEY-BOUND
+    * `UPDATE` rides the pruned point-read path (opens ~1 epoch however
+    * deep the manifest) while a predicate UPDATE/DELETE pays one honest
+    * matched-slice scan, and every verb appends O(delta) metadata
+    * rather than rewriting the store. */
+  private def dmlProbe(spark: SparkSession, base: String, k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val root = s"$base/dml"
+    spark.conf.set("spark.sql.catalog.whdml",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whdml.root", root)
+    spark.conf.set("spark.sql.catalog.whdml.mergeKey", "key")
+    val dir = s"$root/t"
+    val rowsPerEpoch = 1000
+    (1 to k).foreach { seq =>
+      AtomicWarehouse.commitEpoch(spark, dir,
+        spark.range(rowsPerEpoch).select(
+          (col("id") + (seq - 1L) * rowsPerEpoch).as("key"),
+          concat(lit("name"), col("id")).as("name"),
+          lit(seq.toLong).as("load_seq")),
+        seq.toLong, statsKey = Some("key"), bloomKey = Some("key"))
+    }
+    val total = k.toLong * rowsPerEpoch
+    println("| verb | wall s | note |")
+    println("|---|---|---|")
+    // KEY-BOUND UPDATE: point-read path (blooms open ~1 epoch)
+    val (_, tPoint) = timeIt(spark.sql(
+      s"UPDATE whdml.t SET name = 'point' WHERE key = ${total / 2}"))
+    println(f"| UPDATE WHERE key = x | $tPoint%.2f | pruned point read |")
+    // verify + entries audit
+    require(spark.sql(
+      s"SELECT name FROM (SELECT name, load_seq, row_number() OVER " +
+        s"(PARTITION BY key ORDER BY load_seq DESC) rn FROM whdml.t " +
+        s"WHERE key = ${total / 2}) WHERE rn = 1").head.getString(0)
+      == "point")
+    // PREDICATE UPDATE: one matched-slice scan, O(matched) append
+    val (_, tPred) = timeIt(spark.sql(
+      "UPDATE whdml.t SET name = concat(name, '!') WHERE key % 1000 = 7"))
+    println(f"| UPDATE WHERE key %% 1000 = 7 ($k rows) | $tPred%.2f | " +
+      "matched-slice scan |")
+    // PREDICATE DELETE: matched keys -> one tombstone
+    val (_, tDel) = timeIt(spark.sql(
+      "DELETE FROM whdml.t WHERE key % 1000 = 13"))
+    println(f"| DELETE WHERE key %% 1000 = 13 ($k keys) | $tDel%.2f | " +
+      "deferred tombstone |")
+    // the connector COUNT is the LOG view (every version) minus
+    // tombstone suppression: 400k base + 1 point-update version + k
+    // predicate-update versions − k suppressed single-version keys
+    val (n, tCount) = timeIt(spark.sql(
+      "SELECT count(*) FROM whdml.t").head.getLong(0))
+    require(n == total + 1, s"count after delete: $n != ${total + 1}")
+    println(f"| COUNT(*) after delete | $tCount%.2f | manifest answer |")
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    println(s"| manifest | ${names.size} entries | " +
+      s"${names.count(_.startsWith("update_v"))} update epochs, " +
+      s"${names.count(AtomicWarehouse.isTombstone)} tombstones |")
   }
 
   /** Events-family probe: K id-shifted replicas of the events table —

@@ -111,20 +111,24 @@ final case class WarehouseDeleteCommand(
     val snap = AtomicWarehouse.read(spark, dir, mergeKey)
     val cond = coalesce(GraftBridge.column(branch.cond.get), lit(false))
     val matched = snap.where(cond)
-    if (matched.where(col(mergeKey).isNull).limit(1).count() > 0)
+    val maxKeys = spark.conf.get("graft.delete.maxKeys", "100000").toInt
+    // ONE pass over the matched slice: distinct keys in canonical
+    // rendering (long keys round-trip the long cast so a "07"-style
+    // stored key can never split in two), with null riding along as
+    // its own distinct value — the null-key refusal costs no second
+    // scan
+    val collected = matched
+      .select(col(mergeKey).cast(keyTyp).cast("string"))
+      .distinct()
+      .limit(maxKeys + 2) // + the possible null slot + overflow probe
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    if (collected.contains(null))
       throw new UnsupportedOperationException(
         "predicate DELETE matched a NULL-keyed row — null keys are " +
           "never purge targets (retraction is key-addressed); filter " +
           s"`$mergeKey IS NOT NULL` explicitly if the null-keyed row " +
           "should survive")
-    val maxKeys = spark.conf.get("graft.delete.maxKeys", "100000").toInt
-    // canonical rendering: long keys round-trip the long cast so a
-    // "07"-style stored key can never split in two
-    val keys = matched
-      .select(col(mergeKey).cast(keyTyp).cast("string"))
-      .na.drop().distinct()
-      .limit(maxKeys + 1)
-      .collect().map(_.getString(0)).toSeq
+    val keys = collected.toSeq
     if (keys.size > maxKeys)
       throw new IllegalStateException(
         s"predicate DELETE selects more than $maxKeys keys " +

@@ -597,6 +597,12 @@ class WarehouseCatalogSpec extends SparkSuite {
     spark.sql("DELETE FROM whvid.vids WHERE title = 'title1'")
     assert(spark.sql("SELECT vid FROM whvid.vids").as[String]
       .collect().toSet == Set("VID2", "VID4", "VID6", "VID7", "VID8"))
+    // key-bound UPDATE on the STRING key rides readPointStr (pruned)
+    spark.sql("UPDATE whvid.vids SET title = 'pt' WHERE vid = 'VID4'")
+    assert(spark.sql("SELECT title FROM (SELECT title, load_seq, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY load_seq DESC) rn " +
+      "FROM whvid.vids WHERE vid = 'VID4') WHERE rn = 1")
+      .head.getString(0) == "pt")
 
     // sync MERGE on the string key: update VID1, insert VID9, delete
     // the keys the feed no longer carries (VID6-8); epoch + tombstone
