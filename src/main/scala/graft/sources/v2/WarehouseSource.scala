@@ -464,10 +464,19 @@ object WarehouseConnector {
     * use deferred purges ([[AtomicWarehouse.purgeKeysDeferred]]) when a
     * change-feed consumer must observe deletes. `ignoreDeletes` keeps
     * its meaning: skip every retraction (no delete rows, rewrites
-    * skipped) and serve appends only. */
+    * skipped) and serve appends only.
+    *
+    * Returns `(data, deletes, order)` — `order` is the served names in
+    * INTERLEAVED COMMIT ORDER (version ascending, within-version
+    * manifest order), the order folded-out entries' negative `_pos`
+    * values must follow: assigning all data entries below all delete
+    * entries regardless of commit order would let a purge's delete row
+    * outrank a LATER re-insert folded out by the same compaction,
+    * wrongly suppressing the re-added key in every `__dpos > _pos`
+    * consumer merge. */
   def cdfAddsBetween(s: Long, e: Long, ignoreDeletes: Boolean,
       namesAt: Long => Seq[String])
-      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+      : (Seq[(String, Long)], Seq[(String, Long)], Seq[String]) = {
     val adds = (s + 1 to e).flatMap { v =>
       val prev = namesAt(v - 1).toSet
       namesAt(v).filterNot(prev).map(_ -> v)
@@ -484,8 +493,10 @@ object WarehouseConnector {
     val (tombs, rest) = adds
       .filterNot(p => AtomicWarehouse.isPurgeRewrite(p._1))
       .partition(p => AtomicWarehouse.isTombstone(p._1))
-    (rest.filterNot(_._1.startsWith("compact_")),
-      if (ignoreDeletes) Nil else tombs)
+    val data = rest.filterNot(_._1.startsWith("compact_"))
+    val dels = if (ignoreDeletes) Nil else tombs
+    val served = (data ++ dels).map(_._1).toSet
+    (data, dels, adds.map(_._1).filter(served))
   }
 
   /** Spark's own FilePartition BIN-PACKING applied to the connector's
@@ -1292,12 +1303,12 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     * when several folded-out entries carry tied load_seq values).
     *
     * The plan is `(data entries in commit order, delete entries,
-    * name → commit version)`; delete entries are nonempty only under
-    * `readChangeFeed` (tombstone key lists served as
-    * `_change_type='delete'` rows, [[WarehouseConnector
+    * served names in interleaved commit order)`; delete entries are
+    * nonempty only under `readChangeFeed` (tombstone key lists served
+    * as `_change_type='delete'` rows, [[WarehouseConnector
     * .cdfAddsBetween]]). */
   private lazy val changePlan
-      : Option[(Seq[(String, Long)], Seq[(String, Long)])] =
+      : Option[(Seq[(String, Long)], Seq[(String, Long)], Seq[String])] =
     changeStart.map { s0 =>
       // == resolvedVersion + 1 is a legitimate empty poll ("anything
       // after what I have?"); BEYOND that is a corrupt/foreign
@@ -1314,26 +1325,34 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       if (cdf)
         WarehouseConnector.cdfAddsBetween(sExcl, resolvedVersion,
           ignoreDeletes, at)
-      else if (s0 == 0L)
+      else if (s0 == 0L) {
         // startingVersion = 0: the initial SNAPSHOT (end-manifest
         // content, tombstone drops applied) — the documented extension
         // beyond Delta's surface
-        (WarehouseConnector.addedEntriesBetween(0L, resolvedVersion,
-          ignoreDeletes, at).map(_ -> -1L), Nil)
-      else
+        val d = WarehouseConnector.addedEntriesBetween(0L, resolvedVersion,
+          ignoreDeletes, at).map(_ -> -1L)
+        (d, Nil, d.map(_._1))
+      } else {
         // startingVersion >= 1: stepped walk of versions [s0, e] —
         // s0 = 1 is "everything since the table's birth", served as
         // the ORIGINAL commits (folds skipped), never the snapshot
-        (WarehouseConnector.steppedEntriesBetween(sExcl, resolvedVersion,
-          ignoreDeletes, at).map(_ -> -1L), Nil)
+        val d = WarehouseConnector.steppedEntriesBetween(sExcl,
+          resolvedVersion, ignoreDeletes, at).map(_ -> -1L)
+        (d, Nil, d.map(_._1))
+      }
     }
   /** Stable positions for served entries missing from the end manifest
-    * (folded out mid-range): [-m, -1] in first-appearance order. */
+    * (folded out mid-range): [-m, -1] in INTERLEAVED COMMIT ORDER
+    * (the plan's `order` — data and delete entries by (commit version,
+    * within-version manifest index), NOT data-then-deletes: a purge
+    * folded out alongside a later re-insert must keep its delete row
+    * BELOW the re-insert's `_pos`, or the consumer's `__dpos > _pos`
+    * anti-join wrongly retracts the re-added key). */
   private lazy val foldedPos: Map[String, Int] = changePlan match {
     case None => Map.empty
-    case Some((data, dels)) =>
+    case Some((_, _, order)) =>
       val endNames = allEntries.map(_.name).toSet
-      val folded = (data ++ dels).map(_._1).filterNot(endNames)
+      val folded = order.filterNot(endNames)
       val m = folded.size
       folded.zipWithIndex.map { case (n, i) => n -> (i - m) }.toMap
   }
@@ -1341,7 +1360,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   // key-drop lists (merge-on-read deletion vectors)
   private lazy val entries: Seq[EpochEntry] = changePlan match {
     case None => allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
-    case Some((data, _)) =>
+    case Some((data, _, _)) =>
       // an in-range entry FOLDED OUT of the end manifest (auto-compact
       // landed inside the range) is still servable — its dir outlives
       // the fold until vacuum. Synthesize a stats-less entry so its
@@ -1352,7 +1371,14 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       data.map(_._1).sorted.map(n => byName.getOrElse(n, EpochEntry(n)))
   }
   private lazy val tombstones: Seq[TombstoneKeys] =
-    if (changeStart.exists(_ > 0L)) Nil // appended rows only: no drops
+    // drops apply only to SNAPSHOT reads. A stepped range serves
+    // appended rows only; a readChangeFeed range serves retractions as
+    // explicit delete rows — applying drops there too would silently
+    // remove purged keys' HISTORICAL insert rows from the feed while
+    // still serving their delete rows (an incomplete history for
+    // audit/replay consumers, and inconsistent with the stream path's
+    // `applyDrops = !cdf`).
+    if (cdf || changeStart.exists(_ > 0L)) Nil
     else WarehouseConnector.loadTombstones(spark, dir, allEntries)
 
   // listing cache, keyed by the planned epoch set (runtime filters can
@@ -1435,7 +1461,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         // keys) rows, no files opened (the keys ARE the manifest's
         // deletion vector). Residual row filters still apply Spark-side.
         val deletes: Array[InputPartition] = changePlan match {
-          case Some((_, dels)) if dels.nonEmpty =>
+          case Some((_, dels, _)) if dels.nonEmpty =>
             dels.map { case (name, v) =>
               val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
                 .getOrElse("")
@@ -2160,21 +2186,24 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     // (pos, applyDrops). A CDF tail never snapshots: its batch 0 is a
     // stepped walk from the start version.
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
-    val (dataAdds, delAdds) =
+    val (dataAdds, delAdds, serveOrder) =
       if (cdf)
         WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt)
       else {
         if (s == 0L && snapshotAtZero)
           snapshotTombs =
             WarehouseConnector.loadTombstones(spark, dir, allEntries)
-        (entriesToServe(s, e).map(_ -> -1L), Nil)
+        val d = entriesToServe(s, e).map(_ -> -1L)
+        (d, Seq.empty[(String, Long)], d.map(_._1))
       }
     // entries folded out of the END manifest mid-batch get stable
-    // NEGATIVE positions in first-appearance order (same contract as
-    // the batch change feed): folded-out entries predate the fold, so
-    // the (load_seq DESC, _pos DESC) tiebreaker stays commit-ordered
-    val folded = (dataAdds ++ delAdds).map(_._1)
-      .filterNot(posOf.contains)
+    // NEGATIVE positions in INTERLEAVED COMMIT ORDER (same contract as
+    // the batch change feed — data and delete entries ordered by their
+    // commit, not data-then-deletes): folded-out entries predate the
+    // fold, so the (load_seq DESC, _pos DESC) tiebreaker stays
+    // commit-ordered even when a purge and a later re-insert fold out
+    // in the same batch
+    val folded = serveOrder.filterNot(posOf.contains)
     val negPos = folded.zipWithIndex
       .map { case (n, i) => n -> (i - folded.size) }.toMap
     def posFor(n: String): Int = posOf.getOrElse(n, negPos.getOrElse(n, 0))

@@ -386,6 +386,77 @@ class WarehouseSourceSpec extends SparkSuite {
       s"update epochs must ride the feed: ${updRows.toSeq}")
   }
 
+  test("folded-out feed positions stay commit-interleaved (purge < re-insert)") {
+    // purge(v2) -> re-insert(v3) -> compact(v4) inside ONE feed range:
+    // the fold removes all three entries from the end manifest, so all
+    // get NEGATIVE positions — which must follow the interleaved commit
+    // order (tombstone BELOW the later re-insert), or the consumer's
+    // `__dpos > _pos` anti-join wrongly suppresses the re-added key
+    val dir = freshDir("cdffold")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(2L)) // v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(2, 2, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v3: re-insert key 2
+    AtomicWarehouse.compact(spark, dir, "k", statsKey = Some("k"),
+      bloomKey = Some("k")) // v4: folds ALL prior entries out
+    val feed = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true").select(col("*"), col("_pos"))
+    val k2 = feed.where(col("k") === 2L)
+      .select("_change_type", "_commit_version", "_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val delPos = k2.collectFirst { case ("delete", _, p) => p }.get
+    val reinsPos = k2.collectFirst { case ("insert", 3L, p) => p }.get
+    assert(delPos < 0 && reinsPos < 0, s"folded entries get negative _pos: $k2")
+    assert(delPos < reinsPos,
+      s"tombstone (v2) must order BELOW the v3 re-insert: $k2")
+    // the consumer merge therefore reproduces the snapshot: key 2 alive
+    val applied = graft.ops.Merge.applyChangeFeed(feed, "k")
+    assert(applied.where(col("k") === 2L).count() == 1,
+      "re-added key must survive the folded-out purge's delete row")
+    assert(applied.count() == AtomicWarehouse.read(spark, dir, "k").count())
+
+    // same contract through the STREAM path (its own negPos code)
+    val out = java.nio.file.Files.createTempDirectory("cdffold_out").toString
+    spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load().select(col("*"), col("_pos"))
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val sfeed = spark.read.parquet(s"$out/data")
+    val sk2 = sfeed.where(col("k") === 2L)
+      .select("_change_type", "_commit_version", "_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val sDel = sk2.collectFirst { case ("delete", _, p) => p }.get
+    val sReins = sk2.collectFirst { case ("insert", 3L, p) => p }.get
+    assert(sDel < sReins,
+      s"stream negPos must interleave by commit order too: ${sk2.toSeq}")
+  }
+
+  test("batch CDF at startingVersion 0 serves the COMPLETE history") {
+    // drops must not apply under readChangeFeed: a purged key's
+    // historical insert rows stay in the feed alongside its delete row
+    // (otherwise audit/replay consumers see a retraction of a row the
+    // feed never served) — and startingVersion 0 and 1 agree, as does
+    // the stream path (applyDrops = !cdf)
+    val dir = freshDir("cdf0")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(3L)) // v2
+    val at0 = connRead(dir, "startingVersion" -> "0",
+      "readChangeFeed" -> "true")
+    val at1 = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true")
+    // key 3's historical insert must be SERVED, not silently dropped
+    assert(at0.where(col("k") === 3L &&
+      col("_change_type") === "insert").count() == 1,
+      "purged key's insert history must ride the feed")
+    assert(at0.count() == 11 && at1.count() == 11,
+      "startingVersion 0 and 1 serve the identical CDF range")
+  }
+
   test("CDF carries _commit_timestamp; timestamp bounds resolve to versions") {
     val dir = freshDir("cdfts")
     AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 3, 1L), 1L,
