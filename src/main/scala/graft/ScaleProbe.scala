@@ -404,6 +404,15 @@ object ScaleProbe {
       require(mm == (expMin, expMax),
         s"metadata min/max drifted at T=$committedTombs: $mm " +
           s"!= ($expMin, $expMax)")
+      // REPEAT at the same version: the session-global memo (keyed by
+      // the manifest file's identity) must answer without re-running
+      // the T × epochs dirty probes or the dirty rescan — ~flat in T
+      val (mm2, tMinMax2) = timeIt {
+        val r = spark.read.format("graft-warehouse").option("path", wh)
+          .load().agg(min(col("key")), max(col("key"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      require(mm2 == mm, s"memoized min/max diverged: $mm2 != $mm")
       val ((rows, planMs), tRead) = timeIt {
         val df = spark.read.format("graft-warehouse").option("path", wh).load()
           // an always-true pushed filter defeats the agg pushdown, so
@@ -433,7 +442,7 @@ object ScaleProbe {
         s"point read stopped pruning under tombstones: $opened data epochs")
       println(f"| $committedTombs | $purgedKeys | ${lastCommit * 1000}%.0f | " +
         f"${tMeta * 1000}%.0f ($metaRows) | " +
-        f"${tMinMax * 1000}%.0f ($expMin,$expMax) | " +
+        f"${tMinMax * 1000}%.0f/${tMinMax2 * 1000}%.0f ($expMin,$expMax) | " +
         f"$tRead%.1f ($rows) | $planMs%.0f | ${tPoint * 1000}%.0f ($opened) |")
     }
     // compact must FOLD every tombstone away: T is bounded by cadence

@@ -59,7 +59,11 @@ object Merge {
       "applyChangeFeed needs _change_type, load_seq and the _pos " +
         "metadata column — select it on the feed read " +
         "(.select(col(\"*\"), col(\"_pos\")))")
-    val inserts = feed.where(col("_change_type") === "insert")
+    // 'update_postimage' (a SQL UPDATE's new row versions — Delta CDF's
+    // typing) upserts exactly like an insert under last-wins: the
+    // appended epoch IS the post-image
+    val inserts = feed.where(
+      col("_change_type").isin("insert", "update_postimage"))
     val dels = feed.where(col("_change_type") === "delete")
       .select(col(key).as("__dk"), col("_pos").as("__dpos"))
     val alive = inserts.join(broadcast(dels),

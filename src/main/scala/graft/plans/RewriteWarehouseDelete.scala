@@ -54,13 +54,24 @@ object RewriteWarehouseDelete extends Rule[LogicalPlan] {
   private def keyIdentity(d: DeleteFromTable): Boolean = {
     val rel = warehouseOf(d.table).get
     val key = rel.table.asInstanceOf[WarehouseTable].mergeKey
-    // analysis wraps literals in casts, so "literal" = foldable here
+    // analysis wraps literals in casts, so "literal" = foldable here.
+    // IN-list coercion also wraps the ATTRIBUTE side in a same-type
+    // cast (`cast(k as bigint) IN (...)` for a bigint k) — unwrap
+    // NO-OP casts only, so `k IN (9, 18)` keeps the CoW path while a
+    // type-CHANGING cast (`k IN ('x')`) stays with the predicate path,
+    // whose execution-time materialization handles it soundly
+    def keyAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == key
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.child.resolved && c.child.dataType == c.dataType =>
+        keyAttr(c.child)
+      case _ => false
+    }
     def keyId(e: Expression): Boolean = e match {
-      case EqualTo(a: AttributeReference, v) if v.foldable => a.name == key
-      case EqualTo(v, a: AttributeReference) if v.foldable => a.name == key
-      case In(a: AttributeReference, vs) =>
-        a.name == key && vs.forall(_.foldable)
-      case IsNotNull(a: AttributeReference) => a.name == key
+      case EqualTo(a, v) if v.foldable => keyAttr(a)
+      case EqualTo(v, a) if v.foldable => keyAttr(a)
+      case In(a, vs) if vs.forall(_.foldable) => keyAttr(a)
+      case IsNotNull(a) => keyAttr(a)
       case CAnd(l, r) => keyId(l) && keyId(r)
       case COr(l, r) => keyId(l) && keyId(r)
       case _ => false

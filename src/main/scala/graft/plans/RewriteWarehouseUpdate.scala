@@ -184,6 +184,13 @@ final case class WarehouseUpdateCommand(
       }
     } :+ lit(newSeq).as("load_seq")
     val newRows = snap.where(cond).select(outCols: _*)
+    // an UPDATE whose predicate matches ZERO rows commits NOTHING —
+    // mirroring DELETE's keys.nonEmpty no-op path. An unconditional
+    // commit would write an empty update_v* entry, bump the manifest,
+    // and inflate the compaction cadence for repeated no-match
+    // conditional updates. (isEmpty = a LIMIT 1 probe over the already
+    // pruned point reads — it early-exits on the first matched row.)
+    if (newRows.isEmpty) return Nil
     val baseV = AtomicWarehouse.currentVersion(spark, dir)
     // plain toString, NOT canonicalized: the remapped expressions hold
     // UnresolvedAttributes, and canonicalization asks them their

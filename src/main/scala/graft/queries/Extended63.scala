@@ -175,7 +175,10 @@ object Extended63 {
       |         'c_name,k,load_seq' AS stats_cols, true AS has_bloom
       |  UNION ALL
       |  SELECT 'epoch_4', 'epoch', (SELECT n FROM total),
-      |         'c_name,k,load_seq', true)""".stripMargin) { (s, d) =>
+      |         'c_name,k,load_seq', true
+      |  UNION ALL
+      |  SELECT 'tombstone_noop_v4_' || (SELECT dg FROM dig), 'purge-log',
+      |         (SELECT n FROM doomed), 'k', false)""".stripMargin) { (s, d) =>
     import graft.sinks.AtomicWarehouse
     val wh = freshScratch("c51") + "/wh"
     val cust = Tables.customer(s, d)

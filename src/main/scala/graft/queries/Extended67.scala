@@ -66,11 +66,15 @@ object Extended67 {
     s.conf.set("spark.sql.catalog.whc63.mergeKey", "vid")
 
     // key-identity DELETE on the STRING key → CoW purge rewrite, pinned:
-    // the epoch was rewritten in place, no tombstone entry exists yet
+    // the epoch was rewritten in place; the only tombstone is the purge
+    // LOG the rewrite commits for the change feed (a NO-OP tombstone —
+    // it suppresses nothing, the rewrite already removed the rows)
     s.sql("DELETE FROM whc63.vids WHERE vid IN ('VID40', 'VID80')")
     val postDelete = AtomicWarehouse.committedEpochs(s, dir)
     require(postDelete.exists(_.startsWith("epoch_1_p")) &&
-      !postDelete.exists(_.startsWith("tombstone_")),
+      !postDelete.exists(n => AtomicWarehouse.isTombstone(n) &&
+        !AtomicWarehouse.isNoopTombstone(n)) &&
+      postDelete.exists(AtomicWarehouse.isNoopTombstone),
       s"string DELETE should rewrite copy-on-write; entries: $postDelete")
 
     // sync-MERGE on the string key: updates (k%3=0), inserts (+500000
@@ -93,8 +97,10 @@ object Extended67 {
       "merge epoch + string tombstone must land in ONE manifest CAS")
     val entries = AtomicWarehouse.committedEpochs(s, dir)
     require(entries.count(_.startsWith("merge_")) == 1 &&
-      entries.count(_.startsWith("tombstone_")) == 1,
-      s"expected one merge epoch + one tombstone; entries: $entries")
+      entries.count(n => AtomicWarehouse.isTombstone(n) &&
+        !AtomicWarehouse.isNoopTombstone(n)) == 1,
+      s"expected one merge epoch + one REAL tombstone (the earlier CoW " +
+        s"DELETE's purge log doesn't count); entries: $entries")
 
     s.sql(
       """SELECT vid, p_name, p_size, load_seq FROM (

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-13 widening, part 76: the change feed across COPY-ON-WRITE
+  * purges, and Delta-CDF update typing. The reference's most natural
+  * destructive mutation is the drain-dedup rewrite
+  * (ref: Python-pipeline/ingestdatainbigquery.py:84-96) — downstream
+  * consumers must be able to FOLLOW a rewrite, not just a deferred
+  * tombstone. */
+object Extended76 {
+
+  /** C76 — key-identity SQL `DELETE` (the CoW `SupportsDelete` path →
+    * [[graft.sinks.AtomicWarehouse.purgeKeys]]) now RIDES the row-level
+    * change feed: the purge commits a NO-OP tombstone — its purge LOG,
+    * the key list verbatim — in the SAME manifest CAS as the rewrites,
+    * and the feed serves it as `_change_type='delete'` rows exactly
+    * like a deferred purge's. Round 12's feed refused here (the rewrite
+    * names only a key-set digest), which broke every downstream CDC
+    * mirror on the most natural SQL delete.
+    *
+    * Pinned here: the full insert/delete history of a 4-version
+    * warehouse (two appends, one CoW SQL DELETE, one append with a
+    * re-add of a purged key) hash-matches a DuckDB replay; in-query
+    * requires pin the manifest shape (rewrite + purge log, NO real
+    * tombstone) and that [[graft.ops.Merge.applyChangeFeed]] over the
+    * feed reproduces the engine's snapshot (the re-added key must
+    * survive: the log's `_pos` orders it below the later re-insert).
+    *
+    * Scale: the log is O(purged keys) — one tiny parquet + one spliced
+    * manifest entry; the feed's retraction still opens ZERO data
+    * files, and snapshot reads SKIP the log entirely (the CoW purge
+    * keeps its zero-read-overhead property). */
+  val c76CowDeleteChangeFeed = q("c76_cow_delete_change_feed",
+    """WITH src AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name FROM part)
+      |SELECT k, name, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, name, CAST(1 AS BIGINT) AS load_seq,
+      |         'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'R2-' || name, CAST(2 AS BIGINT), 'insert',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 9 = 0
+      |  UNION ALL
+      |  SELECT CAST(t.k AS BIGINT), CAST(NULL AS VARCHAR),
+      |         CAST(NULL AS BIGINT), 'delete', CAST(3 AS BIGINT)
+      |  FROM (VALUES (9), (18), (36)) t(k)
+      |  UNION ALL
+      |  SELECT k + 1000000, name, CAST(4 AS BIGINT), 'insert',
+      |         CAST(4 AS BIGINT)
+      |  FROM src WHERE k % 50 = 0
+      |  UNION ALL
+      |  SELECT CAST(9 AS BIGINT), 'REBORN', CAST(4 AS BIGINT), 'insert',
+      |         CAST(4 AS BIGINT))""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c76")
+    s.conf.set("spark.sql.catalog.whc76", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc76.root", root)
+    s.conf.set("spark.sql.catalog.whc76.mergeKey", "k")
+    val dir = s"$root/parts"
+    val src = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name").as("name"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 9 === 0)
+        .withColumn("name", concat(lit("R2-"), col("name")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    // v3: key-identity SQL DELETE — the SupportsDelete COPY-ON-WRITE
+    // path (both epochs hold the keys, so both rewrite)
+    s.sql("DELETE FROM whc76.parts WHERE k IN (9, 18, 36)")
+    val names = AtomicWarehouse.committedEpochs(s, dir)
+    require(names.exists(AtomicWarehouse.isPurgeRewrite) &&
+      names.exists(AtomicWarehouse.isNoopTombstone) &&
+      !names.exists(n => AtomicWarehouse.isTombstone(n) &&
+        !AtomicWarehouse.isNoopTombstone(n)),
+      s"SQL key DELETE must rewrite CoW and log its keys: $names")
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 50 === 0)
+        .withColumn("k", col("k") + 1000000L)
+        .withColumn("load_seq", lit(4L))
+        .unionByName(s.range(1).select(lit(9L).as("k"),
+          lit("REBORN").as("name"), lit(4L).as("load_seq"))),
+      4L, statsKey = Some("k"), bloomKey = Some("k")) // v4: re-add key 9
+    val feed = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load()
+    // incremental mirror ≡ fresh engine read: the re-added key 9 must
+    // survive the CoW delete's log (its _pos orders BELOW the re-insert)
+    val applied = graft.ops.Merge.applyChangeFeed(
+      feed.select(col("*"), col("_pos")), "k")
+    require(applied.count() == AtomicWarehouse.read(s, dir, "k").count() &&
+      applied.where(col("k") === 9L).count() == 1,
+      "applied feed must reproduce the engine's snapshot incl. the re-add")
+    feed.select(col("k"), col("name"), col("load_seq"),
+      col("_change_type"), col("_commit_version"))
+  }
+
+  /** C77 — SQL `UPDATE` epochs ride the change feed typed
+    * `'update_postimage'` (Delta CDF's convention for the new row
+    * versions an UPDATE produced — the appended `update_v*` epoch IS
+    * the post-image; the manifest records winners, never diffs, so no
+    * pre-images are served). Round 12 typed them plain 'insert', so
+    * audit/diff consumers could not tell an update from a fresh
+    * insert; last-wins consumers ([[graft.ops.Merge.applyChangeFeed]])
+    * treat both as upserts — pinned by the in-query mirror≡snapshot
+    * tripwire.
+    *
+    * Scale: the typing is a per-file constant derived from the entry
+    * NAME at planning time — zero per-row cost, zero extra I/O. */
+  val c77UpdatePostimageFeed = q("c77_update_postimage_feed",
+    """WITH src AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name
+      |  FROM supplier)
+      |SELECT k, name, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, name, CAST(1 AS BIGINT) AS load_seq,
+      |         'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'X-' || name, CAST(2 AS BIGINT), 'update_postimage',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 4 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c77")
+    s.conf.set("spark.sql.catalog.whc77", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc77.root", root)
+    s.conf.set("spark.sql.catalog.whc77.mergeKey", "k")
+    val dir = s"$root/sup"
+    AtomicWarehouse.commitEpoch(s, dir,
+      Tables.supplier(s, d).select(col("s_suppkey").cast("long").as("k"),
+        col("s_name").as("name"), lit(1L).as("load_seq")), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    s.sql("UPDATE whc77.sup SET name = concat('X-', name) " +
+      "WHERE k % 4 = 0") // v2: update_v1_* epoch
+    val feed = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load()
+    // a last-wins consumer treats the postimage as an upsert
+    val applied = graft.ops.Merge.applyChangeFeed(
+      feed.select(col("*"), col("_pos")), "k")
+    require(applied.count() == AtomicWarehouse.read(s, dir, "k").count(),
+      "applied feed must reproduce the engine's snapshot")
+    feed.select(col("k"), col("name"), col("load_seq"),
+      col("_change_type"), col("_commit_version"))
+  }
+
+  val all: Seq[Q] = Seq(c76CowDeleteChangeFeed, c77UpdatePostimageFeed)
+}

@@ -112,6 +112,21 @@ object AtomicWarehouse {
     }.toMap
   }
 
+  /** Identity STAMP of a committed manifest version's file —
+    * (mtime millis, byte length). Manifest files are written ONCE (the
+    * CAS publish) and never modified, so the stamp pins the version's
+    * content identity for session-global memo keys: a RECREATED
+    * warehouse that re-uses version numbers (battery scratch dirs are
+    * wiped and rebuilt every run) writes a NEW file whose stamp
+    * differs, where a bare (dir, version) key would serve stale
+    * answers. */
+  private[graft] def manifestStamp(spark: SparkSession, dir: String,
+      v: Long): (Long, Long) = {
+    val st = fs(spark, dir).getFileStatus(
+      new Path(manifestDir(dir), s"v$v.json"))
+    (st.getModificationTime, st.getLen)
+  }
+
   /** Highest `load_seq` present in the CURRENT snapshot, or None on a
     * warehouse with no data entries — the floor a self-sequencing writer
     * (SQL MERGE) must exceed to win the keyed merge. Metadata-only in
@@ -422,7 +437,10 @@ object AtomicWarehouse {
         // parquet reads, zero Spark jobs — not O(T) collect() jobs
         val longRows = Seq.newBuilder[(Long, Int)]
         val strRows = Seq.newBuilder[(String, Int)]
-        tombs.foreach { t =>
+        // NO-OP tombstones (a CoW purge's change-feed log) suppress
+        // nothing — the rewrite already removed their rows; loading
+        // their key lists would only bloat the broadcast
+        tombs.filterNot(t => isNoopTombstone(t.name)).foreach { t =>
           val (_, ls, ss) = readTombstoneKeys(spark, dir, t.name)
           longRows ++= ls.map(l => (l, posOf(t.name)))
           strRows ++= ss.map(s => (s, posOf(t.name)))
@@ -1470,7 +1488,8 @@ object AtomicWarehouse {
     val f = fs(spark, dir)
     entries.map { e =>
       val kind =
-        if (isTombstone(e.name)) "tombstone"
+        if (isNoopTombstone(e.name)) "purge-log"
+        else if (isTombstone(e.name)) "tombstone"
         else if (isPurgeRewrite(e.name)) "purged"
         else if (e.name.startsWith("compact_")) "compact"
         else if (e.name.startsWith("merge_")) "merge"
@@ -1573,6 +1592,20 @@ object AtomicWarehouse {
     * anti-join (merge-on-read). */
   private[graft] def isTombstone(n: String): Boolean =
     n.startsWith("tombstone_")
+
+  /** Is `n` a NO-OP tombstone — the purge LOG a copy-on-write purge
+    * commits alongside its rewrites (same manifest CAS) so the row-level
+    * change feed can serve the retraction as `_change_type='delete'`
+    * rows? The rewrite already physically removed every matching row,
+    * so the key list suppresses NOTHING: snapshot reads and the
+    * metadata MIN/MAX dirty check skip it entirely (zero drop-list
+    * bytes, zero taint — the CoW purge keeps its zero-read-overhead
+    * property), and the metadata COUNT treats it as suppressing 0 rows
+    * with or without a recorded [[SuppTotalStat]]. Matches
+    * [[isTombstone]] too (the `tombstone_` prefix), so every "not
+    * data" classification holds automatically. */
+  private[graft] def isNoopTombstone(n: String): Boolean =
+    n.startsWith("tombstone_noop_")
 
   /** A tombstone's key list read DRIVER-SIDE via parquet-hadoop — ZERO
     * Spark jobs. Key lists are O(purged keys) tiny by the purge
@@ -1828,6 +1861,16 @@ object AtomicWarehouse {
           purged += df.count() - keptCount
           name -> (newName, stats)
         }.toMap
+      // PURGE LOG for the change feed: the rewrite names carry only the
+      // key-set DIGEST, so without this the retraction was not
+      // reconstructible and every feed range crossing the purge refused.
+      // Publish the key list as a NO-OP tombstone ([[isNoopTombstone]])
+      // committed in the SAME manifest CAS: snapshot reads skip it (the
+      // rewrite already removed the rows — zero read overhead kept), the
+      // feed serves its keys as `_change_type='delete'` rows exactly
+      // like a deferred purge's.
+      val (tombName, tombStats, _) =
+        publishTombstone(spark, dir, key, typ, keys, baseV, noop = true)
       beforeCommit()
       var stale = false
       commitManifest(spark, dir, s"purge of ${keys.size} keys") { entries =>
@@ -1839,16 +1882,33 @@ object AtomicWarehouse {
             .exists(_._1 == e.name))) None // identical purge already won
         else if (!affected.forall(entries.map(_.name).contains)) {
           stale = true; None // a fold replaced our base: retry against it
-        } else Some(stripSuppStats(entries.map { e =>
-          // the rewrite changes the row counts outstanding tombstones'
-          // suppression totals were computed against (a CoW purge may
-          // physically remove rows a tombstone still counts) — strip
-          // them or the pushed COUNT(*) would double-subtract
-          rewritten.get(e.name) match {
-            case Some((newName, stats)) => EpochEntry(newName, stats)
-            case None => e
+        } else {
+          val mapped = stripSuppStats(entries.map { e =>
+            // the rewrite changes the row counts outstanding tombstones'
+            // suppression totals were computed against (a CoW purge may
+            // physically remove rows a tombstone still counts) — strip
+            // them or the pushed COUNT(*) would double-subtract
+            rewritten.get(e.name) match {
+              case Some((newName, stats)) => EpochEntry(newName, stats)
+              case None => e
+            }
+          })
+          // splice the purge log RIGHT AFTER the last rewritten entry:
+          // an epoch committed concurrently (after our base, before the
+          // CAS) commutes with the swap and its rows are NOT purged —
+          // placing the log before it keeps the feed's delete `_pos`
+          // BELOW the concurrent re-insert's, so a `__dpos > _pos`
+          // consumer merge preserves the re-added key exactly as the
+          // snapshot does
+          if (mapped.exists(_.name == tombName)) Some(mapped)
+          else {
+            val idx = mapped.lastIndexWhere(e =>
+              rewritten.valuesIterator.exists(_._1 == e.name))
+            val log = EpochEntry(tombName, tombStats +
+              (SuppTotalStat -> ColStats("long", "0", "0")))
+            Some((mapped.take(idx + 1) :+ log) ++ mapped.drop(idx + 1))
           }
-        }))
+        }
       }
       if (!stale) return (affected.size, purged)
       attempt += 1
@@ -1975,9 +2035,11 @@ object AtomicWarehouse {
     * distinct key sets can never adopt each other. */
   private def publishTombstone(spark: SparkSession, dir: String,
       key: String, typ: String, keys: Seq[String],
-      baseV: Long): (String, Map[String, ColStats], Int) = {
+      baseV: Long, noop: Boolean = false): (String, Map[String, ColStats], Int) = {
     val ks = canonicalKeys(typ, keys)
-    val name = s"tombstone_v${baseV}_${digestOf(ks)}"
+    val name =
+      if (noop) s"tombstone_noop_v${baseV}_${digestOf(ks)}"
+      else s"tombstone_v${baseV}_${digestOf(ks)}"
     import spark.implicits._
     // the tombstone parquet's key column carries the COMPARISON type —
     // the read paths recover it from the file schema, so long and string

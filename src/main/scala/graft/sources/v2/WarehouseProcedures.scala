@@ -320,7 +320,8 @@ final class HistoryProcedure(root: String)
 
   private def classify(added: Seq[String]): String = {
     def kind(n: String): String =
-      if (AtomicWarehouse.isTombstone(n)) "purge (deferred)"
+      if (AtomicWarehouse.isNoopTombstone(n)) "purge (rewrite)"
+      else if (AtomicWarehouse.isTombstone(n)) "purge (deferred)"
       else if (AtomicWarehouse.isPurgeRewrite(n)) "purge (rewrite)"
       else if (n.startsWith("compact_")) "compact"
       else if (n.startsWith("insert_")) "sql insert"

@@ -90,13 +90,29 @@ class WarehouseSource extends TableProvider with DataSourceRegister {
     require(dir != null && dir.nonEmpty,
       "graft-warehouse requires .option(\"path\", <warehouse dir>)")
     val spark = SparkSession.active
-    // change-feed reads resolve their schema at the END version;
+    // `version`/`timestampAsOf` exclusivity is checked HERE as well as
+    // in getTable so both entry points refuse consistently (inferSchema
+    // used to silently prefer `version` when both were set)
+    require(options.get("version") == null ||
+      options.get("timestampAsOf") == null,
+      "version and timestampAsOf are mutually exclusive")
+    // change-feed reads resolve their schema at the END version —
+    // including a timestamp-bounded end (same bracketing newScanBuilder
+    // applies: the latest commit AT OR BEFORE the instant);
     // `timestampAsOf` is time travel by instant (the DataFrame face of
     // the catalog's TIMESTAMP AS OF)
     val v = Option(options.get("version")).map(_.toLong)
       .orElse(Option(options.get("timestampAsOf")).map(
         WarehouseConnector.versionAtTimestamp(spark, dir, _)))
       .orElse(Option(options.get("endingVersion")).map(_.toLong))
+      .orElse(Option(options.get("endingTimestamp")).map { raw =>
+        val ts = WarehouseConnector.parseTsMicros(raw, "endingTimestamp")
+        val cands = AtomicWarehouse.manifestTimes(spark, dir)
+          .filter(_._2 <= ts)
+        require(cands.nonEmpty,
+          s"endingTimestamp $raw precedes the earliest retained commit")
+        cands.keys.max
+      })
       .getOrElse(AtomicWarehouse.currentVersion(spark, dir))
     val base = WarehouseConnector.snapshotSchema(spark, dir, v)
     if (!options.getBoolean("readChangeFeed", false)) base
@@ -158,6 +174,19 @@ object WarehouseConnector {
     * column null (the manifest records keys, not pre-images). */
   val ChangeTypeColumn = "_change_type"
   val CommitVersionColumn = "_commit_version"
+
+  /** The `_change_type` a data entry's fed rows carry, by ENTRY NAME:
+    * SQL UPDATE epochs (`update_v*`, [[graft.plans
+    * .RewriteWarehouseUpdate]]) type as 'update_postimage' — Delta
+    * CDF's convention for the new row versions an UPDATE produced (the
+    * appended epoch IS the post-image; the engine's manifest records
+    * winners, never diffs, so pre-images are not served) — and every
+    * other append is 'insert'. Last-wins consumers
+    * ([[graft.ops.Merge.applyChangeFeed]]) treat both as upserts;
+    * audit/diff consumers can now tell an update from a fresh
+    * insert. */
+  def feedChangeType(entry: String): String =
+    if (entry.startsWith("update_v")) "update_postimage" else "insert"
   /** Wall-clock commit instant of `_commit_version` — the version's
     * manifest-file mtime, Delta's own derivation. */
   val CommitTimestampColumn = "_commit_timestamp"
@@ -482,14 +511,27 @@ object WarehouseConnector {
       namesAt(v).filterNot(prev).map(_ -> v)
     }.distinctBy(_._1)
     val rewrites = adds.filter(p => AtomicWarehouse.isPurgeRewrite(p._1))
-    if (rewrites.nonEmpty && !ignoreDeletes)
+    // a CoW purge commits a NO-OP tombstone — its purge LOG, the key
+    // list verbatim — in the SAME manifest version as its rewrites
+    // ([[AtomicWarehouse.purgeKeysImpl]]), so a rewrite version carrying
+    // one serves its retraction through that tombstone's
+    // `_change_type='delete'` rows exactly like a deferred purge.
+    // UNLOGGED rewrites (pre-log warehouses) still refuse: they name
+    // only the key-set digest, so the deleted keys are gone.
+    val loggedVersions = adds.collect {
+      case (n, v) if AtomicWarehouse.isNoopTombstone(n) => v
+    }.toSet
+    val unlogged = rewrites.filterNot(p => loggedVersions(p._2))
+    if (unlogged.nonEmpty && !ignoreDeletes)
       throw new UnsupportedOperationException(
-        s"graft-warehouse change feed hit a copy-on-write PURGE at " +
-          s"manifest v${rewrites.head._2} (${rewrites.map(_._1).mkString(", ")}): " +
-          "a rewrite names only its key-set digest, so the deleted keys " +
-          "cannot be served as _change_type='delete' rows — purge with " +
-          "purgeKeysDeferred (tombstones) for CDF-visible deletes, or " +
-          "set .option(\"ignoreDeletes\", true) to skip retractions")
+        s"graft-warehouse change feed hit an UNLOGGED copy-on-write " +
+          s"PURGE at manifest v${unlogged.head._2} " +
+          s"(${unlogged.map(_._1).mkString(", ")}): the rewrite names " +
+          "only its key-set digest and carries no purge log, so the " +
+          "deleted keys cannot be served as _change_type='delete' rows " +
+          "— purges committed by this engine version log their keys; " +
+          "for this history, purge with purgeKeysDeferred (tombstones) " +
+          "or set .option(\"ignoreDeletes\", true) to skip retractions")
     val (tombs, rest) = adds
       .filterNot(p => AtomicWarehouse.isPurgeRewrite(p._1))
       .partition(p => AtomicWarehouse.isTombstone(p._1))
@@ -705,8 +747,14 @@ object WarehouseConnector {
     * that was O(T×100ms) of pure scheduling per plan). */
   def loadTombstones(spark: SparkSession, dir: String,
       allEntries: Seq[EpochEntry]): Seq[TombstoneKeys] = {
+    // NO-OP tombstones (a CoW purge's change-feed log,
+    // [[AtomicWarehouse.isNoopTombstone]]) never reach drop lists or
+    // the MIN/MAX dirty check: the rewrite committed with them already
+    // removed every matching row, so they suppress nothing — skipping
+    // them keeps the CoW purge's zero-read-overhead property
     val tombs = allEntries.zipWithIndex.filter(p =>
-      AtomicWarehouse.isTombstone(p._1.name))
+      AtomicWarehouse.isTombstone(p._1.name) &&
+        !AtomicWarehouse.isNoopTombstone(p._1.name))
     if (tombs.isEmpty) return Nil
     // cache misses (first plan after a purge) load in PARALLEL — each
     // read is ~45 ms of fs round-trips, serial loading made the first
@@ -723,6 +771,22 @@ object WarehouseConnector {
       }
     }, scala.concurrent.duration.Duration(600, "s"))
   }
+
+  /** Session-global memo of metadata MIN/MAX decisions, keyed by
+    * (manifest-file identity, column, end, rendered type) — the scan
+    * builder's `minMax` consults it so repeat plans at an unchanged
+    * version skip both the T × epochs dirty-entry probes and the dirty
+    * rescan job. Values: Some(internal) = answered (the internal value
+    * may itself be null — every live row null), None = refused (also
+    * deterministic in the manifest content). Bounded LRU; entries are
+    * a few hundred bytes, so the cap is generous. */
+  private[v2] val minMaxMemo: java.util.Map[String, Option[Any]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Option[Any]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Option[Any]]): Boolean =
+          size > 4096
+      })
 
   /** The key-drop lists a file of the entry at `pos` must apply: every
     * tombstone ordered AFTER it, grouped by key column, split by key
@@ -1038,17 +1102,41 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
       * engine's log-view drop join applies one key column). */
     def minMax(c: String, wantMin: Boolean): Option[(StructField, Any)] = {
       val field = fullSchema.fields.find(_.name == c).getOrElse(return None)
+      // SESSION-GLOBAL memo per (manifest-file identity, column, end):
+      // the dirty-entry determination costs T × epochs zone/bloom
+      // probes and the dirty rescan a real job — both deterministic in
+      // the manifest version's content, so repeat MIN/MAX plans at the
+      // same version answer from the memo (~flat in T instead of the
+      // probe's 220 → 669 ms growth at T=400). The key carries the
+      // manifest FILE's (mtime, length): a recreated warehouse re-using
+      // version numbers writes a new file, so stale hits are
+      // unreachable; a racing vacuum fails the stat and skips the memo.
+      val memoKey = scala.util.Try(
+        AtomicWarehouse.manifestStamp(spark, dir, v)).toOption
+        .map { case (mt, len) =>
+          s"$dir|$v|$mt|$len|$c|$wantMin|${field.dataType.catalogString}" }
+      memoKey.flatMap(k =>
+        Option(WarehouseConnector.minMaxMemo.get(k))).foreach { cached =>
+        return cached.map(iv => (StructField(
+          s"${if (wantMin) "min" else "max"}($c)", field.dataType), iv))
+      }
+      def memoize(r: Option[(StructField, Any)])
+          : Option[(StructField, Any)] = {
+        memoKey.foreach(k =>
+          WarehouseConnector.minMaxMemo.put(k, r.map(_._2)))
+        r
+      }
       def statsOf(e: EpochEntry) = e.statsFor(c,
         if (mergeKey.nonEmpty) mergeKey else "\u0000")
       val stats = all.map(statsOf)
-      if (stats.exists(_.isEmpty)) return None
+      if (stats.exists(_.isEmpty)) return memoize(None)
       val typ = stats.flatten.head.typ
       val supported = (field.dataType, typ) match {
         case (LongType, "long") | (IntegerType, "long") |
             (StringType, "string") | (DateType, "string") => true
         case _ => false // timestamps etc: rendering round-trip unsafe
       }
-      if (!supported) return None
+      if (!supported) return memoize(None)
       // Entries whose REQUESTED extremum a LATER tombstone could have
       // suppressed. When the aggregated column IS the tombstone's key
       // column (min/max of the merge key — the common shape), the test
@@ -1062,7 +1150,7 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
         if (tombEntries.isEmpty) Nil
         else {
           val tombs = aggTombstones
-          if (tombs.map(_.keyCol).distinct.size > 1) return None
+          if (tombs.map(_.keyCol).distinct.size > 1) return memoize(None)
           val posOfAll = allEntries.map(_.name).zipWithIndex.toMap
           def extremumSuppressible(e: EpochEntry,
               t: WarehouseConnector.TombstoneKeys): Boolean =
@@ -1106,7 +1194,8 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
           // min-dirty and max-dirty entry sets differ
           val (mnv, mxv) = dirtyMinMax.getOrElseUpdate(s"$c#$wantMin", {
             val subset = allEntries.filter(e =>
-              dirtyNames(e.name) || AtomicWarehouse.isTombstone(e.name))
+              dirtyNames(e.name) || (AtomicWarehouse.isTombstone(e.name) &&
+                !AtomicWarehouse.isNoopTombstone(e.name)))
             AtomicWarehouse.minMaxOfEntries(spark, dir, keyName, subset, c)
           })
           def render(v: Any): Option[String] = v match {
@@ -1147,10 +1236,10 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
           java.time.LocalDate.parse(
             if (wantMin) candidates.min else candidates.max)
             .toEpochDay.toInt
-        case _ => return None
+        case _ => return memoize(None)
       }
-      Some((StructField(s"${if (wantMin) "min" else "max"}($c)",
-        field.dataType), internal))
+      memoize(Some((StructField(s"${if (wantMin) "min" else "max"}($c)",
+        field.dataType), internal)))
     }
     val parts: Seq[(StructField, Any)] = a.aggregateExpressions.toSeq.map {
       case _: CountStar =>
@@ -1160,7 +1249,12 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
         // must carry one (a legacy/stripped entry degrades to a scan)
         val counts = all.map(_.stats.get(AtomicWarehouse.RowCountStat))
         if (counts.exists(_.isEmpty)) return None
-        val supp = tombEntries.map(_.stats.get(AtomicWarehouse.SuppTotalStat))
+        // NO-OP tombstones (CoW purge logs) suppress 0 rows BY
+        // CONSTRUCTION — exact with or without a recorded total (a
+        // later purge's stripSuppStats may have removed theirs)
+        val supp = tombEntries
+          .filterNot(e => AtomicWarehouse.isNoopTombstone(e.name))
+          .map(_.stats.get(AtomicWarehouse.SuppTotalStat))
         if (supp.exists(_.isEmpty)) return None
         (StructField("count(*)", LongType, nullable = false),
           (counts.flatten.map(_.mn.toLong).sum -
@@ -1454,7 +1548,9 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
             // as the tail) — first-appearance order below position 0
             posOf.getOrElse(file.epoch, foldedPos.getOrElse(file.epoch, 0)),
             commitVersion = v,
-            commitTsMicros = tsOf.getOrElse(v, -1L)) -> file.len
+            commitTsMicros = tsOf.getOrElse(v, -1L),
+            changeType =
+              WarehouseConnector.feedChangeType(file.epoch)) -> file.len
         })
         // readChangeFeed: each in-range tombstone's key list becomes one
         // partition of synthesized _change_type='delete' rows — O(purged
@@ -1537,7 +1633,8 @@ final case class WarehouseFilePartition(path: String,
     pos: Int = 0,
     applyDrops: Boolean = true,
     commitVersion: Long = -1L,
-    commitTsMicros: Long = -1L)
+    commitTsMicros: Long = -1L,
+    changeType: String = "insert")
     extends InputPartition
 
 /** Several bin-packed small files served by ONE task (see
@@ -1891,8 +1988,10 @@ class WarehouseReaderFactory(required: StructType,
       } else if (f.name == WarehouseConnector.ChangeTypeColumn &&
           !footerSchema.containsField(f.name)) {
         // readChangeFeed: every row decoded from a data file is an
-        // append — 'insert', a per-file constant like `_pos`
-        val v: Any = UTF8String.fromString("insert")
+        // append — a per-file constant like `_pos`: 'insert' for plain
+        // epochs, 'update_postimage' for SQL UPDATE epochs
+        // ([[WarehouseConnector.feedChangeType]], Delta CDF's typing)
+        val v: Any = UTF8String.fromString(p.changeType)
         (_: Group) => v
       } else if (f.name == WarehouseConnector.CommitVersionColumn &&
           !footerSchema.containsField(f.name)) {
@@ -2224,7 +2323,9 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
           posFor(file.epoch),
           applyDrops = !cdf && s == 0L && snapshotAtZero,
           commitVersion = v,
-          commitTsMicros = tsOf.getOrElse(v, -1L)) -> file.len }
+          commitTsMicros = tsOf.getOrElse(v, -1L),
+          changeType =
+            WarehouseConnector.feedChangeType(file.epoch)) -> file.len }
     val deletes: Array[InputPartition] = delAdds.map { case (name, v) =>
       val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
         .getOrElse("")

@@ -511,4 +511,36 @@ class PurgeSpec extends SparkSuite {
     assert(AtomicWarehouse.read(spark, dir, "k").select("k")
       .as[String].collect().toSeq == Seq("z"))
   }
+
+  test("CoW purge commits its purge log atomically; the log folds away") {
+    val dir = freshDir("cow_log")
+    commit(dir, 1, 30, 1L)
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(7L, 9L),
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    // ONE no-op tombstone rides the same manifest CAS as the rewrite
+    assert(names.count(AtomicWarehouse.isNoopTombstone) == 1, s"$names")
+    // its key list is the purge's key set, verbatim (the feed's
+    // retraction source); snapshot reads skip it (suppresses nothing)
+    val logName = names.find(AtomicWarehouse.isNoopTombstone).get
+    val (typ, ls, ss) =
+      AtomicWarehouse.readTombstoneKeys(spark, dir, logName)
+    assert(typ == "long" && ls.toSet == Set(7L, 9L) && ss.isEmpty)
+    assert(AtomicWarehouse.read(spark, dir, "k").count() == 28)
+    // describe labels the log distinctly from a real tombstone
+    val kinds = AtomicWarehouse.describe(spark, dir)
+      .select("entry_name", "kind").as[(String, String)].collect().toMap
+    assert(kinds(logName) == "purge-log")
+    // replaying the identical purge does not duplicate the log (the
+    // second purge no-ops at the bloom: nothing left to rewrite)
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(7L, 9L),
+      statsKey = Some("k"), bloomKey = Some("k"))
+    assert(AtomicWarehouse.committedEpochs(spark, dir)
+      .count(AtomicWarehouse.isNoopTombstone) == 1)
+    // compaction folds the log away with the rest of pre-fold history
+    AtomicWarehouse.compact(spark, dir, "k")
+    assert(!AtomicWarehouse.committedEpochs(spark, dir)
+      .exists(AtomicWarehouse.isTombstone))
+    assert(AtomicWarehouse.read(spark, dir, "k").count() == 28)
+  }
 }

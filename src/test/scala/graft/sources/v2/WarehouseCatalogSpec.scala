@@ -167,6 +167,23 @@ class WarehouseCatalogSpec extends SparkSuite {
     val names2 = AtomicWarehouse.committedEpochs(spark, s"$r/t")
     assert(names2.exists(AtomicWarehouse.isPurgeRewrite),
       s"key-identity DELETE must keep the CoW rewrite path: $names2")
+    // ... IN-lists included: coercion wraps the attribute in a NO-OP
+    // cast (`cast(k as bigint) IN (...)`), which must not demote the
+    // shape to the predicate path (round-12 regression: every long-key
+    // IN delete silently went deferred)
+    spark.sql("DELETE FROM whdel3.t WHERE k IN (3, 4)")
+    val names3 = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    // the CoW path logs its keys as ONE MORE no-op tombstone; the
+    // deferred path would have added a REAL tombstone instead
+    assert(names3.count(AtomicWarehouse.isNoopTombstone) ==
+      names2.count(AtomicWarehouse.isNoopTombstone) + 1 &&
+      names3.count(n => AtomicWarehouse.isTombstone(n) &&
+        !AtomicWarehouse.isNoopTombstone(n)) ==
+        names2.count(n => AtomicWarehouse.isTombstone(n) &&
+          !AtomicWarehouse.isNoopTombstone(n)),
+      s"key IN (...) DELETE must keep the CoW rewrite path: $names3")
+    assert(spark.sql("SELECT DISTINCT k FROM whdel3.t").as[Long]
+      .collect().toSet == Set(1L, 2L, 6L, 8L, 10L))
     // over-cap predicate deletes refuse loudly
     spark.conf.set("graft.delete.maxKeys", "2")
     try {
@@ -203,6 +220,13 @@ class WarehouseCatalogSpec extends SparkSuite {
       + " row_number() OVER (PARTITION BY k ORDER BY load_seq DESC) rn"
       + " FROM whupd1.t WHERE k = 3) WHERE rn = 1").head.getString(0)
     assert(k3 == "X-n3!")
+    // an UPDATE matching ZERO rows is a no-op: no empty update_v* epoch,
+    // no manifest bump (mirrors DELETE's keys.nonEmpty guard — repeated
+    // no-match conditional updates must not inflate compaction cadence)
+    val vBefore = AtomicWarehouse.currentVersion(spark, s"$r/t")
+    spark.sql("UPDATE whupd1.t SET name = 'ghost' WHERE k = 424242")
+    assert(AtomicWarehouse.currentVersion(spark, s"$r/t") == vBefore,
+      "a no-match UPDATE must not commit an empty epoch")
     // key-bound predicates ride the PRUNED point-read path; results
     // must be identical to the scan path across multi-epoch keys,
     // IN-lists, and mixed conjunctions (the key bound is a superset;

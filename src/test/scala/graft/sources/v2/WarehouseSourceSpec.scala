@@ -367,8 +367,9 @@ class WarehouseSourceSpec extends SparkSuite {
       "readChangeFeed" -> "true").select("k", "_change_type")
     assert(scanOf(pruned).readSchema().fieldNames.toSeq ==
       Seq("k", "_change_type"))
-    // SQL UPDATE epochs (update_v* entries) ride the feed as inserts
-    // with their committing version, like insert_*/merge_* entries
+    // SQL UPDATE epochs (update_v* entries) ride the feed typed
+    // 'update_postimage' (Delta CDF's convention) with their committing
+    // version — audit consumers can tell an update from a fresh insert
     AtomicWarehouse.declareWriteDefaults(spark, dir, Map("mergeKey" -> "k"))
     spark.conf.set("spark.sql.catalog.whcdfu",
       "graft.sources.v2.WarehouseCatalog")
@@ -382,8 +383,103 @@ class WarehouseSourceSpec extends SparkSuite {
     val updRows = updFeed.select("k", "name", "_change_type").collect()
     assert(updRows.length == 1 && updRows.head.getLong(0) == 16L &&
       updRows.head.getString(1) == "upd" &&
-      updRows.head.getString(2) == "insert",
+      updRows.head.getString(2) == "update_postimage",
       s"update epochs must ride the feed: ${updRows.toSeq}")
+    // plain inserts are UNAFFECTED by the update typing (spec pin) —
+    // bounded BEFORE the update epoch (an unbounded feed resolves its
+    // end at execution time and would include it)
+    val preUpd = connRead(dir, "startingVersion" -> "1",
+      "endingVersion" -> (v5 - 1).toString, "readChangeFeed" -> "true")
+    assert(preUpd.where(col("_change_type") === "insert").count() ==
+      preUpd.where(col("_change_type") =!= "delete").count(),
+      "a history without SQL UPDATEs must type every data row 'insert'")
+  }
+
+  test("feed schema resolves at the endingTimestamp-bounded version") {
+    // inferSchema used to resolve endingVersion but IGNORE
+    // endingTimestamp, so a timestamp-bounded feed took its schema from
+    // the CURRENT version — leaking columns evolved after the bound
+    val dir = freshDir("cdfts")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 5, 1L), 1L) // v1
+    Thread.sleep(1100) // manifest mtimes separate at fs granularity
+    AtomicWarehouse.commitEpoch(spark, dir,
+      typedRows(6, 8, 2L).withColumn("evolved", lit("late")), 2L) // v2
+    val times = AtomicWarehouse.manifestTimes(spark, dir)
+    def iso(v: Long) = java.time.Instant.ofEpochMilli(times(v) / 1000L)
+      .toString
+    val bounded = connRead(dir, "readChangeFeed" -> "true",
+      "startingTimestamp" -> iso(1L), "endingTimestamp" -> iso(1L))
+    assert(!bounded.schema.fieldNames.contains("evolved"),
+      s"schema must resolve at the BOUNDED end: ${bounded.schema}")
+    assert(bounded.count() == 5)
+    val full = connRead(dir, "readChangeFeed" -> "true",
+      "startingTimestamp" -> iso(1L), "endingTimestamp" -> iso(2L))
+    assert(full.schema.fieldNames.contains("evolved") && full.count() == 8)
+    // version/timestampAsOf exclusivity refuses at BOTH entry points
+    intercept[Exception] {
+      connRead(dir, "version" -> "1",
+        "timestampAsOf" -> iso(1L)).count()
+    }
+  }
+
+  test("readChangeFeed serves copy-on-write purges via the purge log") {
+    // a CoW purge ([[AtomicWarehouse.purgeKeys]]) commits a NO-OP
+    // tombstone — its purge LOG — in the same manifest CAS as the
+    // rewrites; the feed serves the log's keys as delete rows exactly
+    // like a deferred purge's, while snapshot reads skip it entirely
+    val dir = freshDir("cdfcow")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 15, 2L), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    AtomicWarehouse.purgeKeys(spark, dir, "k", Seq(3L, 12L),
+      statsKey = Some("k"), bloomKey = Some("k")) // v3: rewrites + log
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(3, 3, 4L), 4L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v4: re-add key 3
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.count(AtomicWarehouse.isNoopTombstone) == 1, s"$names")
+    val feed = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true")
+    // history: 15 original inserts + 2 delete rows + 1 re-insert
+    assert(feed.count() == 18)
+    val dels = feed.where(col("_change_type") === "delete")
+      .select("k", "name", "_commit_version").collect()
+    assert(dels.map(_.getLong(0)).toSet == Set(3L, 12L))
+    assert(dels.forall(r => r.isNullAt(1) && r.getLong(2) == 3L))
+    // the log's _pos sits BETWEEN the rewritten epochs and the re-add,
+    // so a consumer mirror keeps the re-added key — and drops 12
+    val applied = graft.ops.Merge.applyChangeFeed(
+      feed.select(col("*"), col("_pos")), "k")
+    assert(applied.count() == 14 &&
+      applied.where(col("k") === 3L).count() == 1 &&
+      applied.where(col("k") === 12L).count() == 0)
+    // snapshot reads SKIP the log: zero drop lists, COUNT(*) stays a
+    // metadata answer (no real tombstone is outstanding)
+    val counted = connRead(dir).agg(count(lit(1)).as("n"))
+    assert(counted.head.getLong(0) == 14L)
+    assert(counted.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "a purge log must not degrade the metadata COUNT")
+    // ignoreDeletes skips the rewrites AND the log — appends only
+    val noDel = connRead(dir, "startingVersion" -> "1",
+      "readChangeFeed" -> "true", "ignoreDeletes" -> "true")
+    assert(noDel.where(col("_change_type") === "delete").count() == 0 &&
+      noDel.count() == 16)
+    // the STREAM feed serves the same history (shared classification)
+    val out = java.nio.file.Files.createTempDirectory("cdfcow_out")
+      .toString
+    val q = spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val byType = spark.read.parquet(s"$out/data")
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 16L, "delete" -> 2L), s"$byType")
   }
 
   test("folded-out feed positions stay commit-interleaved (purge < re-insert)") {
