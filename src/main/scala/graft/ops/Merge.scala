@@ -75,4 +75,58 @@ object Merge {
       .drop("__rn", "_change_type", "_commit_version", "_commit_timestamp",
         "_pos")
   }
+
+  /** `foreachBatch` CONSUMER for a STREAMING change feed: apply one
+    * micro-batch of CDC rows into a MIRROR warehouse so that the
+    * mirror's merged read reproduces the source's snapshot —
+    * warehouse→warehouse replication (Delta's "merge CDC into a
+    * replica" pattern) as one call, the loop the reference re-reads
+    * its whole warehouse for (ref: Python-pipeline/
+    * ingestdatainbigquery.py:84-96) at O(delta) per trigger.
+    *
+    * Per batch: (1) the delete rows' keys purge the mirror as ONE
+    * deferred tombstone — suppressing every mirror version from
+    * EARLIER batches, which is exactly the source's contract (a delete
+    * retracts only rows committed before it); (2) the batch's
+    * surviving winners ([[applyChangeFeed]] — intra-batch delete →
+    * re-add ordering resolved by `_pos`) commit as ONE epoch AFTER the
+    * tombstone, so same-batch re-adds survive it. Rows keep their
+    * SOURCE `load_seq`, so the mirror's (load_seq DESC, _pos DESC)
+    * read ranks versions exactly as the source read does.
+    *
+    * EXACTLY-ONCE under foreachBatch retries: the epoch commits under
+    * `cdc_b<batchId>` (name-converged replay), and a batch whose epoch
+    * already exists returns BEFORE re-purging — re-purging after the
+    * commit would order a fresh tombstone ABOVE the batch's re-adds
+    * and wrongly retract them. A retry that crashed between purge and
+    * commit re-purges (one redundant tombstone of the same keys — a
+    * no-op on the merged read) and then commits.
+    *
+    * Scale: delete keys are O(purged keys) by the purge contract
+    * (driver-collected exactly like every tombstone key list); the
+    * winners write is O(batch); NOTHING rescans the mirror. */
+  def replicateChangeFeedBatch(batch: DataFrame, batchId: Long,
+      mirrorDir: String, key: String): Unit = {
+    import graft.sinks.AtomicWarehouse
+    val spark = batch.sparkSession
+    val epochName = s"cdc_b$batchId"
+    if (AtomicWarehouse.currentVersion(spark, mirrorDir) > 0 &&
+        AtomicWarehouse.committedEpochs(spark, mirrorDir)
+          .contains(epochName)) return // replayed batch: fully applied
+    val delKeys = batch.where(col("_change_type") === "delete")
+      .select(col(key).cast("string")).where(col(key).isNotNull)
+      .distinct().collect().map(_.getString(0)).toSeq
+    val keyTyp = batch.schema(key).dataType match {
+      case org.apache.spark.sql.types.StringType => "string"
+      case _ => "long"
+    }
+    if (delKeys.nonEmpty &&
+        AtomicWarehouse.currentVersion(spark, mirrorDir) > 0)
+      AtomicWarehouse.purgeKeysDeferredTyped(spark, mirrorDir, key,
+        keyTyp, delKeys)
+    val winners = applyChangeFeed(batch, key)
+    if (!winners.isEmpty)
+      AtomicWarehouse.commitNamedEpoch(spark, mirrorDir, winners,
+        epochName, batchId, statsKey = Some(key), bloomKey = Some(key))
+  }
 }

@@ -150,5 +150,112 @@ object Extended76 {
       col("_change_type"), col("_commit_version"))
   }
 
-  val all: Seq[Q] = Seq(c76CowDeleteChangeFeed, c77UpdatePostimageFeed)
+  /** C78 — STREAMING CDC REPLICATION: a second warehouse kept
+    * row-identical to the source by tailing the source's row-level
+    * change feed with `readStream` + `foreachBatch(
+    * Merge.replicateChangeFeedBatch)` — per trigger, ONE deferred
+    * tombstone of the batch's delete keys + ONE epoch of the batch's
+    * surviving winners, nothing ever rescans either store. This is the
+    * reference's warehouse-refresh loop (re-read everything, rewrite
+    * the table) as an O(delta) incremental pipeline, and the full
+    * Delta-style "merge CDC into a replica" story: the history
+    * includes a COPY-ON-WRITE SQL DELETE (served through the purge
+    * log) with a cross-batch re-add of a purged key, and a RESTART
+    * from the same checkpoint draining a version committed after the
+    * first drain (exactly-once resume; `maxVersionsPerBatch` forces
+    * multiple micro-batches so the cross-batch ordering is real).
+    *
+    * The in-query require pins mirror ≡ source by symmetric except;
+    * the hashed result is the MIRROR's merged read against a DuckDB
+    * replay of the source history. */
+  val c78CdcStreamingMirror = q("c78_cdc_streaming_mirror",
+    """WITH src AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS name
+      |  FROM customer),
+      |log AS (
+      |  SELECT k, name, CAST(1 AS BIGINT) AS load_seq, 0 AS pos FROM src
+      |  UNION ALL
+      |  SELECT k, 'R2-' || name, CAST(2 AS BIGINT), 1
+      |  FROM src WHERE k % 6 = 0
+      |  UNION ALL
+      |  SELECT CAST(6 AS BIGINT), 'REBORN', CAST(4 AS BIGINT), 3
+      |  UNION ALL
+      |  SELECT k + 2000000, name, CAST(4 AS BIGINT), 3
+      |  FROM src WHERE k % 40 = 0
+      |  UNION ALL
+      |  SELECT k, 'R5-' || name, CAST(5 AS BIGINT), 4
+      |  FROM src WHERE k % 35 = 0),
+      |alive AS (
+      |  SELECT * FROM log
+      |  WHERE NOT (k IN (6, 12, 999999999) AND pos < 2))
+      |SELECT k, name, load_seq FROM (
+      |  SELECT k, name, load_seq,
+      |         row_number() OVER (PARTITION BY k
+      |           ORDER BY load_seq DESC, pos DESC) AS rn
+      |  FROM alive) WHERE rn = 1""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c78")
+    s.conf.set("spark.sql.catalog.whc78", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc78.root", root)
+    s.conf.set("spark.sql.catalog.whc78.mergeKey", "k")
+    val srcDir = s"$root/src"
+    val mirror = s"$root/mirror"
+    val ck = s"$root/ck"
+    val src = Tables.customer(s, d).select(
+      col("c_custkey").cast("long").as("k"), col("c_name").as("name"))
+    AtomicWarehouse.commitEpoch(s, srcDir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(s, srcDir,
+      src.where(col("k") % 6 === 0)
+        .withColumn("name", concat(lit("R2-"), col("name")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    // v3: CoW SQL DELETE (999999999 matches nothing — the purge log
+    // still serves it as a delete row, and the mirror purge carries it)
+    s.sql("DELETE FROM whc78.src WHERE k IN (6, 12, 999999999)")
+    AtomicWarehouse.commitEpoch(s, srcDir,
+      src.where(col("k") % 40 === 0)
+        .withColumn("k", col("k") + 2000000L)
+        .withColumn("load_seq", lit(4L))
+        .unionByName(s.range(1).select(lit(6L).as("k"),
+          lit("REBORN").as("name"), lit(4L).as("load_seq"))),
+      4L, statsKey = Some("k"), bloomKey = Some("k")) // v4: re-add key 6
+    val feed = s.readStream.format("graft-warehouse").option("path", srcDir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .option("maxVersionsPerBatch", "2") // delete lands mid-stream
+      .load().select(col("*"), col("_pos"))
+    def drain(): Unit = withShufflePartitions(s, 4) {
+      val q = feed.writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            graft.ops.Merge.replicateChangeFeedBatch(b, id, mirror, "k")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    }
+    drain() // drains v1..v4 in two batches of two versions
+    // v5 lands AFTER the first drain; the restarted stream resumes from
+    // the checkpoint and applies exactly the new version
+    AtomicWarehouse.commitEpoch(s, srcDir,
+      src.where(col("k") % 35 === 0)
+        .withColumn("name", concat(lit("R5-"), col("name")))
+        .withColumn("load_seq", lit(5L)), 5L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v5
+    drain()
+    val aRead = AtomicWarehouse.read(s, srcDir, "k")
+      .select("k", "name", "load_seq")
+    val bRead = AtomicWarehouse.read(s, mirror, "k")
+      .select("k", "name", "load_seq")
+    require(bRead.exceptAll(aRead).isEmpty &&
+      aRead.exceptAll(bRead).isEmpty,
+      "CDC mirror must be row-identical to the source snapshot")
+    bRead
+  }
+
+  val all: Seq[Q] = Seq(c76CowDeleteChangeFeed, c77UpdatePostimageFeed,
+    c78CdcStreamingMirror)
 }
