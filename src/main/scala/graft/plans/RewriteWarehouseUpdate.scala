@@ -184,13 +184,6 @@ final case class WarehouseUpdateCommand(
       }
     } :+ lit(newSeq).as("load_seq")
     val newRows = snap.where(cond).select(outCols: _*)
-    // an UPDATE whose predicate matches ZERO rows commits NOTHING —
-    // mirroring DELETE's keys.nonEmpty no-op path. An unconditional
-    // commit would write an empty update_v* entry, bump the manifest,
-    // and inflate the compaction cadence for repeated no-match
-    // conditional updates. (isEmpty = a LIMIT 1 probe over the already
-    // pruned point reads — it early-exits on the first matched row.)
-    if (newRows.isEmpty) return Nil
     val baseV = AtomicWarehouse.currentVersion(spark, dir)
     // plain toString, NOT canonicalized: the remapped expressions hold
     // UnresolvedAttributes, and canonicalization asks them their
@@ -200,10 +193,15 @@ final case class WarehouseUpdateCommand(
           branch.assigns.toSeq.sortBy(_._1).toString)
         .getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)
+    // skipIfEmpty: an UPDATE whose predicate matches ZERO rows commits
+    // NOTHING (mirrors DELETE's keys.nonEmpty guard) — decided from the
+    // row count the commit's stats pass already computes, so the no-op
+    // check costs no extra scan and repeated no-match conditional
+    // updates can never inflate the manifest or the compaction cadence
     AtomicWarehouse.commitNamedEpoch(spark, dir, newRows,
       s"update_v${baseV}_$digest", newSeq,
       statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
-      bloomKey = Some(mergeKey))
+      bloomKey = Some(mergeKey), skipIfEmpty = true)
     Nil
   }
 }

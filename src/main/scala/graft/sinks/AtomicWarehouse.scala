@@ -761,11 +761,13 @@ object AtomicWarehouse {
   def commitNamedEpoch(spark: SparkSession, dir: String, df: DataFrame,
       name: String, loadSeq: Long, statsKey: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      bloomKey: Option[String] = None): Unit = {
+      bloomKey: Option[String] = None,
+      skipIfEmpty: Boolean = false): Unit = {
     require(!name.matches("epoch_\\d+"),
       s"entry name '$name' collides with the drain counter namespace")
     commitEpochImpl(spark, dir, df, loadSeq, statsKey, statsCols, () => (),
-      Nil, bloomKey, Nil, entryName = Some(name))
+      Nil, bloomKey, Nil, entryName = Some(name),
+      skipIfEmpty = skipIfEmpty)
   }
 
   /** Z-ORDER layout pass over 2–4 columns: bucket each column to
@@ -836,7 +838,8 @@ object AtomicWarehouse {
       partitionBy: Seq[String] = Nil,
       bloomKey: Option[String] = None,
       zorderBy: Seq[String] = Nil,
-      entryName: Option[String] = None): Unit = {
+      entryName: Option[String] = None,
+      skipIfEmpty: Boolean = false): Unit = {
     val epoch = entryName.getOrElse(s"epoch_$seq")
     if (committedEpochs(spark, dir).contains(epoch)) return
     val f = fs(spark, dir)
@@ -852,6 +855,16 @@ object AtomicWarehouse {
         if (f.exists(epochPath))
           statsAndBloomOf(spark, s"$dir/$epoch", wanted, bloomKey)._1
         else Map.empty[String, ColStats] // vanished: the compute will notice
+      // skipIfEmpty: a ZERO-ROW epoch commits NOTHING (the caller's
+      // write was a no-op — e.g. an UPDATE whose predicate matched no
+      // rows). Decided from the row count the stats pass already
+      // computed, so the no-op check costs no extra scan; the empty
+      // dir is dropped rather than left for vacuum.
+      if (skipIfEmpty && f.exists(epochPath) &&
+          stats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
+        f.delete(epochPath, true)
+        return
+      }
       var vanished = false
       commitManifest(spark, dir, s"epoch $epoch") { entries =>
         if (entries.exists(_.name == epoch)) None // a concurrent replay won
