@@ -43,6 +43,7 @@ object ScaleProbe {
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "anndensify") { annDensifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "dml") { dmlProbe(spark, base, k); spark.stop(); return }
+    if (mode == "cdc") { cdcProbe(spark, base, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "manifest") { manifestProbe(spark, base, k); spark.stop(); return }
@@ -694,6 +695,106 @@ object ScaleProbe {
       val capStr = if (cap == Int.MaxValue) "none" else cap.toString
       println(f"| $label | $capStr | $n%d | $t%.2f |")
     }
+  }
+
+  /** CDC REPLICATION at scale: maintain a MIRROR warehouse from the
+    * source's row-level change feed ([[graft.ops.Merge
+    * .replicateChangeFeedBatch]] — the c78 loop, batch-driven) while
+    * the source grows through K delta rounds, and compare the
+    * per-delta apply cost against the reference's refresh loop (full
+    * re-read + full rewrite — ref: Python-pipeline/
+    * ingestdatainbigquery.py:84-96). The claim: apply cost is
+    * O(delta) — ~flat as the table grows — because the feed plans
+    * O(versions in range), deletes ride as key-list metadata, and the
+    * mirror write is one epoch of batch winners. Every 5th round adds
+    * a deferred purge (100 keys) and every 7th a COPY-ON-WRITE purge
+    * (20 keys, served through the purge log), so the retraction path
+    * is exercised continuously, not once. Ends with a full symmetric-
+    * except equality tripwire and the full-refresh loop timed on the
+    * same final state. */
+  private def cdcProbe(spark: SparkSession, base: String, k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val src = s"$base/cdc_src"
+    val mir = s"$base/cdc_mirror"
+    val initRows = 2000000L
+    val deltaRows = 5000L
+    AtomicWarehouse.commitEpoch(spark, src,
+      spark.range(initRows).select(col("id").as("key"),
+        concat(lit("v"), col("id")).as("name"), lit(1L).as("load_seq")),
+      1L, statsKey = Some("key"), bloomKey = Some("key"))
+    var served = 0L
+    def applyDelta(): Double = {
+      val cur = AtomicWarehouse.currentVersion(spark, src)
+      if (cur <= served) return 0.0
+      val (_, t) = timeIt {
+        val feed = spark.read.format("graft-warehouse").option("path", src)
+          .option("startingVersion", (served + 1).toString)
+          .option("endingVersion", cur.toString)
+          .option("readChangeFeed", "true").load()
+          .select(col("*"), col("_pos"))
+        graft.ops.Merge.replicateChangeFeedBatch(feed, cur, mir, "key")
+      }
+      served = cur
+      t
+    }
+    val t0 = applyDelta() // round 0: the initial snapshot
+    println("| round | source rows (meta) | delta apply s | note |")
+    println("|---|---|---|---|")
+    println(f"| 0 | $initRows | $t0%.2f | initial snapshot |")
+    var nextKey = initRows
+    for (r <- 1 to k) {
+      val seq = (r + 1).toLong
+      // distinct update keys: a fixed stride over the live key space
+      val stride = math.max(1L, nextKey / (deltaRows / 2))
+      val upd = spark.range(deltaRows / 2).select(
+        (col("id") * stride).as("key"),
+        concat(lit(s"u${r}_"), col("id")).as("name"),
+        lit(seq).as("load_seq"))
+      val ins = spark.range(deltaRows / 2).select(
+        (col("id") + nextKey).as("key"),
+        concat(lit(s"n${r}_"), col("id")).as("name"),
+        lit(seq).as("load_seq"))
+      AtomicWarehouse.commitEpoch(spark, src, upd.unionByName(ins), seq,
+        statsKey = Some("key"), bloomKey = Some("key"))
+      nextKey += deltaRows / 2
+      var note = "delta (2.5k upd + 2.5k ins)"
+      if (r % 5 == 0) {
+        AtomicWarehouse.purgeKeysDeferred(spark, src, "key",
+          (1 to 100).map(i => (r * 1009L + i * 131L) % initRows).distinct)
+        note += " + deferred purge(100)"
+      }
+      if (r % 7 == 0) {
+        AtomicWarehouse.purgeKeys(spark, src, "key",
+          (1 to 20).map(i => (r * 2003L + i * 173L) % initRows).distinct,
+          statsKey = Some("key"), bloomKey = Some("key"))
+        note += " + CoW purge(20)"
+      }
+      val t = applyDelta()
+      val srcRows = spark.read.format("graft-warehouse").option("path", src)
+        .load().count() // metadata answer (manifest counts − supp)
+      println(f"| $r | $srcRows | $t%.2f | $note |")
+    }
+    // mirror ≡ source, row-identical
+    val a = AtomicWarehouse.read(spark, src, "key")
+      .select("key", "name", "load_seq")
+    val b = AtomicWarehouse.read(spark, mir, "key")
+      .select("key", "name", "load_seq")
+    val (diff, tCmp) = timeIt(
+      b.exceptAll(a).count() + a.exceptAll(b).count())
+    require(diff == 0L, s"mirror diverged from source by $diff rows")
+    println(f"| mirror == source | symmetric except = 0 | $tCmp%.1f | tripwire |")
+    // the reference's loop on the same end state: read EVERYTHING,
+    // rewrite the whole mirror
+    val (_, tFull) = timeIt {
+      AtomicWarehouse.commitEpoch(spark, s"$base/cdc_full",
+        AtomicWarehouse.read(spark, src, "key"), 1L,
+        statsKey = Some("key"))
+    }
+    println(f"| FULL refresh (reference loop) | n/a | $tFull%.2f | " +
+      "read-everything + rewrite |")
   }
 
   /** SQL DML at manifest depth: a K-epoch warehouse (1000 rows each,
