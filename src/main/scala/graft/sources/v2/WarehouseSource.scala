@@ -964,7 +964,15 @@ class WarehouseTable(val dir: String, version: Option[Long],
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val verStart = Option(options.get("startingVersion")).map(_.toLong)
+    // `startingVersion = "latest"` (Delta's streaming sugar): serve only
+    // changes committed AFTER now — current version + 1. On a stream
+    // that's "tail from here, no snapshot"; on a batch feed it's a
+    // legitimate empty poll until something commits.
+    val verStart = Option(options.get("startingVersion")).map {
+      case s if s.equalsIgnoreCase("latest") =>
+        AtomicWarehouse.currentVersion(SparkSession.active, dir) + 1
+      case s => s.toLong
+    }
     val verEnd = Option(options.get("endingVersion")).map(_.toLong)
     // TIMESTAMP bounds (Delta's startingTimestamp/endingTimestamp):
     // resolved here to the version whose manifest mtime brackets the

@@ -700,6 +700,39 @@ class WarehouseSourceSpec extends SparkSuite {
       s"explicit-start stream must walk stepped and refuse purges: $err")
   }
 
+  test("startingVersion = latest serves only future changes") {
+    // Delta's streaming sugar: tail from NOW (current version + 1) —
+    // no snapshot, no history. Batch: a legitimate empty poll,
+    // re-resolved at every plan.
+    val dir = freshDir("svlatest")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    assert(connRead(dir, "startingVersion" -> "latest").count() == 0)
+    val out = java.nio.file.Files.createTempDirectory("svlatest_out")
+      .toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-warehouse").option("path", dir)
+        .option("startingVersion", "latest")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    drain() // nothing committed after the start: drains zero rows
+    assert(!new java.io.File(s"$out/data").exists() ||
+      spark.read.parquet(s"$out/data").count() == 0)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 13, 2L), 2L) // v2
+    // the RESTART resumes from the checkpoint (offset = the original
+    // "now"), so exactly the post-start commit is served — "latest"
+    // re-resolution applies only to fresh starts, like Delta
+    drain()
+    assert(spark.read.parquet(s"$out/data").count() == 3)
+    // batch "latest" re-resolves: still an empty poll after v2
+    assert(connRead(dir, "startingVersion" -> "latest").count() == 0)
+  }
+
   test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
     // named entries (insert_*/merge_* — the SQL writers' collision-free
     // namespace) are NEW data and must ride the tail; round 10's
