@@ -256,6 +256,108 @@ object Extended76 {
     bRead
   }
 
+  /** C79 — SQL `RESTORE` (rollback): `CALL whc.system.restore('t', v)`
+    * makes the live table equal the manifest at v, committed FORWARD
+    * as a new version ([[graft.sinks.AtomicWarehouse.restore]] —
+    * Delta's RESTORE TABLE semantics: history preserved, time travel
+    * still reaches the undone versions until vacuum, and every
+    * metadata answer is immediately valid because the restored entry
+    * list is the target manifest's verbatim). A bad batch is undone,
+    * the pipeline continues on the restored state, and the in-query
+    * requires pin: the undone rows still visible via time travel; a
+    * change feed crossing the rollback REFUSING loudly (an append-only
+    * feed cannot retract already-served epochs — the same discipline
+    * as purge boundaries); `ignoreDeletes` tailing additions only.
+    *
+    * Scale: restore is ONE manifest CAS — zero data I/O at any table
+    * size (the check that restored dirs survived vacuum is O(entries)
+    * existence probes). */
+  val c79SqlRestore = q("c79_sql_restore",
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |         CAST(o_orderstatus AS VARCHAR) AS status FROM orders),
+      |log AS (
+      |  SELECT k, status, CAST(1 AS BIGINT) AS load_seq, 0 AS pos
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'R2-' || status, CAST(2 AS BIGINT), 1
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 'R5-' || status, CAST(4 AS BIGINT), 2
+      |  FROM src WHERE k % 7 = 0)
+      |SELECT k, status, load_seq FROM (
+      |  SELECT k, status, load_seq,
+      |         row_number() OVER (PARTITION BY k
+      |           ORDER BY load_seq DESC, pos DESC) AS rn
+      |  FROM log) WHERE rn = 1""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c79")
+    s.conf.set("spark.sql.catalog.whc79", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc79.root", root)
+    s.conf.set("spark.sql.catalog.whc79.mergeKey", "k")
+    val dir = s"$root/t"
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_orderstatus").cast("string").as("status"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 3 === 0)
+        .withColumn("status", concat(lit("R2-"), col("status")))
+        .withColumn("load_seq", lit(2L)), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v2
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 4 === 0)
+        .withColumn("status", lit("BAD"))
+        .withColumn("load_seq", lit(3L)), 3L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v3: the bad batch
+    val res = s.sql("CALL whc79.system.restore('t', 2)").collect()
+    require(res.length == 1 && res(0).getInt(0) == 2 &&
+      res(0).getLong(1) == 4L,
+      s"restore should re-commit v2's 2 entries as v4: ${res.toSeq}")
+    // the bad batch is undone from the LIVE table but still reachable
+    // by time travel (history preserved until vacuum)
+    require(AtomicWarehouse.read(s, dir, "k")
+      .where(col("status") === "BAD").isEmpty, "restore must undo v3")
+    require(AtomicWarehouse.readVersion(s, dir, "k", 3L)
+      .where(col("status") === "BAD").count() > 0,
+      "time travel must still reach the undone version")
+    // the pipeline continues on the restored state
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 7 === 0)
+        .withColumn("status", concat(lit("R5-"), col("status")))
+        .withColumn("load_seq", lit(4L)), 4L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v5
+    // an append-only feed crossing the rollback refuses loudly …
+    val refused =
+      try {
+        s.read.format("graft-warehouse").option("path", dir)
+          .option("startingVersion", "3").load().count(); false
+      } catch { case e: Throwable =>
+        (e.getMessage != null && e.getMessage.contains("ROLLBACK")) ||
+          Option(e.getCause).exists(c => c.getMessage != null &&
+            c.getMessage.contains("ROLLBACK"))
+      }
+    require(refused, "a feed crossing a restore must refuse loudly")
+    // … and ignoreDeletes keeps tailing ADDITIONS across the rollback:
+    // the bad epoch (added at v3) and the post-restore epoch both
+    // serve; the restore's removals are skipped (the consumer keeps
+    // rows the rollback dropped — the purge trade)
+    require(s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "3").option("ignoreDeletes", "true")
+      .load().count() ==
+      src.where(col("k") % 4 === 0).count() +
+        src.where(col("k") % 7 === 0).count(),
+      "ignoreDeletes must tail additions across the rollback")
+    s.sql(
+      """SELECT k, status, load_seq FROM (
+        |  SELECT k, status, load_seq,
+        |         row_number() OVER (PARTITION BY k
+        |           ORDER BY load_seq DESC, _pos DESC) AS rn
+        |  FROM whc79.t) WHERE rn = 1""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(c76CowDeleteChangeFeed, c77UpdatePostimageFeed,
-    c78CdcStreamingMirror)
+    c78CdcStreamingMirror, c79SqlRestore)
 }

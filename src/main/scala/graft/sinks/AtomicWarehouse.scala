@@ -2176,6 +2176,50 @@ object AtomicWarehouse {
     * it — so even a drain that stalls LONGER than the grace window cannot
     * commit a manifest pointing at a deleted dir. Pass graceMs=0 only
     * where no drain can be in flight (tests, single-process batteries). */
+  /** RESTORE (rollback): make the LIVE table's content equal the
+    * manifest at `target`, committed FORWARD as a new version — history
+    * is preserved and time travel still reaches the undone versions
+    * until vacuum (Delta's RESTORE TABLE semantics: a rollback is a new
+    * commit, never manifest surgery). The restored entry list is the
+    * target manifest's VERBATIM — stats, blooms and tombstone
+    * suppression totals were computed against exactly that entry set,
+    * so every metadata answer (COUNT, MIN/MAX, load_seq floor) is
+    * immediately valid at the restored state.
+    *
+    * Refused loudly: a target outside retained history, and a target
+    * whose entry dirs vacuum already destroyed (the rows are
+    * unrecoverable — restoring a dangling manifest would serve a read
+    * that fails at listing).
+    *
+    * FEED CONTRACT: a restore REMOVES entries without a fold/purge
+    * explanation, which an append-only change feed cannot express —
+    * stepped and CDF ranges crossing a restore refuse loudly
+    * ([[graft.sources.v2.WarehouseConnector.unexplainedRemovals]]);
+    * `ignoreDeletes` opts into serving additions only (consumers keep
+    * rows the rollback dropped — the same trade as purges). Re-ADDED
+    * entries (a later re-restore forward) serve like any addition.
+    *
+    * Returns the restored manifest's entry count. Replaying an
+    * identical restore converges (the manifest already matches →
+    * no-op, no version bump). */
+  def restore(spark: SparkSession, dir: String, target: Long): Int = {
+    val cur = currentVersion(spark, dir)
+    require(target >= 1L && target <= cur,
+      s"restore target v$target is outside $dir's history [1, $cur]")
+    val want = committedEntriesAt(spark, dir, target)
+    val f = fs(spark, dir)
+    val missing = want.map(_.name)
+      .filterNot(n => f.exists(new Path(s"$dir/$n")))
+    require(missing.isEmpty,
+      s"cannot restore $dir to v$target: vacuum destroyed " +
+        s"${missing.mkString(", ")} — the rows are unrecoverable")
+    commitManifest(spark, dir, s"restore to v$target") { entries =>
+      if (entries.map(_.name) == want.map(_.name)) None // already there
+      else Some(want)
+    }
+    want.size
+  }
+
   def vacuum(spark: SparkSession, dir: String, retainVersions: Int,
       graceMs: Long = 60L * 60 * 1000,
       leaseMs: Long = 60L * 60 * 1000): (Int, Int) = {

@@ -52,17 +52,19 @@ object WarehouseProcedures {
       case "describe_history" => new DescribeProcedure(root)
       case "history" => new HistoryProcedure(root)
       case "purge" => new PurgeProcedure(root, catalogMergeKey)
+      case "restore" => new RestoreProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure '$other' — available: system.compact(table)," +
           " system.vacuum(table, retain_versions[, grace_ms])," +
           " system.describe_history(table)," +
           " system.history(table)," +
-          " system.purge(table, keys array<string>)")
+          " system.purge(table, keys array<string>)," +
+          " system.restore(table, version)")
     }
   }
 
   val names: Seq[String] = Seq("compact", "vacuum", "describe_history",
-    "history", "purge")
+    "history", "purge", "restore")
 
   private[v2] def str(row: InternalRow, i: Int): String = {
     require(!row.isNullAt(i), s"procedure argument $i must not be NULL")
@@ -356,5 +358,40 @@ final class HistoryProcedure(root: String)
         v, times(v), utf8(op), utf8(added.mkString(",")))): InternalRow
     }.reverse // newest first, Delta's DESCRIBE HISTORY order
     result(schema, rows)
+  }
+}
+
+/** `CALL whc.system.restore('t', version)` — ROLLBACK
+  * ([[AtomicWarehouse.restore]], Delta's RESTORE TABLE): make the live
+  * table's content equal the manifest at `version`, committed FORWARD
+  * as a new version — history preserved, time travel still reaches the
+  * undone versions until vacuum. Refuses targets outside retained
+  * history and targets whose entry dirs vacuum destroyed. Change-feed
+  * consumers crossing the restore refuse loudly (rows they were served
+  * cannot be retracted by an append-only feed); `ignoreDeletes` keeps
+  * tailing additions. Returns (entries_restored, version). */
+final class RestoreProcedure(root: String)
+    extends UnboundProcedure with BoundProcedure {
+  import WarehouseProcedures._
+  override def name(): String = "restore"
+  override def description(): String =
+    "roll the table back to a prior version (a new forward commit)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())
+
+  private val schema = StructType(Seq(
+    StructField("entries_restored", IntegerType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val dir = dirFor(root, str(input, 0))
+    require(!input.isNullAt(1), "restore version must not be NULL")
+    val n = AtomicWarehouse.restore(spark, dir, input.getLong(1))
+    result(schema, Seq(new GenericInternalRow(Array[Any](n,
+      AtomicWarehouse.currentVersion(spark, dir)))))
   }
 }

@@ -461,11 +461,40 @@ object WarehouseConnector {
     * added since the table's birth", which serves the originally
     * committed epochs (folds skipped, purge boundaries refusing),
     * NOT the end manifest's folded/drop-applied snapshot. */
+  /** Version `v`'s entry REMOVALS that its own additions do not
+    * explain. A fold removes its base behind a `compact_*` addition; a
+    * CoW purge renames each victim to `<name>_p<V>*`. Anything else —
+    * in practice a RESTORE rollback — dropped entries a feed consumer
+    * may already have been served, which an append-only feed cannot
+    * express: callers refuse loudly (or skip under `ignoreDeletes`,
+    * the purge trade — the consumer keeps rows the table dropped). */
+  def unexplainedRemovals(prevNames: Seq[String], curNames: Seq[String])
+      : Seq[String] = {
+    val cur = curNames.toSet
+    val prev = prevNames.toSet
+    val removed = prevNames.filterNot(cur)
+    if (removed.isEmpty) Nil
+    else if (curNames.exists(n => n.startsWith("compact_") && !prev(n))) Nil
+    else removed.filterNot(r =>
+      curNames.exists(n => n.startsWith(r + "_p") && !prev(n)))
+  }
+
+  private def refuseRollback(v: Long, removed: Seq[String]): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-warehouse change feed hit a ROLLBACK at manifest v$v " +
+        s"(entries dropped without a fold or purge: " +
+        s"${removed.mkString(", ")}): already-served rows cannot be " +
+        "retracted by an append-only feed — restart the consumer from " +
+        "a fresh snapshot, or set .option(\"ignoreDeletes\", true) to " +
+        "keep tailing additions only")
+
   def steppedEntriesBetween(s: Long, e: Long, ignoreDeletes: Boolean,
       namesAt: Long => Seq[String]): Seq[String] =
     (s + 1 to e).flatMap { v =>
       val prev = namesAt(v - 1).toSet
       val added = namesAt(v).filterNot(prev)
+      val rolledBack = unexplainedRemovals(namesAt(v - 1), namesAt(v))
+      if (rolledBack.nonEmpty && !ignoreDeletes) refuseRollback(v, rolledBack)
       val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
         AtomicWarehouse.isTombstone(n))
       if (purgeSwaps.nonEmpty && !ignoreDeletes)
@@ -507,8 +536,13 @@ object WarehouseConnector {
       namesAt: Long => Seq[String])
       : (Seq[(String, Long)], Seq[(String, Long)], Seq[String]) = {
     val adds = (s + 1 to e).flatMap { v =>
-      val prev = namesAt(v - 1).toSet
-      namesAt(v).filterNot(prev).map(_ -> v)
+      val prev = namesAt(v - 1)
+      // ROLLBACK detection, same contract as the stepped walk: a
+      // restore drops entries this feed may already have served
+      val rolledBack = unexplainedRemovals(prev, namesAt(v))
+      if (rolledBack.nonEmpty && !ignoreDeletes) refuseRollback(v, rolledBack)
+      val prevSet = prev.toSet
+      namesAt(v).filterNot(prevSet).map(_ -> v)
     }.distinctBy(_._1)
     val rewrites = adds.filter(p => AtomicWarehouse.isPurgeRewrite(p._1))
     // a CoW purge commits a NO-OP tombstone — its purge LOG, the key

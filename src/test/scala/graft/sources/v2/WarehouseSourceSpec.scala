@@ -733,6 +733,51 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(connRead(dir, "startingVersion" -> "latest").count() == 0)
   }
 
+  test("restore rolls back forward; feeds refuse at the boundary") {
+    val dir = freshDir("restore")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 15, 2L), 2L) // v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(16, 30, 3L), 3L) // v3
+    assert(AtomicWarehouse.restore(spark, dir, 2L) == 2) // -> v4
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 4L)
+    assert(connRead(dir).count() == 15)
+    // history preserved: time travel still reaches the undone version
+    assert(connRead(dir, "version" -> "3").count() == 30)
+    // replaying the identical restore converges without a version bump
+    AtomicWarehouse.restore(spark, dir, 2L)
+    assert(AtomicWarehouse.currentVersion(spark, dir) == 4L)
+    // a restore target outside history refuses
+    intercept[IllegalArgumentException] {
+      AtomicWarehouse.restore(spark, dir, 9L)
+    }
+    // stepped feed crossing the rollback refuses loudly; ignoreDeletes
+    // tails additions only
+    val err = intercept[UnsupportedOperationException] {
+      connRead(dir, "startingVersion" -> "3").count()
+    }
+    assert(err.getMessage.contains("ROLLBACK"))
+    assert(connRead(dir, "startingVersion" -> "3",
+      "ignoreDeletes" -> "true").count() == 15) // epoch_3's rows
+    // CDF refuses identically
+    val err2 = intercept[UnsupportedOperationException] {
+      connRead(dir, "startingVersion" -> "3",
+        "readChangeFeed" -> "true").count()
+    }
+    assert(err2.getMessage.contains("ROLLBACK"))
+    // a restore whose target entries' dirs no longer exist refuses
+    // loudly rather than committing a manifest that fails at listing
+    // (a correct vacuum never strands a RETAINED manifest's dirs, so
+    // the state is simulated — what an external cleaner leaves)
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(31, 32, 5L), 5L) // v5
+    AtomicWarehouse.compact(spark, dir, "k") // v6: folds all entries
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/epoch_5"))
+    val gone = intercept[IllegalArgumentException] {
+      AtomicWarehouse.restore(spark, dir, 5L)
+    }
+    assert(gone.getMessage.contains("unrecoverable"))
+  }
+
   test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
     // named entries (insert_*/merge_* — the SQL writers' collision-free
     // namespace) are NEW data and must ride the tail; round 10's
