@@ -168,9 +168,11 @@ object WarehouseConnector {
   /** Row-level change-feed columns, served only under
     * `.option("readChangeFeed", true)` — the Delta-CDF consumer
     * surface: every fed row carries `_change_type`
-    * ('insert' | 'delete') and `_commit_version` (the manifest version
-    * whose commit produced it). Delete rows are synthesized from
-    * tombstone key lists: the key column populated, every other data
+    * ('insert' | 'update_postimage' | 'delete') and `_commit_version`
+    * (the manifest version whose commit produced it). SQL UPDATE
+    * epochs type as postimages ([[feedChangeType]]); delete rows are
+    * synthesized from tombstone key lists — deferred purges' and CoW
+    * purge logs' alike: the key column populated, every other data
     * column null (the manifest records keys, not pre-images). */
   val ChangeTypeColumn = "_change_type"
   val CommitVersionColumn = "_commit_version"
@@ -517,12 +519,13 @@ object WarehouseConnector {
     * key list IS the delete set, already in the manifest), both tagged
     * with the manifest version that committed them (`_commit_version`).
     * Compaction folds are skipped (no logical change). CoW purge
-    * REWRITES still refuse: a rewrite records only the 8-hex key-set
-    * digest, not the keys, so the retraction is not reconstructible —
-    * use deferred purges ([[AtomicWarehouse.purgeKeysDeferred]]) when a
-    * change-feed consumer must observe deletes. `ignoreDeletes` keeps
-    * its meaning: skip every retraction (no delete rows, rewrites
-    * skipped) and serve appends only.
+    * rewrites serve their retraction through the PURGE LOG committed
+    * with them (a no-op tombstone holding the key list —
+    * [[AtomicWarehouse.isNoopTombstone]]); only UNLOGGED rewrites
+    * (pre-log history) still refuse — they record the 8-hex key-set
+    * digest, not the keys. `ignoreDeletes` keeps its meaning: skip
+    * every retraction (no delete rows, rewrites skipped) and serve
+    * appends only.
     *
     * Returns `(data, deletes, order)` — `order` is the served names in
     * INTERLEAVED COMMIT ORDER (version ascending, within-version
