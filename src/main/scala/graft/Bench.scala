@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline bench over the full battery — with SELF-ADJUDICATION.
+  *
+  * Rounds 12 and 13 both shipped a driver-host-contaminated official
+  * number (r13: 1,717 s total vs 296 s on the same binary at quiet
+  * load): timings taken while 32 other threads compete for the cores
+  * measure the HOST, not the engine, and the record could only be
+  * adjudicated after the fact with hand-run A/Bs. This main now
+  * adjudicates itself:
+  *
+  *  - `/proc/loadavg` (1-min) is sampled at battery start/end and at
+  *    EVERY query start → the JSON carries per-query `load` so any
+  *    outlier can be read against the contention that produced it;
+  *  - after the battery, the worst outliers — observed/budget ratio
+  *    more than 3× the run's MEDIAN ratio, budgets from the committed
+  *    per-query profile `tools/latency_budget_sf0.001.tsv` (the median
+  *    normalizes machine speed + scale factor away, exactly like the
+  *    QueryBatterySpec gate) — are RE-RUN sequentially, nothing else
+  *    in flight, and both numbers are emitted (`queries` and `rerun`):
+  *    a clean re-run adjudicates the first number as contention, a
+  *    dirty one as a real regression. Re-runs are capped at the 10
+  *    worst so the battery's runtime stays bounded.
+  */
 object Bench {
+
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,6 +41,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = load1()
     // session warmup: pay scheduler/codegen/scan-init once, outside the
     // per-query timings (first query otherwise absorbs ~4s of JVM init)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -40,21 +70,57 @@ object Bench {
         if (!baseline(id)) rdd.unpersist(blocking = true)
       }
     }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      cleanSlate()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       (0 until warmups).foreach { _ =>
         cleanSlate()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       }
-      cleanSlate()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      loads(name) = load1()
+      name -> timeOnce(fn)
     }
+    val loadEnd = load1()
+    // ---- outlier adjudication: re-run the worst budget violators ----
+    val budgets: Map[String, Double] =
+      try scala.io.Source.fromFile("tools/latency_budget_sf0.001.tsv")
+        .getLines().filterNot(_.startsWith("#")).flatMap { l =>
+          l.split("\t") match {
+            case Array(n, s) => Some(n -> s.toDouble)
+            case _ => None
+          }
+        }.toMap
+      catch { case _: Throwable => Map.empty }
+    val ratios = results.toSeq.flatMap { case (n, t) =>
+      budgets.get(n).filter(_ > 0).map(b => (n, t / b))
+    }
+    val rerun: Map[String, Double] =
+      if (ratios.size < 8) Map.empty // tiny filtered run: nothing to judge
+      else {
+        val sortedR = ratios.map(_._2).sorted
+        val median = sortedR(sortedR.size / 2)
+        val outliers = ratios.filter(_._2 > 3.0 * median)
+          .sortBy(-_._2).take(10).map(_._1)
+        outliers.map { n => n -> timeOnce(selected(n)) }.toMap
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val loadJs = loads.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rerunJs = rerun.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val hostJs = s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""load":$loadJs,"rerun":$rerunJs,"host":$hostJs,"sf":"$sfDir"}"""
     println(full)
     // The harness that records per-round numbers keeps only the LAST ~2 KB
     // of stdout: at 300+ queries the full JSON line is ~10 KB, so its tail
@@ -65,10 +131,10 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
-    val slow = results.toSeq.sortBy(-_._2).take(15)
+    val slow = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"sf":"$sfDir","full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"rerun":$rerunJs,"host":$hostJs,"sf":"$sfDir","full":"bench_full.json"}""")
     spark.stop()
   }
 }

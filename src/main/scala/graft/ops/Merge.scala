@@ -98,12 +98,24 @@ object Merge {
     * `cdc_b<batchId>` (name-converged replay), and a batch whose epoch
     * already exists returns BEFORE re-purging — re-purging after the
     * commit would order a fresh tombstone ABOVE the batch's re-adds
-    * and wrongly retract them. A retry that crashed between purge and
-    * commit re-purges (one redundant tombstone of the same keys — a
-    * no-op on the merged read) and then commits.
+    * and wrongly retract them. The epoch commits UNCONDITIONALLY —
+    * a delete-only batch commits a ZERO-ROW epoch (the read path
+    * treats recorded-empty entries as no data files) — so EVERY
+    * applied batch leaves its marker: without it, a delete-only batch
+    * was fully re-applied on every replay, stacking redundant
+    * tombstones (semantically no-op, manifest/compaction bloat)
+    * whenever another commit landed between the attempts. A retry
+    * that crashed between purge and commit re-purges (one redundant
+    * tombstone of the same keys — a no-op on the merged read, and
+    * name-converged when the mirror is otherwise quiet) and then
+    * commits.
     *
-    * Scale: delete keys are O(purged keys) by the purge contract
-    * (driver-collected exactly like every tombstone key list); the
+    * Scale: delete keys are O(purged keys) by the purge contract —
+    * driver-collected exactly like every tombstone key list, and
+    * BOUNDED by the same `graft.delete.maxKeys` discipline as the
+    * predicate-DELETE path (a micro-batch spanning many source
+    * versions stacks several tombstones' keys, so the upstream
+    * per-tombstone cap alone does not bound this collect); the
     * winners write is O(batch); NOTHING rescans the mirror. */
   def replicateChangeFeedBatch(batch: DataFrame, batchId: Long,
       mirrorDir: String, key: String): Unit = {
@@ -113,20 +125,36 @@ object Merge {
     if (AtomicWarehouse.currentVersion(spark, mirrorDir) > 0 &&
         AtomicWarehouse.committedEpochs(spark, mirrorDir)
           .contains(epochName)) return // replayed batch: fully applied
-    val delKeys = batch.where(col("_change_type") === "delete")
-      .select(col(key).cast("string")).where(col(key).isNotNull)
-      .distinct().collect().map(_.getString(0)).toSeq
     val keyTyp = batch.schema(key).dataType match {
       case org.apache.spark.sql.types.StringType => "string"
-      case _ => "long"
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => "long"
+      case other => throw new UnsupportedOperationException(
+        s"CDC mirror key '$key' has unsupported type ${other.sql}: " +
+          "tombstone key lists are typed integral-or-string (fractional " +
+          "and complex keys have no canonical rendering for the purge " +
+          "anti-join) — cast the key upstream")
     }
+    val maxKeys = spark.conf.get("graft.delete.maxKeys", "100000").toInt
+    val delKeys = batch.where(col("_change_type") === "delete")
+      .select(col(key).cast("string")).where(col(key).isNotNull)
+      .distinct().limit(maxKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (delKeys.size > maxKeys)
+      throw new IllegalStateException(
+        s"CDC mirror batch $batchId carries more than $maxKeys delete " +
+          "keys (graft.delete.maxKeys) — tombstone key lists are " +
+          "driver-sized by the deferred-purge contract. Bound the " +
+          "batch (.option(\"maxVersionsPerBatch\", n) on the feed) or " +
+          "raise the cap if the driver can hold the list.")
     if (delKeys.nonEmpty &&
         AtomicWarehouse.currentVersion(spark, mirrorDir) > 0)
       AtomicWarehouse.purgeKeysDeferredTyped(spark, mirrorDir, key,
         keyTyp, delKeys)
     val winners = applyChangeFeed(batch, key)
-    if (!winners.isEmpty)
-      AtomicWarehouse.commitNamedEpoch(spark, mirrorDir, winners,
-        epochName, batchId, statsKey = Some(key), bloomKey = Some(key))
+    AtomicWarehouse.commitNamedEpoch(spark, mirrorDir, winners,
+      epochName, batchId, statsKey = Some(key), bloomKey = Some(key))
   }
 }

@@ -198,10 +198,25 @@ final case class WarehouseUpdateCommand(
     // row count the commit's stats pass already computes, so the no-op
     // check costs no extra scan and repeated no-match conditional
     // updates can never inflate the manifest or the compaction cadence
-    AtomicWarehouse.commitNamedEpoch(spark, dir, newRows,
-      s"update_v${baseV}_$digest", newSeq,
-      statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
-      bloomKey = Some(mergeKey), skipIfEmpty = true)
+    val entryName = s"update_v${baseV}_$digest"
+    if (spark.conf.get("graft.update.logPreimages", "false").toBoolean) {
+      // CDF preimages: the matched winners' PRE-update versions — the
+      // same matched slice the update already materialized, re-emitted
+      // verbatim (original load_seq included) into a preimage log the
+      // change feed serves as 'update_preimage' rows behind
+      // .option("includePreimages", true). O(matched rows) extra write,
+      // zero cost on reads that don't ask for preimages.
+      val preRows = snap.where(cond)
+        .select(dataCols.map(col) :+ col("load_seq"): _*)
+      AtomicWarehouse.commitNamedEpochWithPreimage(spark, dir, newRows,
+        entryName, newSeq, preRows,
+        statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
+        bloomKey = Some(mergeKey), skipIfEmpty = true)
+    } else
+      AtomicWarehouse.commitNamedEpoch(spark, dir, newRows,
+        entryName, newSeq,
+        statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
+        bloomKey = Some(mergeKey), skipIfEmpty = true)
     Nil
   }
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-14 widening, part 80: the change feed's FULL Delta-CDF update
+  * contract — `update_preimage` rows. The reference's metric write-back
+  * (ref: Python-pipeline/dataprocessing.py:120-163) is an UPDATE of
+  * matched staging rows; an auditor diffing what that mutation CHANGED
+  * needs the pre-update row versions, which round 13's feed could only
+  * reconstruct by a self-join against the prior snapshot. */
+object Extended80 {
+
+  /** C80 — SQL `UPDATE` records its matched winners' PRE-update
+    * versions in a PREIMAGE LOG (`graft.update.logPreimages`,
+    * [[graft.sinks.AtomicWarehouse.commitNamedEpochWithPreimage]] —
+    * one manifest CAS commits preimage log + postimage epoch
+    * together), and the row-level change feed serves them as
+    * `_change_type='update_preimage'` rows behind
+    * `.option("includePreimages", true)` — Delta CDF's full update
+    * contract (pre AND post images, pre ordered first). The log rides
+    * the `tombstone_noop_` namespace, so snapshot reads, drop lists,
+    * metadata COUNT/MIN-MAX and maxLoadSeq skip it with zero new code
+    * paths; feeds WITHOUT the option serve round-13 behavior
+    * unchanged (pinned in-query), and last-wins consumers
+    * ([[graft.ops.Merge.applyChangeFeed]]) ignore preimages (pinned:
+    * applying the preimage-bearing feed still reproduces the engine's
+    * snapshot).
+    *
+    * Scale: the preimage write is O(matched rows) — the same slice
+    * the update already materialized, re-emitted verbatim; reads that
+    * don't ask for preimages never open the log (entry classification
+    * is by NAME at planning time, zero data I/O). */
+  val c80UpdatePreimageFeed = q("c80_update_preimage_feed",
+    """WITH src AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name
+      |  FROM supplier)
+      |SELECT k, name, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, name, CAST(1 AS BIGINT) AS load_seq,
+      |         'insert' AS _change_type,
+      |         CAST(1 AS BIGINT) AS _commit_version
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, name, CAST(1 AS BIGINT), 'update_preimage',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 4 = 0
+      |  UNION ALL
+      |  SELECT k, 'U-' || name, CAST(2 AS BIGINT), 'update_postimage',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 4 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c80")
+    s.conf.set("spark.sql.catalog.whc80", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc80.root", root)
+    s.conf.set("spark.sql.catalog.whc80.mergeKey", "k")
+    val dir = s"$root/sup"
+    AtomicWarehouse.commitEpoch(s, dir,
+      Tables.supplier(s, d).select(col("s_suppkey").cast("long").as("k"),
+        col("s_name").as("name"), lit(1L).as("load_seq")), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    s.conf.set("graft.update.logPreimages", "true")
+    try s.sql("UPDATE whc80.sup SET name = concat('U-', name) " +
+      "WHERE k % 4 = 0") // v2: preimage log + update_v1_* epoch, one CAS
+    finally s.conf.unset("graft.update.logPreimages")
+    val names = AtomicWarehouse.committedEpochs(s, dir)
+    require(names.exists(AtomicWarehouse.isPreimageLog),
+      s"the UPDATE must have committed a preimage log: $names")
+    // the log is invisible outside the CDF read: snapshot count intact
+    require(AtomicWarehouse.read(s, dir, "k").count() ==
+      Tables.supplier(s, d).count(), "snapshot must skip the preimage log")
+    def feed(pre: Boolean) = {
+      val b = s.read.format("graft-warehouse").option("path", dir)
+        .option("startingVersion", "1").option("readChangeFeed", "true")
+      (if (pre) b.option("includePreimages", "true") else b).load()
+    }
+    // round-13 default unchanged: no preimages without the option
+    require(feed(false).where(col("_change_type") === "update_preimage")
+      .isEmpty, "default CDF read must not serve preimages")
+    val withPre = feed(true)
+    // a last-wins consumer ignores preimages — applying the
+    // preimage-bearing feed reproduces the snapshot exactly
+    require(graft.ops.Merge.applyChangeFeed(
+      withPre.select(col("*"), col("_pos")), "k").count() ==
+      Tables.supplier(s, d).count(),
+      "applyChangeFeed must ignore update_preimage rows")
+    withPre.select(col("k"), col("name"), col("load_seq"),
+      col("_change_type"), col("_commit_version"))
+  }
+
+  val all: Seq[Q] = Seq(c80UpdatePreimageFeed)
+}

@@ -112,19 +112,32 @@ object AtomicWarehouse {
     }.toMap
   }
 
-  /** Identity STAMP of a committed manifest version's file —
-    * (mtime millis, byte length). Manifest files are written ONCE (the
-    * CAS publish) and never modified, so the stamp pins the version's
-    * content identity for session-global memo keys: a RECREATED
-    * warehouse that re-uses version numbers (battery scratch dirs are
-    * wiped and rebuilt every run) writes a NEW file whose stamp
-    * differs, where a bare (dir, version) key would serve stale
-    * answers. */
+  /** Identity STAMP of a committed manifest version's file — an MD5 of
+    * its CONTENT. Manifest files are written once (the CAS publish) and
+    * never modified, so the stamp pins the version's content identity
+    * for session-global memo keys: a RECREATED warehouse that re-uses
+    * version numbers (battery scratch dirs are wiped and rebuilt every
+    * run) writes a new file whose digest differs, where a bare
+    * (dir, version) key would serve stale answers. A (mtime, length)
+    * stamp (rounds 11–13) was ALMOST that — but filesystems with coarse
+    * mtime granularity can recreate an identical-length v<N>.json inside
+    * one tick, and the memo then served the previous incarnation's
+    * MIN/MAX. Manifests are O(entries) small, so hashing costs less
+    * than the planning read that follows it. */
   private[graft] def manifestStamp(spark: SparkSession, dir: String,
-      v: Long): (Long, Long) = {
-    val st = fs(spark, dir).getFileStatus(
-      new Path(manifestDir(dir), s"v$v.json"))
-    (st.getModificationTime, st.getLen)
+      v: Long): String = {
+    val f = fs(spark, dir)
+    val p = new Path(manifestDir(dir), s"v$v.json")
+    val in = f.open(p)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
   }
 
   /** Highest `load_seq` present in the CURRENT snapshot, or None on a
@@ -359,6 +372,97 @@ object AtomicWarehouse {
       body.linesIterator.map(_.trim).filter(_.nonEmpty)
         .map(EpochEntry.parse).toSeq
     }
+  }
+
+  /** Entry names referenced by a RETAINED historical manifest but absent
+    * from the CURRENT one — dirs kept on disk purely for time travel
+    * (compaction's folded bases, CoW-purge victims, and — the hazardous
+    * case — epochs a RESTORE undid). An undone `epoch_<seq>` is a trap:
+    * restore lowers the [[maxLoadSeq]] floor back below it, so the next
+    * drain naturally re-uses the sequence number, and [[publishData]]'s
+    * adopt branch ("a complete same-name dir is a concurrent replay's
+    * publish") would silently commit the OLD epoch's rows while
+    * discarding the fresh ones. Commit paths consult this set ONLY when
+    * the destination dir already exists (never in steady state), so the
+    * O(retained manifests) read cost sits on the rare collision path. */
+  private[sinks] def historicalOrphans(spark: SparkSession,
+      dir: String): Set[String] = {
+    val cur = currentVersion(spark, dir)
+    if (cur == 0L) return Set.empty
+    val live = committedEpochsAt(spark, dir, cur).toSet
+    val f = fs(spark, dir)
+    val md = new Path(manifestDir(dir))
+    if (!f.exists(md)) return Set.empty
+    val retained = f.listStatus(md).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .filter(_ < cur)
+    retained.flatMap(v => committedEpochsAt(spark, dir, v)).toSet -- live
+  }
+
+  /** Refuse the RENAME SIGNATURE in epoch schema evolution. The read
+    * merge unions epochs BY NAME (`allowMissingColumns` — additive
+    * widening is free: old epochs serve nulls for new columns, partial
+    * epochs serve nulls for absent ones). But a committed epoch that
+    * simultaneously DROPS a known column AND ADDS an unknown one is,
+    * in every real pipeline, a RENAME — and name-union silently forks
+    * it: every old row reads null under the new name, every new row
+    * null under the old, with no error anywhere. The engine has no
+    * column-mapping story (Delta's name-mapping), so the fork is
+    * REFUSED at commit time, loudly; pure widening and pure narrowing
+    * stay allowed. `graft.schema.allowNonAdditive=true` opts a session
+    * into the fork (a genuine add+drop migration, done knowingly).
+    * Judged against the RECORDED entry schemas ([[SchemaStat]] — zero
+    * I/O, the manifest is already read on this path); stats-less
+    * legacy entries cannot be judged and skip the check. */
+  private def requireAdditiveSchema(spark: SparkSession, dir: String,
+      newCols: Seq[String], what: String): Unit = {
+    if (spark.conf.get("graft.schema.allowNonAdditive", "false").toBoolean)
+      return
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+      .filterNot(e => isTombstone(e.name))
+    val known: Set[String] = entries.flatMap(_.stats.get(SchemaStat))
+      .flatMap(st => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(st.mn)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.toSeq).getOrElse(Nil))
+      .toSet
+    if (known.isEmpty) return
+    val cols = newCols.toSet
+    val dropped = known -- cols
+    val added = cols -- known
+    if (dropped.nonEmpty && added.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$what at $dir drops known column(s) ${dropped.toSeq.sorted
+          .mkString(", ")} while adding ${added.toSeq.sorted.mkString(", ")}" +
+          " — a rename signature the name-union read merge would silently " +
+          "fork into old-null/new-null halves. Rename has no " +
+          "column-mapping support: either keep the old column alongside " +
+          "the new one (additive widening), or set " +
+          "spark.conf graft.schema.allowNonAdditive=true to commit the " +
+          "add+drop knowingly")
+  }
+
+  /** Resolve the default `epoch_<seq>` name for a fresh commit,
+    * sidestepping a RESTORE-undone dir of the same name: if `$dir/$base`
+    * exists and a retained HISTORICAL manifest references it while the
+    * current one does not, the dir holds rows a rollback retracted —
+    * adopting it would resurrect them — so the commit takes the first
+    * `<base>__r<k>` not itself an orphan. Deterministic across replays
+    * (depends only on the orphan set, which only a concurrent restore
+    * could shift), so a retried drain converges on the same name and the
+    * normal adopt contract applies to it. `maxLoadSeq`'s name fallback
+    * still parses the seq out of the disambiguated form, and recorded
+    * `load_seq` stats are preferred anyway. */
+  private def resolveEpochName(spark: SparkSession, dir: String,
+      base: String): String = {
+    val f = fs(spark, dir)
+    if (!f.exists(new Path(s"$dir/$base"))) return base
+    val orphans = historicalOrphans(spark, dir)
+    if (!orphans(base)) return base
+    var k = 1
+    while (orphans(s"${base}__r$k")) k += 1
+    s"${base}__r$k"
   }
 
   /** Snapshot read: union of committed epochs + keyed last-wins merge
@@ -840,8 +944,16 @@ object AtomicWarehouse {
       zorderBy: Seq[String] = Nil,
       entryName: Option[String] = None,
       skipIfEmpty: Boolean = false): Unit = {
-    val epoch = entryName.getOrElse(s"epoch_$seq")
-    if (committedEpochs(spark, dir).contains(epoch)) return
+    val base = entryName.getOrElse(s"epoch_$seq")
+    val committed = committedEpochs(spark, dir)
+    if (committed.contains(base)) return
+    // default-named epochs sidestep RESTORE-undone same-name dirs (a
+    // rollback lowers the load_seq floor, so seq re-use is the NATURAL
+    // recovery, and adopting the undone dir would resurrect its rows)
+    val epoch =
+      if (entryName.isDefined) base else resolveEpochName(spark, dir, base)
+    if (epoch != base && committed.contains(epoch)) return
+    requireAdditiveSchema(spark, dir, df.columns.toSeq, s"epoch $epoch")
     val f = fs(spark, dir)
     val epochPath = new Path(s"$dir/$epoch")
     val wanted = (statsKey.toSeq ++ statsCols).distinct
@@ -899,14 +1011,29 @@ object AtomicWarehouse {
       statsCols: Seq[String] = Nil,
       bloomKey: Option[String] = None,
       entryName: Option[String] = None): Unit = {
-    val epoch = entryName.getOrElse(s"epoch_$seq")
+    val baseName = entryName.getOrElse(s"epoch_$seq")
     val f = fs(spark, dir)
     requireAtomicScheme(f, dir)
-    val epochPath = new Path(s"$dir/$epoch")
-    if (committedEpochs(spark, dir).contains(epoch)) {
+    if (committedEpochs(spark, dir).contains(baseName)) {
       f.delete(stage, true) // idempotent replay: the committed copy wins
       return
     }
+    // same RESTORE-undone-dir sidestep as [[commitEpochImpl]]
+    val epoch =
+      if (entryName.isDefined) baseName
+      else resolveEpochName(spark, dir, baseName)
+    val epochPath = new Path(s"$dir/$epoch")
+    if (epoch != baseName && committedEpochs(spark, dir).contains(epoch)) {
+      f.delete(stage, true)
+      return
+    }
+    // staged schema from the parquet footers (one cheap driver read);
+    // a refusal must not leak the staged dir
+    scala.util.Try(spark.read.parquet(stage.toString).columns.toSeq)
+      .foreach { cols =>
+        try requireAdditiveSchema(spark, dir, cols, s"staged epoch $epoch")
+        catch { case e: Throwable => f.delete(stage, true); throw e }
+      }
     val marker = new Path(stage, "_SUCCESS")
     if (!f.exists(marker)) f.create(marker, true).close()
     if (f.exists(epochPath) &&
@@ -1321,7 +1448,25 @@ object AtomicWarehouse {
     val dst = new Path(s"$dir/$name")
     def complete = f.exists(new Path(dst, "_SUCCESS"))
     if (f.exists(dst)) {
-      if (complete) { f.delete(stage, true); return } // adopt
+      if (complete) {
+        // Adoption is only sound when the complete dir is a concurrent
+        // SAME-NAME writer's publish (same logical content by the replay
+        // contract). A dir that a retained HISTORICAL manifest references
+        // but the current one does not is a RESTORE-undone epoch kept for
+        // time travel — its rows were retracted; adopting it would
+        // silently re-commit them and discard this writer's fresh data.
+        // Commit paths disambiguate the name before reaching here
+        // ([[resolveEpochName]]); this refusal is the safety net for any
+        // path that did not.
+        if (historicalOrphans(spark, dir).contains(name))
+          throw new java.io.IOException(
+            s"refusing to adopt $dst: the dir is referenced by a retained " +
+              "HISTORICAL manifest but not the current one — a RESTORE " +
+              "undid it, and adopting would resurrect the rolled-back " +
+              "rows. Commit under a different entry name (or vacuum the " +
+              "undone history first)")
+        f.delete(stage, true); return // adopt
+      }
       f.delete(dst, true) // torn leftover (crashed delete): replace
     }
     if (!publishDir(f, stage, dst)) {
@@ -1619,6 +1764,21 @@ object AtomicWarehouse {
     * data" classification holds automatically. */
   private[graft] def isNoopTombstone(n: String): Boolean =
     n.startsWith("tombstone_noop_")
+
+  /** Is `n` an UPDATE PREIMAGE LOG — the matched winners' PRE-update
+    * row versions a SQL UPDATE records alongside its postimage epoch
+    * (`graft.update.logPreimages`), served by the row-level change feed
+    * as `_change_type='update_preimage'` rows behind
+    * `.option("includePreimages", true)` (Delta CDF's full update
+    * contract)? The name rides the `tombstone_noop_` prefix ON PURPOSE:
+    * every existing "not data / suppresses nothing" classification —
+    * snapshot reads, drop lists, metadata COUNT, the MIN/MAX dirty
+    * check, [[maxLoadSeq]] — holds for it automatically. The feed paths
+    * that SERVE noop tombstones as delete rows must exclude it (an
+    * update is not a retraction), and the stepped walk's purge refusal
+    * must not fire on it. */
+  private[graft] def isPreimageLog(n: String): Boolean =
+    n.startsWith("tombstone_noop_pre_")
 
   /** A tombstone's key list read DRIVER-SIDE via parquet-hadoop — ZERO
     * Spark jobs. Key lists are O(purged keys) tiny by the purge
@@ -2150,6 +2310,76 @@ object AtomicWarehouse {
           s"merge epoch $name at $dir kept vanishing before its manifest " +
             s"commit ($MaxCommitAttempts attempts) — a vacuum is racing " +
             "this merge with a grace window shorter than the merge's stall")
+    }
+  }
+
+  /** [[commitNamedEpoch]] PLUS an UPDATE PREIMAGE LOG in the SAME
+    * manifest CAS: `preRows` (the matched winners' PRE-update versions,
+    * full rows) publish under `tombstone_noop_pre_<name>` and the pair
+    * becomes visible together — a torn pair would serve postimages a
+    * CDF consumer cannot pair with their preimages. Entry order is
+    * preimage THEN epoch, so a `_pos`-sorted feed reads pre before post
+    * (Delta CDF's row order for an update).
+    *
+    * The preimage entry is a NO-OP TOMBSTONE by name
+    * ([[isPreimageLog]]): invisible to snapshot reads, drop lists,
+    * metadata COUNT/MIN-MAX and [[maxLoadSeq]]; only a
+    * `readChangeFeed` + `includePreimages` scan plans its files.
+    *
+    * `skipIfEmpty` mirrors the plain named commit: a zero-row epoch
+    * (UPDATE matched nothing) commits NEITHER entry. Replay converges
+    * by the EPOCH entry's name; the preimage name is derived from it,
+    * so a replayed pair re-publishes into the same dirs and adopts.
+    *
+    * Scale: the preimage write is O(matched rows) — the same rows the
+    * update already materialized — and costs nothing on any read path
+    * that doesn't ask for preimages. */
+  def commitNamedEpochWithPreimage(spark: SparkSession, dir: String,
+      df: DataFrame, name: String, loadSeq: Long, preRows: DataFrame,
+      statsKey: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None,
+      skipIfEmpty: Boolean = false): Unit = {
+    require(!name.matches("epoch_\\d+"),
+      s"entry name '$name' collides with the drain counter namespace")
+    if (committedEpochs(spark, dir).contains(name)) return // replay
+    val f = fs(spark, dir)
+    val preName = s"tombstone_noop_pre_$name"
+    val namePath = new Path(s"$dir/$name")
+    val prePath = new Path(s"$dir/$preName")
+    var attempt = 0
+    while (true) {
+      publishData(spark, dir, df, name)
+      val stats =
+        if (f.exists(namePath))
+          statsAndBloomOf(spark, s"$dir/$name",
+            (statsKey.toSeq ++ statsCols).distinct, bloomKey)._1
+        else Map.empty[String, ColStats] // vanished: the compute notices
+      if (skipIfEmpty && f.exists(namePath) &&
+          stats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
+        f.delete(namePath, true)
+        return // zero-row update: no epoch, no preimage log
+      }
+      publishData(spark, dir, preRows, preName)
+      val preStats =
+        if (f.exists(prePath))
+          statsAndBloomOf(spark, s"$dir/$preName", Nil, None)._1
+        else Map.empty[String, ColStats]
+      var vanished = false
+      commitManifest(spark, dir, s"update epoch $name + preimage log") {
+        entries =>
+          if (entries.exists(_.name == name)) None // a concurrent replay won
+          else if (!f.exists(namePath) || !f.exists(prePath)) {
+            vanished = true; None // a racing vacuum deleted a published dir
+          } else Some(entries :+ EpochEntry(preName, preStats) :+
+            EpochEntry(name, stats))
+      }
+      if (!vanished) { maybeAutoCompact(spark, dir); return }
+      attempt += 1
+      if (attempt >= MaxCommitAttempts)
+        throw new java.io.IOException(
+          s"update epoch $name at $dir kept vanishing before its " +
+            s"manifest commit ($MaxCommitAttempts attempts) — a vacuum " +
+            "is racing this update with too short a grace window")
     }
   }
 

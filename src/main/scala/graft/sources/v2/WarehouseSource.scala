@@ -188,7 +188,9 @@ object WarehouseConnector {
     * audit/diff consumers can now tell an update from a fresh
     * insert. */
   def feedChangeType(entry: String): String =
-    if (entry.startsWith("update_v")) "update_postimage" else "insert"
+    if (AtomicWarehouse.isPreimageLog(entry)) "update_preimage"
+    else if (entry.startsWith("update_v")) "update_postimage"
+    else "insert"
   /** Wall-clock commit instant of `_commit_version` — the version's
     * manifest-file mtime, Delta's own derivation. */
   val CommitTimestampColumn = "_commit_timestamp"
@@ -470,15 +472,33 @@ object WarehouseConnector {
     * may already have been served, which an append-only feed cannot
     * express: callers refuse loudly (or skip under `ignoreDeletes`,
     * the purge trade — the consumer keeps rows the table dropped). */
-  def unexplainedRemovals(prevNames: Seq[String], curNames: Seq[String])
-      : Seq[String] = {
+  def unexplainedRemovals(prevNames: Seq[String], curNames: Seq[String],
+      namesAt: Long => Seq[String]): Seq[String] = {
     val cur = curNames.toSet
     val prev = prevNames.toSet
     val removed = prevNames.filterNot(cur)
     if (removed.isEmpty) Nil
-    else if (curNames.exists(n => n.startsWith("compact_") && !prev(n))) Nil
-    else removed.filterNot(r =>
-      curNames.exists(n => n.startsWith(r + "_p") && !prev(n)))
+    else {
+      // A NEW `compact_vN` entry explains exactly the removals it FOLDED
+      // — the entries committed as of the manifest it was built against
+      // (the fold's CAS requires its base to be a verbatim prefix of the
+      // manifest it replaces, so base == namesAt(N)). "Any new compact
+      // explains ALL removals" (the pre-round-14 rule) misclassified a
+      // RESTORE FORWARD to a previously-compacted state: re-adding the
+      // compact also removes epochs committed AFTER it — rows consumers
+      // were served and the fold does NOT contain — and the feed sailed
+      // across the rollback without the refusal. A vacuumed base
+      // manifest (namesAt throws) explains nothing: the walk then
+      // refuses loudly, the safe direction.
+      val CompactName = """compact_v(\d+)""".r
+      val folded: Set[String] = curNames.collect {
+        case n @ CompactName(bv) if !prev(n) =>
+          try namesAt(bv.toLong).toSet
+          catch { case _: Exception => Set.empty[String] }
+      }.foldLeft(Set.empty[String])(_ ++ _)
+      removed.filterNot(r => folded(r) ||
+        curNames.exists(n => n.startsWith(r + "_p") && !prev(n)))
+    }
   }
 
   private def refuseRollback(v: Long, removed: Seq[String]): Nothing =
@@ -495,10 +515,13 @@ object WarehouseConnector {
     (s + 1 to e).flatMap { v =>
       val prev = namesAt(v - 1).toSet
       val added = namesAt(v).filterNot(prev)
-      val rolledBack = unexplainedRemovals(namesAt(v - 1), namesAt(v))
+      val rolledBack = unexplainedRemovals(namesAt(v - 1), namesAt(v), namesAt)
       if (rolledBack.nonEmpty && !ignoreDeletes) refuseRollback(v, rolledBack)
-      val purgeSwaps = added.filter(n => AtomicWarehouse.isPurgeRewrite(n) ||
-        AtomicWarehouse.isTombstone(n))
+      // an UPDATE's preimage log is not a retraction — the stepped walk
+      // neither refuses on it nor serves it (the postimage epoch is the
+      // appended data)
+      val purgeSwaps = added.filter(n => (AtomicWarehouse.isPurgeRewrite(n) ||
+        AtomicWarehouse.isTombstone(n)) && !AtomicWarehouse.isPreimageLog(n))
       if (purgeSwaps.nonEmpty && !ignoreDeletes)
         throw new UnsupportedOperationException(
           s"graft-warehouse change feed hit a PURGE at manifest v$v " +
@@ -536,13 +559,13 @@ object WarehouseConnector {
     * wrongly suppressing the re-added key in every `__dpos > _pos`
     * consumer merge. */
   def cdfAddsBetween(s: Long, e: Long, ignoreDeletes: Boolean,
-      namesAt: Long => Seq[String])
+      namesAt: Long => Seq[String], includePreimages: Boolean = false)
       : (Seq[(String, Long)], Seq[(String, Long)], Seq[String]) = {
     val adds = (s + 1 to e).flatMap { v =>
       val prev = namesAt(v - 1)
       // ROLLBACK detection, same contract as the stepped walk: a
       // restore drops entries this feed may already have served
-      val rolledBack = unexplainedRemovals(prev, namesAt(v))
+      val rolledBack = unexplainedRemovals(prev, namesAt(v), namesAt)
       if (rolledBack.nonEmpty && !ignoreDeletes) refuseRollback(v, rolledBack)
       val prevSet = prev.toSet
       namesAt(v).filterNot(prevSet).map(_ -> v)
@@ -556,7 +579,8 @@ object WarehouseConnector {
     // UNLOGGED rewrites (pre-log warehouses) still refuse: they name
     // only the key-set digest, so the deleted keys are gone.
     val loggedVersions = adds.collect {
-      case (n, v) if AtomicWarehouse.isNoopTombstone(n) => v
+      case (n, v) if AtomicWarehouse.isNoopTombstone(n) &&
+        !AtomicWarehouse.isPreimageLog(n) => v
     }.toSet
     val unlogged = rewrites.filterNot(p => loggedVersions(p._2))
     if (unlogged.nonEmpty && !ignoreDeletes)
@@ -569,10 +593,17 @@ object WarehouseConnector {
           "— purges committed by this engine version log their keys; " +
           "for this history, purge with purgeKeysDeferred (tombstones) " +
           "or set .option(\"ignoreDeletes\", true) to skip retractions")
-    val (tombs, rest) = adds
+    // UPDATE preimage logs ride the tombstone_noop_ namespace but are
+    // NOT retractions: never serve them as delete rows; serve them as
+    // 'update_preimage' DATA entries only when the consumer asked
+    // (includePreimages — Delta CDF's full update contract)
+    val (pres, nonPre) = adds
       .filterNot(p => AtomicWarehouse.isPurgeRewrite(p._1))
+      .partition(p => AtomicWarehouse.isPreimageLog(p._1))
+    val (tombs, rest) = nonPre
       .partition(p => AtomicWarehouse.isTombstone(p._1))
-    val data = rest.filterNot(_._1.startsWith("compact_"))
+    val data = rest.filterNot(_._1.startsWith("compact_")) ++
+      (if (includePreimages) pres else Nil)
     val dels = if (ignoreDeletes) Nil else tombs
     val served = (data ++ dels).map(_._1).toSet
     (data, dels, adds.map(_._1).filter(served))
@@ -1052,10 +1083,15 @@ class WarehouseTable(val dir: String, version: Option[Long],
       "readChangeFeed requires .option(\"startingVersion\", s) or " +
         ".option(\"startingTimestamp\", t) — a row-level feed needs an " +
         "explicit history start (Delta CDF's own contract)")
+    val includePreimages = options.getBoolean("includePreimages", false)
+    require(!includePreimages || cdf,
+      "includePreimages requires .option(\"readChangeFeed\", true) — " +
+        "preimages are row-level change-feed rows")
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0),
       options.getBoolean("ignoreDeletes", false),
-      changeStart = changeStart, changeEnd = changeEnd, cdf = cdf)
+      changeStart = changeStart, changeEnd = changeEnd, cdf = cdf,
+      includePreimages = includePreimages)
   }
   /** Write options default to the CREATE TABLE-persisted table conf
     * (mergeKey/stats/bloom/cluster/zorder) so a SQL `INSERT INTO`
@@ -1070,7 +1106,7 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int,
     ignoreDeletes: Boolean = false,
     changeStart: Option[Long] = None, changeEnd: Option[Long] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false, includePreimages: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -1153,13 +1189,15 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
       // the manifest version's content, so repeat MIN/MAX plans at the
       // same version answer from the memo (~flat in T instead of the
       // probe's 220 → 669 ms growth at T=400). The key carries the
-      // manifest FILE's (mtime, length): a recreated warehouse re-using
-      // version numbers writes a new file, so stale hits are
-      // unreachable; a racing vacuum fails the stat and skips the memo.
+      // manifest FILE's content digest: a recreated warehouse re-using
+      // version numbers writes a new file whose digest differs (even
+      // inside one mtime-granularity tick, the round-13 hazard), so
+      // stale hits are unreachable; a racing vacuum fails the read and
+      // skips the memo.
       val memoKey = scala.util.Try(
         AtomicWarehouse.manifestStamp(spark, dir, v)).toOption
-        .map { case (mt, len) =>
-          s"$dir|$v|$mt|$len|$c|$wantMin|${field.dataType.catalogString}" }
+        .map { dg =>
+          s"$dir|$v|$dg|$c|$wantMin|${field.dataType.catalogString}" }
       memoKey.flatMap(k =>
         Option(WarehouseConnector.minMaxMemo.get(k))).foreach { cached =>
         return cached.map(iv => (StructField(
@@ -1349,7 +1387,7 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
   override def build(): Scan =
     new WarehouseScan(dir, version, mergeKey, required, pruneFilters,
       maxVersionsPerBatch, ignoreDeletes, pushedAgg, changeStart, changeEnd,
-      cdf)
+      cdf, includePreimages)
 }
 
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
@@ -1357,7 +1395,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false,
     pushedAgg: Option[(StructType, Array[Any])] = None,
     changeStart: Option[Long] = None, changeEnd: Option[Long] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false, includePreimages: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import WarehouseConnector._
@@ -1463,7 +1501,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       val sExcl = math.max(s0 - 1, 0L)
       if (cdf)
         WarehouseConnector.cdfAddsBetween(sExcl, resolvedVersion,
-          ignoreDeletes, at)
+          ignoreDeletes, at, includePreimages)
       else if (s0 == 0L) {
         // startingVersion = 0: the initial SNAPSHOT (end-manifest
         // content, tombstone drops applied) — the documented extension
@@ -1643,7 +1681,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         "own end offsets (use Trigger.AvailableNow to drain to a point)")
     new WarehouseMicroBatchStream(dir, required, pruneFilters, mergeKey,
       maxVersionsPerBatch, ignoreDeletes, startVersion = changeStart,
-      cdf = cdf)
+      cdf = cdf, includePreimages = includePreimages)
   }
 }
 
@@ -2211,7 +2249,8 @@ final case class WarehouseVersionOffset(v: Long)
 class WarehouseMicroBatchStream(dir: String, required: StructType,
     pruneFilters: Array[Filter], mergeKey: String, maxVersionsPerBatch: Int,
     ignoreDeletes: Boolean = false,
-    startVersion: Option[Long] = None, cdf: Boolean = false)
+    startVersion: Option[Long] = None, cdf: Boolean = false,
+    includePreimages: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -2332,7 +2371,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
     val (dataAdds, delAdds, serveOrder) =
       if (cdf)
-        WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt)
+        WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt,
+          includePreimages)
       else {
         if (s == 0L && snapshotAtZero)
           snapshotTombs =
@@ -2407,3 +2447,4 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
 }
+

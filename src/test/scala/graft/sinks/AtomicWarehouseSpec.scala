@@ -28,6 +28,35 @@ class AtomicWarehouseSpec extends SparkSuite {
     assert(AtomicWarehouse.currentVersion(spark, wh) == 2L)
   }
 
+  test("schema evolution: widening/narrowing allowed, rename signature refused") {
+    val wh = tmp("aw_schemaevo") + "/wh"
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((1L, "a", 1L)).toDF("k", "v", "load_seq"), 1L)
+    // additive widening: fine (c24's contract)
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((2L, "b", "x", 2L)).toDF("k", "v", "extra", "load_seq"), 2L)
+    // pure narrowing: fine (absent columns serve nulls)
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((3L, 3L)).toDF("k", "load_seq"), 3L)
+    // drop-a-known + add-an-unknown = RENAME signature: the name-union
+    // read would fork v/title into old-null/new-null halves silently —
+    // refused loudly at commit instead
+    val err = intercept[UnsupportedOperationException] {
+      AtomicWarehouse.commitEpoch(spark, wh,
+        Seq((4L, "t", 4L)).toDF("k", "title", "load_seq"), 4L)
+    }
+    assert(err.getMessage.contains("rename signature") &&
+      err.getMessage.contains("title"), err.getMessage)
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 3L,
+      "the refused commit must not land")
+    // the escape hatch commits the add+drop knowingly
+    spark.conf.set("graft.schema.allowNonAdditive", "true")
+    try AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((4L, "t", 4L)).toDF("k", "title", "load_seq"), 4L)
+    finally spark.conf.unset("graft.schema.allowNonAdditive")
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == 4)
+  }
+
   test("crash between data write and manifest commit: invisible, recoverable") {
     val base = tmp("aw_crash1")
     val staging = s"$base/staging"; val wh = s"$base/wh"

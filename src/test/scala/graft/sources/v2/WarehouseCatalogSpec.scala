@@ -195,6 +195,79 @@ class WarehouseCatalogSpec extends SparkSuite {
     } finally spark.conf.unset("graft.delete.maxKeys")
   }
 
+  test("UPDATE with logPreimages serves update_preimage rows on the feed") {
+    val r = mergeRoot("whupre")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    spark.conf.set("graft.update.logPreimages", "true")
+    try spark.sql(
+      "UPDATE whupre.t SET name = concat('X-', name) WHERE k % 3 = 0")
+    finally spark.conf.unset("graft.update.logPreimages")
+    val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    // one CAS committed preimage log + postimage epoch together,
+    // preimage ordered first (Delta CDF's pre-before-post row order)
+    assert(names.size == 3 &&
+      AtomicWarehouse.isPreimageLog(names(1)) &&
+      names(1) == s"tombstone_noop_pre_${names(2)}" &&
+      names(2).startsWith("update_v1_"), names)
+    // the preimage log is invisible to everything but the CDF read: the
+    // log view serves 10 inserts + 3 postimages (13, not 16), and the
+    // merged read serves the 10 winners
+    assert(spark.sql("SELECT count(*) AS c FROM whupre.t").head.getLong(0)
+      == 13, "the log view must skip the preimage log")
+    assert(AtomicWarehouse.read(spark, s"$r/t", "k").count() == 10)
+    def feed(pre: Boolean) = {
+      val b = spark.read.format("graft-warehouse").option("path", s"$r/t")
+        .option("startingVersion", "1").option("readChangeFeed", "true")
+      (if (pre) b.option("includePreimages", "true") else b).load()
+    }
+    // default: no preimages (round-13 behavior unchanged)
+    assert(feed(false).where(col("_change_type") === "update_preimage")
+      .count() == 0)
+    val withPre = feed(true)
+    val pres = withPre.where(col("_change_type") === "update_preimage")
+      .select("k", "name", "load_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(pres.toSeq == Seq((3L, "n3", 1L), (6L, "n6", 1L),
+      (9L, "n9", 1L)), "preimages are the matched winners' OLD versions")
+    val posts = withPre.where(col("_change_type") === "update_postimage")
+      .select("k", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(posts.toSeq == Seq((3L, "X-n3"), (6L, "X-n6"), (9L, "X-n9")))
+    // preimages carry the UPDATE's commit version, ordered BELOW the
+    // postimage by _pos (pre-before-post)
+    val pp = withPre.select(col("_change_type"), col("_commit_version"),
+      col("_pos")).where(col("_change_type").startsWith("update"))
+      .distinct().collect()
+    assert(pp.forall(_.getLong(1) == 2L))
+    val posBy = pp.map(x => x.getString(0) -> x.getInt(2)).toMap
+    assert(posBy("update_preimage") < posBy("update_postimage"))
+    // a last-wins consumer IGNORES preimages: applying the feed with
+    // preimages included still reproduces the snapshot exactly
+    val applied = graft.ops.Merge.applyChangeFeed(
+      withPre.select(col("*"), col("_pos")), "k")
+    assert(applied.count() == 10 &&
+      applied.where(col("k") === 3L).head.getAs[String]("name") == "X-n3")
+    // a STREAMING CDF tail serves the same preimage rows
+    val streamed = spark.readStream.format("graft-warehouse")
+      .option("path", s"$r/t").option("startingVersion", "1")
+      .option("readChangeFeed", "true").option("includePreimages", "true")
+      .load()
+    val sink = graft.queries.memorySinkName(spark, "upre")
+    val q = streamed.writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table(sink).where(col("_change_type") ===
+      "update_preimage").count() == 3)
+    // includePreimages without readChangeFeed refuses loudly
+    val err = intercept[Exception] {
+      spark.read.format("graft-warehouse").option("path", s"$r/t")
+        .option("includePreimages", "true").load().count()
+    }
+    assert(err.getMessage.contains("readChangeFeed") ||
+      Option(err.getCause).exists(_.getMessage.contains("readChangeFeed")))
+  }
+
   test("UPDATE appends one epoch of rewritten winners (merge-on-read)") {
     val r = mergeRoot("whupd1")
     AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,

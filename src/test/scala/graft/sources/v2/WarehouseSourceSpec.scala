@@ -778,6 +778,109 @@ class WarehouseSourceSpec extends SparkSuite {
     assert(gone.getMessage.contains("unrecoverable"))
   }
 
+  test("drain after restore never adopts the undone epoch dir") {
+    // RESTORE lowers the maxLoadSeq floor, so the NEXT drain naturally
+    // re-uses an undone sequence number. The undone `epoch_<seq>` dir is
+    // still on disk (time travel), and publishData's adopt branch ("a
+    // complete same-name dir is a concurrent replay's publish") would
+    // silently commit the OLD epoch's rows while discarding the fresh
+    // ones. The commit must disambiguate instead.
+    val dir = freshDir("restoreadopt")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 15, 2L), 2L) // v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(16, 30, 3L), 3L) // v3
+    AtomicWarehouse.restore(spark, dir, 2L) // v4: undoes epoch_3
+    assert(AtomicWarehouse.maxLoadSeq(spark, dir).contains(2L))
+    // the natural recovery drain: seq 3 again, DIFFERENT rows
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(100, 104, 3L), 3L)
+    val back = connRead(dir)
+    assert(back.count() == 20, "15 restored rows + 5 corrected rows")
+    assert(back.where(col("k") >= 100).count() == 5,
+      "the corrected drain's rows must be served")
+    assert(back.where(col("k") >= 16 && col("k") <= 30).count() == 0,
+      "the undone epoch's rows must NOT resurrect via dir adoption")
+    // the commit disambiguated rather than touching the historical dir
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.contains("epoch_3__r1"), s"entries: $names")
+    // time travel still serves the undone version's original rows
+    assert(connRead(dir, "version" -> "3").count() == 30)
+    // replaying the same drain converges on the disambiguated name
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(100, 104, 3L), 3L)
+    assert(connRead(dir).count() == 20)
+    assert(AtomicWarehouse.committedEpochs(spark, dir) == names)
+  }
+
+  test("CDC mirror: delete-only batch leaves a marker; bad key type refuses") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mirror = freshDir("cdcmark") + "/mirror"
+    AtomicWarehouse.commitEpoch(spark, mirror, typedRows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    val batchSchema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("load_seq", LongType), StructField("_change_type",
+        StringType), StructField("_pos", LongType)))
+    val delOnly = spark.createDataFrame(
+      java.util.List.of(Row(5L, null, 2L, "delete", 10L)), batchSchema)
+    graft.ops.Merge.replicateChangeFeedBatch(delOnly, 7L, mirror, "k")
+    assert(connRead(mirror).count() == 9, "key 5 purged")
+    val names = AtomicWarehouse.committedEpochs(spark, mirror)
+    assert(names.contains("cdc_b7"),
+      s"a delete-only batch must still commit its exactly-once marker " +
+        s"(zero-row epoch): $names")
+    val nTombs = names.count(AtomicWarehouse.isTombstone)
+    assert(nTombs == 1)
+    // another commit lands between the apply and a foreachBatch REPLAY —
+    // pre-fix, the replay re-purged under a new (baseV, digest) name and
+    // tombstones accumulated on every retry
+    AtomicWarehouse.commitEpoch(spark, mirror, typedRows(11, 12, 3L), 3L)
+    val vBefore = AtomicWarehouse.currentVersion(spark, mirror)
+    graft.ops.Merge.replicateChangeFeedBatch(delOnly, 7L, mirror, "k")
+    assert(AtomicWarehouse.currentVersion(spark, mirror) == vBefore,
+      "a replayed batch with its marker present must be a pure no-op")
+    assert(AtomicWarehouse.committedEpochs(spark, mirror)
+      .count(AtomicWarehouse.isTombstone) == 1, "no duplicate tombstones")
+    // fractional keys have no canonical purge rendering: refuse loudly
+    val badKey = spark.createDataFrame(
+      java.util.List.of(Row(1.5, "x", 2L, "delete", 10L)),
+      StructType(Seq(StructField("k", DoubleType),
+        StructField("name", StringType), StructField("load_seq", LongType),
+        StructField("_change_type", StringType),
+        StructField("_pos", LongType))))
+    val err = intercept[UnsupportedOperationException] {
+      graft.ops.Merge.replicateChangeFeedBatch(badKey, 8L, mirror, "k")
+    }
+    assert(err.getMessage.contains("unsupported type"))
+  }
+
+  test("restore FORWARD across a compact refuses the feed") {
+    // A restore forward to a previously-compacted state re-adds the
+    // compact entry — but also removes epochs committed AFTER that
+    // compact (rows consumers were served that the fold does NOT
+    // contain). "Any new compact explains all removals" sailed across
+    // this rollback; only the removals the fold actually folded
+    // (the entries at its base manifest) are explained.
+    val dir = freshDir("restorefwd")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(11, 15, 2L), 2L) // v2
+    AtomicWarehouse.compact(spark, dir, "k") // v3: compact_v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(16, 20, 4L), 4L) // v4
+    AtomicWarehouse.restore(spark, dir, 2L) // v5: back before the fold
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(21, 25, 5L), 5L) // v6
+    AtomicWarehouse.restore(spark, dir, 4L) // v7: FORWARD to [compact_v2, epoch_4]
+    // the feed crossing v7 loses epoch_5's rows (21..25) — must refuse
+    val err = intercept[UnsupportedOperationException] {
+      connRead(dir, "startingVersion" -> "6").count()
+    }
+    assert(err.getMessage.contains("ROLLBACK"))
+    assert(err.getMessage.contains("epoch_5"),
+      s"the unexplained removal must be named: ${err.getMessage}")
+    // a LEGIT fold still serves without refusal: the walk across v3
+    // (compact_v2 folding epoch_1+epoch_2) explains its removals
+    assert(connRead(dir, "startingVersion" -> "1",
+      "endingVersion" -> "4").count() == 20) // epochs 1,2,4; fold skipped
+  }
+
   test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
     // named entries (insert_*/merge_* — the SQL writers' collision-free
     // namespace) are NEW data and must ride the tail; round 10's
