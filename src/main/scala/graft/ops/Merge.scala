@@ -61,14 +61,26 @@ object Merge {
         "(.select(col(\"*\"), col(\"_pos\")))")
     // 'update_postimage' (a SQL UPDATE's new row versions — Delta CDF's
     // typing) upserts exactly like an insert under last-wins: the
-    // appended epoch IS the post-image
+    // appended epoch IS the post-image. 'update_preimage' rows (served
+    // behind includePreimages) are audit-only — a preimage is an OLD
+    // version the feed also served as its original insert/postimage, so
+    // merging it would be double-counting; ignored here (pinned).
     val inserts = feed.where(
       col("_change_type").isin("insert", "update_postimage"))
+    // COMPOSITE key ("k1,k2"): delete rows carry every part column
+    // populated; match on the engine's null-propagating rendering
+    val parts = graft.sinks.AtomicWarehouse.keyParts(key)
+    def keyExpr(d: org.apache.spark.sql.DataFrame) =
+      if (parts.size == 1) d(key)
+      else concat(parts.map(p => d(p).cast("string"))
+        .flatMap(c => Seq(lit(graft.sinks.AtomicWarehouse.CompositeSep), c))
+        .drop(1): _*)
     val dels = feed.where(col("_change_type") === "delete")
-      .select(col(key).as("__dk"), col("_pos").as("__dpos"))
+      .select(keyExpr(feed).as("__dk"), col("_pos").as("__dpos"))
     val alive = inserts.join(broadcast(dels),
-      col(key) === col("__dk") && col("__dpos") > col("_pos"), "left_anti")
-    val w = Window.partitionBy(col(key))
+      keyExpr(inserts) === col("__dk") && col("__dpos") > col("_pos"),
+      "left_anti")
+    val w = Window.partitionBy(parts.map(col): _*)
       .orderBy(col("load_seq").desc, col("_pos").desc)
     alive.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
@@ -125,21 +137,32 @@ object Merge {
     if (AtomicWarehouse.currentVersion(spark, mirrorDir) > 0 &&
         AtomicWarehouse.committedEpochs(spark, mirrorDir)
           .contains(epochName)) return // replayed batch: fully applied
-    val keyTyp = batch.schema(key).dataType match {
+    val keyPartsSeq = graft.sinks.AtomicWarehouse.keyParts(key)
+    def typOf(part: String) = batch.schema(part).dataType match {
       case org.apache.spark.sql.types.StringType => "string"
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType => "long"
       case other => throw new UnsupportedOperationException(
-        s"CDC mirror key '$key' has unsupported type ${other.sql}: " +
+        s"CDC mirror key part '$part' has unsupported type ${other.sql}: " +
           "tombstone key lists are typed integral-or-string (fractional " +
           "and complex keys have no canonical rendering for the purge " +
           "anti-join) — cast the key upstream")
     }
+    // composite keys ("k1,k2") purge by the engine's null-propagating
+    // string rendering; single keys by their column's type
+    val keyTyp =
+      if (keyPartsSeq.size > 1) { keyPartsSeq.foreach(typOf); "string" }
+      else typOf(key)
+    val delKeyExpr =
+      if (keyPartsSeq.size == 1) col(key).cast("string")
+      else concat(keyPartsSeq.map(p => col(p).cast("string"))
+        .flatMap(c => Seq(lit(graft.sinks.AtomicWarehouse.CompositeSep), c))
+        .drop(1): _*)
     val maxKeys = spark.conf.get("graft.delete.maxKeys", "100000").toInt
     val delKeys = batch.where(col("_change_type") === "delete")
-      .select(col(key).cast("string")).where(col(key).isNotNull)
+      .select(delKeyExpr.as("__dk")).where(col("__dk").isNotNull)
       .distinct().limit(maxKeys + 1)
       .collect().map(_.getString(0)).toSeq
     if (delKeys.size > maxKeys)

@@ -100,11 +100,17 @@ object RewriteWarehouseDelete extends Rule[LogicalPlan] {
       case ar: AttributeReference if targetIds.contains(ar.exprId) =>
         UnresolvedAttribute(Seq(ar.name))
     }
-    val keyType = rel.output.find(_.name == table.mergeKey)
-      .map(_.dataType.catalogString)
-      .getOrElse(refuse(s"no mergeKey column '${table.mergeKey}'"))
-    WarehouseDeleteCommand(table.dir, table.mergeKey,
-      if (keyType == "string") "string" else "long",
+    // COMPOSITE mergeKey ("k1,k2"): the tombstone stores the canonical
+    // rendering, typed string; single keys keep their column's type
+    val keyTyp =
+      if (AtomicWarehouse.keyParts(table.mergeKey).size > 1) "string"
+      else rel.output.find(_.name == table.mergeKey)
+        .map(_.dataType.catalogString)
+        .getOrElse(refuse(s"no mergeKey column '${table.mergeKey}'")) match {
+          case "string" => "string"
+          case _ => "long"
+        }
+    WarehouseDeleteCommand(table.dir, table.mergeKey, keyTyp,
       MergeBranch(Some(remapped), Map.empty, srcOnly = false))
   }
 }
@@ -128,8 +134,18 @@ final case class WarehouseDeleteCommand(
     // stored key can never split in two), with null riding along as
     // its own distinct value — the null-key refusal costs no second
     // scan
+    val keyExpr = {
+      val parts = AtomicWarehouse.keyParts(mergeKey)
+      if (parts.size > 1)
+        // the engine's null-propagating composite rendering — matches
+        // what the tombstone read paths compare
+        concat(parts.map(p => col(p).cast("string"))
+          .flatMap(c => Seq(lit(AtomicWarehouse.CompositeSep), c))
+          .drop(1): _*)
+      else col(mergeKey).cast(keyTyp).cast("string")
+    }
     val collected = matched
-      .select(col(mergeKey).cast(keyTyp).cast("string"))
+      .select(keyExpr)
       .distinct()
       .limit(maxKeys + 2) // + the possible null slot + overflow probe
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))

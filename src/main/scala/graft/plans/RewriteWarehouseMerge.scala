@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, GraftBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, And => CAnd}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -97,16 +97,38 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
     val targetAttrs = rel.output
     val sourceRefs = m.sourceTable.outputSet
 
-    // ON t.<mergeKey> = <source expr> (either side order)
-    val srcKeyExpr: Expression = m.mergeCondition match {
+    // ON t.<mergeKey> = <source expr> (either side order). A COMPOSITE
+    // mergeKey ("k1,k2") takes the conjunction `t.k1 = <e1> AND
+    // t.k2 = <e2>` — every part equated exactly once, any order.
+    val keyPartNames = AtomicWarehouse.keyParts(table.mergeKey)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def partEq(e: Expression): Option[(String, Expression)] = e match {
       case EqualTo(l: AttributeReference, r)
           if targetAttrs.exists(_.exprId == l.exprId) &&
-            l.name == table.mergeKey && r.references.subsetOf(sourceRefs) => r
+            keyPartNames.contains(l.name) &&
+            r.references.subsetOf(sourceRefs) => Some(l.name -> r)
       case EqualTo(l, r: AttributeReference)
           if targetAttrs.exists(_.exprId == r.exprId) &&
-            r.name == table.mergeKey && l.references.subsetOf(sourceRefs) => l
-      case other => refuse(s"unsupported ON condition: ${other.sql}")
+            keyPartNames.contains(r.name) &&
+            l.references.subsetOf(sourceRefs) => Some(r.name -> l)
+      case _ => None
     }
+    val eqs = conjuncts(m.mergeCondition).map(c =>
+      partEq(c).getOrElse(refuse(
+        s"unsupported ON condition: ${m.mergeCondition.sql} (every " +
+          s"conjunct must equate one mergeKey part of " +
+          s"'${table.mergeKey}' with a source expression)")))
+    if (eqs.map(_._1).distinct.size != eqs.size)
+      refuse(s"ON condition equates a mergeKey part twice: " +
+        m.mergeCondition.sql)
+    val eqByPart = eqs.toMap
+    val srcKeyExprs: Seq[Expression] = keyPartNames.map(p =>
+      eqByPart.getOrElse(p, refuse(
+        s"ON condition must equate EVERY part of mergeKey " +
+          s"'${table.mergeKey}'; missing '$p'")))
 
     val targetIds = targetAttrs.map(_.exprId).toSet
     // target references resolve per-NAME against the `__t_`-prefixed
@@ -182,15 +204,15 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
         case other => refuse(
           s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
       }
-    if (bySourceDelete.nonEmpty) {
-      val keyType = targetAttrs.find(_.name == table.mergeKey)
+    if (bySourceDelete.nonEmpty) keyPartNames.foreach { part =>
+      val keyType = targetAttrs.find(_.name == part)
         .map(_.dataType).getOrElse(refuse(
-          s"target has no mergeKey column '${table.mergeKey}'"))
+          s"target has no mergeKey column '$part'"))
       if (!Seq("tinyint", "smallint", "int", "bigint", "string")
           .contains(keyType.catalogString))
         refuse("WHEN NOT MATCHED BY SOURCE THEN DELETE needs an integral " +
           s"or string mergeKey (tombstones address typed keys); " +
-          s"'${table.mergeKey}' is ${keyType.catalogString}")
+          s"'$part' is ${keyType.catalogString}")
     }
 
     if (matched.isEmpty && notMatched.isEmpty && bySourceDelete.isEmpty)
@@ -198,7 +220,7 @@ object RewriteWarehouseMerge extends Rule[LogicalPlan] {
 
     WarehouseMergeCommand(table.dir, table.mergeKey,
       targetAttrs.map(a => a.name -> a.dataType.catalogString),
-      m.sourceTable, srcKeyExpr, matched, notMatched, bySourceDelete)
+      m.sourceTable, srcKeyExprs, matched, notMatched, bySourceDelete)
   }
 }
 
@@ -218,7 +240,7 @@ final case class WarehouseMergeCommand(
     dir: String, mergeKey: String,
     targetCols: Seq[(String, String)],
     source: LogicalPlan,
-    srcKeyExpr: Expression,
+    srcKeyExprs: Seq[Expression],
     matched: Seq[MergeBranch],
     notMatched: Seq[MergeBranch],
     bySourceDelete: Seq[MergeBranch] = Nil)
@@ -273,10 +295,25 @@ final case class WarehouseMergeCommand(
     // tombstone the entire warehouse. Keys compare as the mergeKey's
     // type: long for integral keys, string for string keys (the
     // reference's video_id).
+    val keyPartNames = AtomicWarehouse.keyParts(mergeKey)
+    val composite = keyPartNames.size > 1
+    // composite keys compare as the engine's null-propagating string
+    // rendering; single keys as their column's type
     val keyTyp =
-      if (targetCols.find(_._1 == mergeKey).exists(_._2 == "string"))
+      if (composite) "string"
+      else if (targetCols.find(_._1 == mergeKey).exists(_._2 == "string"))
         "string"
       else "long"
+    def renderParts(cols: Seq[Column]): Column =
+      concat(cols.map(_.cast("string"))
+        .flatMap(c => Seq(lit(AtomicWarehouse.CompositeSep), c))
+        .drop(1): _*)
+    def srcKeyRendered: Column =
+      if (composite) renderParts(srcKeyExprs.map(GraftBridge.column))
+      else GraftBridge.column(srcKeyExprs.head).cast(keyTyp)
+    def targetKeyRendered: Column =
+      if (composite) renderParts(keyPartNames.map(p => col(s"__t_$p")))
+      else col(s"__t_$mergeKey").cast(keyTyp)
     val deleteKeys: Seq[String] =
       if (bySourceDelete.isEmpty) Nil
       else {
@@ -284,7 +321,7 @@ final case class WarehouseMergeCommand(
         val t = merged.select(merged.columns.toSeq
           .map(c => col(c).as(s"__t_$c")): _*)
         val srcKeys = src
-          .select(colOf(srcKeyExpr).cast(keyTyp).as("__sk"))
+          .select(srcKeyRendered.as("__sk"))
           .na.drop().distinct()
         if (srcKeys.isEmpty)
           throw new IllegalStateException(
@@ -298,11 +335,11 @@ final case class WarehouseMergeCommand(
         val maxKeys = spark.conf
           .get("graft.merge.maxDeleteKeys", "100000").toInt
         val keys = t.join(broadcast(srcKeys),
-            col(s"__t_$mergeKey").cast(keyTyp) === col("__sk"), "left_anti")
+            targetKeyRendered === col("__sk"), "left_anti")
           .where(anyDelete)
           // canonical rendering: long keys round-trip through the long
           // cast so "07"-style storage can never split one key in two
-          .select(col(s"__t_$mergeKey").cast(keyTyp).cast("string"))
+          .select(targetKeyRendered.cast("string"))
           .na.drop().distinct()
           .limit(maxKeys + 1) // bounds the collect: never a table's keys
           .collect().map(_.getString(0)).toSeq
@@ -329,10 +366,12 @@ final case class WarehouseMergeCommand(
         val merged = AtomicWarehouse.read(spark, dir, mergeKey)
         val t = merged.select(merged.columns.toSeq
           .map(c => col(c).as(s"__t_$c")): _*)
-        val srcKey = GraftBridge.column(srcKeyExpr)
-        val joined = src.join(t, srcKey === col(s"__t_$mergeKey"),
-          "left_outer")
-        val isMatched = col(s"__t_$mergeKey").isNotNull
+        val joinCond = srcKeyExprs.zip(keyPartNames).map { case (e, p) =>
+          GraftBridge.column(e) === col(s"__t_$p")
+        }.reduce(_ && _)
+        val joined = src.join(t, joinCond, "left_outer")
+        val isMatched = keyPartNames.map(p => col(s"__t_$p").isNotNull)
+          .reduce(_ && _)
         // FIRST-MATCH-WINS branch selection, per Spark MERGE semantics:
         // nested WHEN chains pick the earliest accepting branch; a row
         // no branch accepts is not actionable and appends nothing
@@ -368,7 +407,8 @@ final case class WarehouseMergeCommand(
     // self-sequencing writer derives its floor from the manifest alone.
     val baseV = AtomicWarehouse.currentVersion(spark, dir)
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest((source.canonicalized.toString + srcKeyExpr.canonicalized +
+      .digest((source.canonicalized.toString +
+          srcKeyExprs.map(_.canonicalized).mkString(";") +
           matched.toString + notMatched.toString + bySourceDelete.toString)
         .getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(8)

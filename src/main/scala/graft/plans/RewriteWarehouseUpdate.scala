@@ -85,10 +85,11 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
         case ar: AttributeReference => ar.name
         case other => refuse(s"unsupported assignment target: $other")
       }
-      if (name == table.mergeKey)
-        refuse(s"assigning the mergeKey '$name' renames row identity — " +
-          "the old key's latest version would survive; express a rename " +
-          "as MERGE INSERT of the new key + DELETE (purge) of the old")
+      if (AtomicWarehouse.keyParts(table.mergeKey).contains(name))
+        refuse(s"assigning the mergeKey part '$name' renames row " +
+          "identity — the old key's latest version would survive; " +
+          "express a rename as MERGE INSERT of the new key + DELETE " +
+          "(purge) of the old")
       if (name == "load_seq")
         refuse("load_seq is system-maintained (maxLoadSeq + 1)")
       name -> remap(as.value)

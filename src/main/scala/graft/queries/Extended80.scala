@@ -87,5 +87,86 @@ object Extended80 {
       col("_change_type"), col("_commit_version"))
   }
 
-  val all: Seq[Q] = Seq(c80UpdatePreimageFeed)
+  /** C82 — COMPOSITE MERGE KEYS (`mergeKey = "okey,line"`) through the
+    * whole warehouse lattice: last-wins read merge on the multi-column
+    * identity, SQL UPDATE, predicate DELETE (a deferred tombstone whose
+    * key list stores the engine's null-propagating composite rendering
+    * — [[graft.sinks.AtomicWarehouse.purgeCompositeKeysDeferred]]),
+    * MERGE INTO with the `ON t.k1 = s.e1 AND t.k2 = s.e2` conjunction
+    * (update + insert), and the row-level change feed (delete rows
+    * carry EVERY key-part column populated;
+    * [[graft.ops.Merge.applyChangeFeed]] merges on the parts). The
+    * reference's key is single (`video_id`), but every warehouse this
+    * engine imitates supports compound identities — (l_orderkey,
+    * l_linenumber) is exactly the natural key the lineitem table needs.
+    *
+    * Scale: the rendering exists ONLY inside tombstone key lists
+    * (O(purged keys)); data files never store it — reads partition the
+    * merge window by the part columns, per-part zone maps + blooms
+    * prune purge suppression exactly like single keys. */
+  val c82CompositeMergeKey = q("c82_composite_merge_key",
+    """WITH li AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+      |         CAST(l_linenumber AS BIGINT) AS line,
+      |         MAX(CAST(l_quantity AS BIGINT)) AS qty
+      |  FROM lineitem WHERE l_orderkey % 50 = 0
+      |  GROUP BY 1, 2)
+      |SELECT okey, line, qty FROM (
+      |  SELECT okey, line,
+      |         CASE WHEN line = 3 THEN CAST(-1 AS BIGINT)
+      |              WHEN line = 1 THEN qty + 100
+      |              ELSE qty END AS qty
+      |  FROM li WHERE NOT (okey % 100 = 0 AND line = 2)
+      |  UNION ALL
+      |  SELECT DISTINCT okey + 10000000, CAST(0 AS BIGINT),
+      |         CAST(555 AS BIGINT)
+      |  FROM li WHERE line = 3)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c82")
+    s.conf.set("spark.sql.catalog.whc82", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc82.root", root)
+    s.conf.set("spark.sql.catalog.whc82.mergeKey", "okey,line")
+    val dir = s"$root/t"
+    val key = "okey,line"
+    val li = Tables.lineitem(s, d).where(col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey").cast("long").as("okey"),
+        col("l_linenumber").cast("long").as("line"))
+      .agg(max(col("l_quantity").cast("long")).as("qty"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      li.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some(key), bloomKey = Some(key)) // v1
+    s.sql("UPDATE whc82.t SET qty = qty + 100 WHERE line = 1") // v2
+    s.sql("DELETE FROM whc82.t WHERE okey % 100 = 0 AND line = 2") // v3
+    require(AtomicWarehouse.committedEpochs(s, dir)
+      .exists(AtomicWarehouse.isTombstone),
+      "the composite predicate DELETE must commit a deferred tombstone")
+    li.where(col("line") === 3)
+      .select(col("okey").as("g"), col("line").as("i"))
+      .withColumn("q", lit(-1L))
+      .unionByName(li.where(col("line") === 3)
+        .select((col("okey") + 10000000L).as("g"), lit(0L).as("i"),
+          lit(555L).as("q")).distinct())
+      .createOrReplaceTempView("c82_src")
+    s.sql(
+      """MERGE INTO whc82.t AS t USING c82_src AS s
+        |ON t.okey = s.g AND t.line = s.i
+        |WHEN MATCHED THEN UPDATE SET qty = s.q
+        |WHEN NOT MATCHED THEN INSERT (okey, line, qty)
+        |VALUES (s.g, s.i, s.q)""".stripMargin) // v4
+    val merged = AtomicWarehouse.read(s, dir, key)
+    // the composite feed round-trips: delete rows carry both key parts,
+    // applyChangeFeed merges on them and reproduces the snapshot
+    val feed = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load().select(col("*"), col("_pos"))
+    val applied = graft.ops.Merge.applyChangeFeed(feed, key)
+      .select("okey", "line", "qty")
+    val engine = merged.select("okey", "line", "qty")
+    require(applied.exceptAll(engine).isEmpty &&
+      engine.exceptAll(applied).isEmpty,
+      "composite applyChangeFeed must reproduce the engine snapshot")
+    engine
+  }
+
+  val all: Seq[Q] = Seq(c80UpdatePreimageFeed, c82CompositeMergeKey)
 }

@@ -499,7 +499,7 @@ object AtomicWarehouse {
     // filtered column is version-stable per key, so the filter drops ALL
     // versions of a key or none and the merge winner is unchanged.
     val filtered = preFilter.map(union.where).getOrElse(union)
-    val w = Window.partitionBy(col(key))
+    val w = Window.partitionBy(keyParts(key).map(col): _*)
       .orderBy(col("load_seq").desc, col("__pos").desc)
     filtered.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn", "__pos")
@@ -559,13 +559,13 @@ object AtomicWarehouse {
             // try_cast: a long tombstone over string-keyed rows matches
             // the castable ones and (under ANSI) must not throw on the
             // rest — a non-numeric key is never a long purge target
-            col(key).try_cast(LongType) === col("__tk") &&
+            keyCol(key, "long") === col("__tk") &&
               col("__tpos") > col("__pos"), "left_anti")
         }
         val ks = strRows.result()
         if (ks.isEmpty) afterLong
         else afterLong.join(broadcast(ks.toDF("__tks", "__tspos")),
-          col(key).cast("string") === col("__tks") &&
+          keyCol(key, "string") === col("__tks") &&
             col("__tspos") > col("__pos"), "left_anti")
       }
     union
@@ -594,7 +594,7 @@ object AtomicWarehouse {
     // predates it: those rows hold null keys, which are never purge
     // targets — no drop can apply, read the union directly
     val lv =
-      if (union0.columns.contains(key))
+      if (keyParts(key).forall(union0.columns.contains))
         logViewWithPos(spark, dir, key, entries, scanned)
       else union0
     val r = lv.agg(min(col(c)), max(col(c))).head()
@@ -1282,8 +1282,14 @@ object AtomicWarehouse {
   }
 
   private def statsAndBloomOf(spark: SparkSession, path: String,
-      cols: Seq[String], bloomKey: Option[String],
+      cols0: Seq[String], bloomKey0: Option[String],
       needCount: Boolean = false): (Map[String, ColStats], Long) = {
+    // COMPOSITE keys expand to their parts here, once, for every commit
+    // path: zone maps + blooms are recorded PER PART column (the
+    // rendering is never stored), and [[pointMayHold]] prunes per part
+    val cols = cols0.flatMap(keyParts).distinct
+    val bloomKey = bloomKey0.map(bk => keyParts(bk).head)
+    val bloomExtra = bloomKey0.toSeq.flatMap(bk => keyParts(bk).drop(1))
     // MULTI-COLUMN ZONE MAPS BY DEFAULT: beyond the caller-declared
     // stats columns, every stats-eligible column in the epoch's schema
     // gets footer-derived min/max recorded (best-effort — see
@@ -1316,7 +1322,11 @@ object AtomicWarehouse {
           filesStatOf(spark, path)
         val bloom = bloomKey.map(k =>
           buildBlooms(spark, schema, path, k, bloomN.getOrElse(0L)))
-          .getOrElse(Map.empty)
+          .getOrElse(Map.empty) ++
+          // remaining composite-key parts: sized by the row count (the
+          // per-column non-null count was only footer-derived for the
+          // first part) — conservative, still O(rows) one pass each
+          bloomExtra.flatMap(k => buildBlooms(spark, schema, path, k, total))
         return (base ++ bloom, total)
       case None => // outside the footer contract: aggregate scan below
     }
@@ -1365,7 +1375,8 @@ object AtomicWarehouse {
     val total = r.getLong(statAggs.size)
     val bloom = bloomKey.map(k =>
       buildBlooms(spark, df.schema, path, k, r.getLong(statAggs.size + 1)))
-      .getOrElse(Map.empty)
+      .getOrElse(Map.empty) ++
+      bloomExtra.flatMap(k => buildBlooms(spark, df.schema, path, k, total))
     (colStats ++ bloom, total)
   }
 
@@ -1970,8 +1981,42 @@ object AtomicWarehouse {
     * THROWS on non-numeric strings, but a long purge over a
     * string-keyed epoch must simply match nothing there (null never
     * equals a key). */
-  private def keyCol(key: String, typ: String): org.apache.spark.sql.Column =
-    if (typ == "long") col(key).try_cast(LongType) else col(key).cast("string")
+  /** COMPOSITE merge keys: `"k1,k2"` names a multi-column row identity.
+    * Split into parts; a single-part key is the (unchanged) common
+    * case. Every composite path routes through [[compositeCol]]'s
+    * canonical rendering, so the whole single-key lattice (string
+    * tombstones, purge key lists, suppression counts, feeds) carries
+    * over without a second code path. */
+  private[graft] def keyParts(key: String): Seq[String] =
+    key.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Composite-key separator: U+0001, below every printable character,
+    * so renderings order part-wise; key parts must not contain it (an
+    * unprintable control byte in a join key is corrupt data upstream). */
+  private[graft] val CompositeSep = "\u0001"
+
+  /** The canonical rendering of a composite key: parts cast to string,
+    * joined by [[CompositeSep]] via null-PROPAGATING concat — a row
+    * with ANY null part has a null composite key, and null keys are
+    * never purge targets nor merge-identity (each null-keyed row is its
+    * own group), the same null contract as single keys. */
+  private[graft] def compositeCol(parts: Seq[String])
+      : org.apache.spark.sql.Column =
+    concat(parts.map(p => col(p).cast("string"))
+      .flatMap(c => Seq(lit(CompositeSep), c)).drop(1): _*)
+
+  private def keyCol(key: String, typ: String): org.apache.spark.sql.Column = {
+    val parts = keyParts(key)
+    // a composite rendering is a string; under typ "long" (a long
+    // tombstone met a composite read — a misuse state) try_cast keeps
+    // the comparison inert instead of ANSI-throwing
+    if (parts.size > 1) {
+      if (typ == "long") compositeCol(parts).try_cast(LongType)
+      else compositeCol(parts)
+    }
+    else if (typ == "long") col(key).try_cast(LongType)
+    else col(key).cast("string")
+  }
 
   /** The keys as Spark literals of the comparison type. */
   private def keyLits(typ: String, ks: Seq[String]): Seq[Any] =
@@ -2143,6 +2188,27 @@ object AtomicWarehouse {
     // declared cadence too, or T runs unbounded until the next drain
     maybeAutoCompact(spark, dir)
     n
+  }
+
+  /** Deferred purge by COMPOSITE key (`key = "k1,k2"`): each element of
+    * `keys` lists the part values in [[keyParts]] order, rendered
+    * canonically (a long part's decimal form — exactly what
+    * `cast(part AS STRING)` produces). The tombstone stores ONE string
+    * column named with the composite key, holding the
+    * [[CompositeSep]]-joined renderings; every read path suppresses by
+    * comparing the same null-propagating rendering computed from the
+    * part columns, and per-part zone maps + blooms prune the affected
+    * epochs. All other purge contracts (O(keys) driver-sized lists,
+    * manifest-CAS commit, suppression counts for metadata COUNT) carry
+    * over verbatim. */
+  def purgeCompositeKeysDeferred(spark: SparkSession, dir: String,
+      key: String, keys: Seq[Seq[String]]): Int = {
+    val parts = keyParts(key)
+    require(parts.size > 1, s"'$key' is not a composite key")
+    require(keys.forall(_.size == parts.size),
+      s"every purge key must carry ${parts.size} parts (${parts.mkString(",")})")
+    purgeKeysDeferredTyped(spark, dir, key, "string",
+      keys.map(_.mkString(CompositeSep)))
   }
 
   /** Strip suppression bookkeeping from tombstone entries whose counts
@@ -2629,6 +2695,19 @@ object AtomicWarehouse {
     * O(E·k) cheap probes, not O(E·k) deserializations. */
   private[graft] def pointMayHold(e: EpochEntry, key: String,
       typ: String): String => Boolean = {
+    // COMPOSITE key: split the rendering and prune each part against
+    // its own column's zone map + bloom — all parts must possibly hold
+    // their value for the entry to possibly hold the composite row.
+    // A rendering with a missing part (corrupt) conservatively passes.
+    val parts = keyParts(key)
+    if (parts.size > 1) {
+      val perPart = parts.map(p => pointMayHold(e, p, "string"))
+      return (v: String) => {
+        val vs = v.split(CompositeSep, -1)
+        vs.length != parts.size ||
+          perPart.zip(vs).forall { case (f, pv) => f(pv) }
+      }
+    }
     val st = e.statsFor(key, key)
     val longBloom =
       e.stats.get(bloomStatsCol(key)).map(s => deserializeBloom(s.mn))

@@ -1916,6 +1916,25 @@ class WarehouseReaderFactory(required: StructType,
             case _ => null
           }
         }
+      /** COMPOSITE tombstone (keyCol "k1,k2"): the rendering splits back
+        * into its parts, each coerced to ITS column's type — the delete
+        * row carries every key-part column populated, so a consumer
+        * anti-joining on the parts retracts exactly the engine's rows. */
+      private val keyCols = AtomicWarehouse.keyParts(d.keyCol)
+      private def partAt(dt: DataType, partIdx: Int, j: Int): Any = {
+        if (j < d.keys.length) return null // composite keys are strings
+        val vs = d.strKeys(j - d.keys.length)
+          .split(AtomicWarehouse.CompositeSep, -1)
+        if (vs.length != keyCols.size) return null
+        val s = vs(partIdx)
+        dt match {
+          case StringType => UTF8String.fromString(s)
+          case LongType => AtomicWarehouse.sparkLongCast(s).orNull
+          case IntegerType => AtomicWarehouse.sparkLongCast(s)
+            .collect { case k if k.isValidInt => k.toInt }.orNull
+          case _ => null
+        }
+      }
       private val getters: Array[Int => Any] = required.fields.map { f =>
         if (f.name == WarehouseConnector.PosColumn) (_: Int) => d.pos
         else if (f.name == WarehouseConnector.ChangeTypeColumn) {
@@ -1924,7 +1943,10 @@ class WarehouseReaderFactory(required: StructType,
           (_: Int) => d.commitVersion
         else if (f.name == WarehouseConnector.CommitTimestampColumn)
           (_: Int) => d.commitTsMicros
-        else if (f.name == d.keyCol) (j: Int) => keyAt(f.dataType, j)
+        else if (keyCols.size > 1 && keyCols.contains(f.name)) {
+          val pi = keyCols.indexOf(f.name)
+          (j: Int) => partAt(f.dataType, pi, j)
+        } else if (f.name == d.keyCol) (j: Int) => keyAt(f.dataType, j)
         else (_: Int) => null
       }
       override def next(): Boolean = { i += 1; i < total }
@@ -1984,7 +2006,8 @@ class WarehouseReaderFactory(required: StructType,
     // the query didn't project them — appended to the read schema (and
     // never emitted); a column absent from this file's footer means the
     // epoch predates it, so its rows hold null keys and no drop applies
-    val dropExtra: Seq[String] = drops.map(_._1).toSeq.distinct
+    val dropExtra: Seq[String] = drops.map(_._1).toSeq
+      .flatMap(AtomicWarehouse.keyParts).distinct
       .filter(c => !partMap.contains(c) && footerSchema.containsField(c) &&
         !present.exists(_.name == c))
     val projected = new MessageType("spark_schema",
@@ -2103,14 +2126,55 @@ class WarehouseReaderFactory(required: StructType,
     // rendering — a numeric column's value matches its decimal form);
     // rows with null/unparseable keys never match (null keys are never
     // purge targets).
-    val dropChecks: Array[Group => Boolean] = drops.flatMap {
-      case (c, keys, strKeys) =>
-        def colIdx: Int = present.indexWhere(_.name == c) match {
-          case -1 =>
-            val j = dropExtra.indexOf(c)
-            if (j < 0) -1 else present.size + j
-          case i => i
+    def idxOf(c: String): Int = present.indexWhere(_.name == c) match {
+      case -1 =>
+        val j = dropExtra.indexOf(c)
+        if (j < 0) -1 else present.size + j
+      case i => i
+    }
+    // COMPOSITE tombstones (keyCol = "k1,k2"): render each part to its
+    // canonical string (hive-partition constant, decoded string, or
+    // decimal form of a numeric), join with the engine's separator, and
+    // compare the rendering — exactly the null-propagating composite
+    // the engine's merged read suppresses (a null/absent part means the
+    // row's composite key is null, never a purge target).
+    val compositeChecks: Array[Group => Boolean] = drops.collect {
+      case (c, _, strKeys) if AtomicWarehouse.keyParts(c).size > 1 &&
+          strKeys.nonEmpty =>
+        val parts = AtomicWarehouse.keyParts(c)
+        val keySet = new java.util.HashSet[String](
+          java.util.Arrays.asList(strKeys: _*))
+        val renderers: Seq[Group => Option[String]] = parts.map { pc =>
+          partMap.get(pc) match {
+            case Some(raw) => (_: Group) => Some(raw)
+            case None =>
+              val idx = idxOf(pc)
+              if (idx < 0) (_: Group) => None // epoch predates the column
+              else {
+                val pt = projected.getType(idx).asPrimitiveType()
+                  .getPrimitiveTypeName
+                val render: Group => Option[String] = pt match {
+                  case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                    g => Some(g.getString(idx, 0))
+                  case INT64 => g => Some(g.getLong(idx, 0).toString)
+                  case INT32 => g => Some(g.getInteger(idx, 0).toString)
+                  case _ => _ => None
+                }
+                g => if (g.getFieldRepetitionCount(idx) > 0) render(g)
+                  else None
+              }
+          }
         }
+        (g: Group) => {
+          val vs = renderers.map(_(g))
+          vs.forall(_.isDefined) &&
+            keySet.contains(vs.flatten.mkString(AtomicWarehouse.CompositeSep))
+        }
+    }
+    val dropChecks: Array[Group => Boolean] = compositeChecks ++ drops
+      .filter(d => AtomicWarehouse.keyParts(d._1).size == 1).flatMap {
+      case (c, keys, strKeys) =>
+        def colIdx: Int = idxOf(c)
         val longCheck: Option[Group => Boolean] =
           if (keys.isEmpty) None
           else {

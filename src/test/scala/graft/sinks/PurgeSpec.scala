@@ -35,6 +35,68 @@ class PurgeSpec extends SparkSuite {
     assert(read.where(col("k") === 80).head.getAs[Long]("load_seq") == 2L)
   }
 
+  test("composite merge key: merged read, deferred purge, re-add, null parts") {
+    val dir = freshDir("composite")
+    val key = "grp,id"
+    def cRows(seq: Long, triples: (String, java.lang.Long, String)*) =
+      triples.toSeq.toDF("grp", "id", "name").withColumn("load_seq", lit(seq))
+    AtomicWarehouse.commitEpoch(spark, dir,
+      cRows(1L, ("a", 1L, "a1"), ("a", 2L, "a2"), ("b", 1L, "b1"),
+        ("b", 2L, "b2"), (null, 5L, "null-grp"), ("c", null, "null-id")),
+      1L, statsKey = Some(key), bloomKey = Some(key)) // v1
+    // last-wins on the COMPOSITE identity: (a,1) gets a newer version;
+    // a second null-part row is its OWN group (null keys never merge)
+    AtomicWarehouse.commitEpoch(spark, dir,
+      cRows(2L, ("a", 1L, "a1-v2"), (null, 5L, "null-grp-2")),
+      2L, statsKey = Some(key), bloomKey = Some(key)) // v2
+    val read1 = AtomicWarehouse.read(spark, dir, key)
+    // merged: 4 non-null identities + the (null,5) group (last-wins
+    // groups nulls together, SQL grouping semantics — same as the
+    // single-key window) + (c,null)
+    assert(read1.count() == 6)
+    assert(read1.where(col("grp") === "a" && col("id") === 1L)
+      .head.getAs[String]("name") == "a1-v2")
+    // deferred purge by composite key: (a,1) and (b,2) retract; (b,1)
+    // and all null-part rows survive (null parts are never targets)
+    AtomicWarehouse.purgeCompositeKeysDeferred(spark, dir, key,
+      Seq(Seq("a", "1"), Seq("b", "2"))) // v3
+    val read2 = AtomicWarehouse.read(spark, dir, key)
+    assert(read2.count() == 4)
+    assert(read2.where(col("grp") === "a" && col("id") === 1L).isEmpty)
+    assert(read2.where(col("grp") === "b" && col("id") === 2L).isEmpty)
+    assert(read2.where(col("grp").isNull || col("id").isNull).count() == 2)
+    // a later re-add of a purged composite key survives the tombstone
+    AtomicWarehouse.commitEpoch(spark, dir,
+      cRows(4L, ("a", 1L, "a1-reborn")), 4L,
+      statsKey = Some(key), bloomKey = Some(key)) // v4
+    val read3 = AtomicWarehouse.read(spark, dir, key)
+    assert(read3.where(col("grp") === "a" && col("id") === 1L)
+      .head.getAs[String]("name") == "a1-reborn")
+    // the CONNECTOR's snapshot read applies the composite drops in the
+    // executor-side Group reader (same logical content as the engine)
+    // 9 committed row versions − 3 suppressed ((a,1)@v1, (a,1)@v2,
+    // (b,2)@v1); the v4 re-add post-dates the tombstone and survives
+    val conn = spark.read.format("graft-warehouse").option("path", dir).load()
+    assert(conn.count() == 6,
+      s"connector log view with composite drops: ${conn.count()}")
+    // the row-level change feed serves the composite delete with EVERY
+    // key-part column populated, and applyChangeFeed reproduces the
+    // engine's snapshot (delete → re-add ordering resolved by _pos)
+    val feed = spark.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load().select(col("*"), col("_pos"))
+    val delRows = feed.where(col("_change_type") === "delete")
+      .select("grp", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(delRows == Set(("a", 1L), ("b", 2L)))
+    val applied = graft.ops.Merge.applyChangeFeed(feed, key)
+      .select("grp", "id", "name", "load_seq")
+    val engine = read3.select("grp", "id", "name", "load_seq")
+    assert(applied.exceptAll(engine).isEmpty &&
+      engine.exceptAll(applied).isEmpty,
+      "applied composite feed must reproduce the engine snapshot")
+  }
+
   test("only epochs that may hold the key are rewritten") {
     val dir = freshDir("selective")
     commit(dir, 1, 100, 1L)

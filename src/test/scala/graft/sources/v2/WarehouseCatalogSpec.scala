@@ -195,6 +195,73 @@ class WarehouseCatalogSpec extends SparkSuite {
     } finally spark.conf.unset("graft.delete.maxKeys")
   }
 
+  test("composite mergeKey: SQL UPDATE, predicate DELETE, MERGE, refusals") {
+    val r = java.nio.file.Files.createTempDirectory("wh_whck").toString
+    spark.conf.set("spark.sql.catalog.whck",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whck.root", r)
+    spark.conf.set("spark.sql.catalog.whck.mergeKey", "grp,id")
+    val key = "grp,id"
+    def cRows(seq: Long, triples: (String, Long, String)*) =
+      triples.toSeq.toDF("grp", "id", "name").withColumn("load_seq", lit(seq))
+    AtomicWarehouse.commitEpoch(spark, s"$r/t",
+      cRows(1L, ("a", 1L, "a1"), ("a", 2L, "a2"), ("b", 1L, "b1"),
+        ("b", 2L, "b2"), ("c", 1L, "c1")), 1L,
+      statsKey = Some(key), bloomKey = Some(key))
+    def merged = AtomicWarehouse.read(spark, s"$r/t", key)
+    // UPDATE with an arbitrary predicate over the parts
+    spark.sql("UPDATE whck.t SET name = concat('X-', name) " +
+      "WHERE grp = 'a' AND id >= 2")
+    assert(merged.where(col("grp") === "a" && col("id") === 2L)
+      .head.getAs[String]("name") == "X-a2")
+    // assigning a key PART refuses (row identity)
+    val e1 = intercept[Exception] {
+      spark.sql("UPDATE whck.t SET id = 9 WHERE grp = 'a'")
+    }
+    assert(e1.getMessage.contains("mergeKey part") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mergeKey part")))
+    // predicate DELETE → composite deferred tombstone
+    spark.sql("DELETE FROM whck.t WHERE grp = 'b' AND id = 2")
+    assert(merged.count() == 4)
+    assert(merged.where(col("grp") === "b" && col("id") === 2L).isEmpty)
+    assert(AtomicWarehouse.committedEpochs(spark, s"$r/t")
+      .exists(AtomicWarehouse.isTombstone), "composite DELETE tombstones")
+    // MERGE with the composite ON conjunction: update (a,1), insert (d,7)
+    Seq(("a", 1L, "merged-a1"), ("d", 7L, "new-d7"))
+      .toDF("g", "i", "n").createOrReplaceTempView("ck_src")
+    spark.sql(
+      """MERGE INTO whck.t AS t USING ck_src AS s
+        |ON t.grp = s.g AND t.id = s.i
+        |WHEN MATCHED THEN UPDATE SET name = s.n
+        |WHEN NOT MATCHED THEN INSERT (grp, id, name) VALUES (s.g, s.i, s.n)
+        |""".stripMargin)
+    assert(merged.count() == 5)
+    assert(merged.where(col("grp") === "a" && col("id") === 1L)
+      .head.getAs[String]("name") == "merged-a1")
+    assert(merged.where(col("grp") === "d" && col("id") === 7L)
+      .head.getAs[String]("name") == "new-d7")
+    // an ON condition missing a part refuses loudly
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO whck.t AS t USING ck_src AS s ON t.grp = s.g
+          |WHEN MATCHED THEN UPDATE SET name = s.n""".stripMargin)
+    }
+    assert(e2.getMessage.contains("EVERY part") ||
+      Option(e2.getCause).exists(_.getMessage.contains("EVERY part")))
+    // sync-MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE tombstones the
+    // composite keys the source no longer carries
+    Seq(("a", 1L), ("a", 2L), ("d", 7L)).toDF("g", "i")
+      .createOrReplaceTempView("ck_src2")
+    spark.sql(
+      """MERGE INTO whck.t AS t USING ck_src2 AS s
+        |ON t.grp = s.g AND t.id = s.i
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(merged.count() == 3)
+    assert(merged.where((col("grp") === "b" && col("id") === 1L) ||
+      (col("grp") === "c" && col("id") === 1L)).isEmpty,
+      "keys absent from the source must be tombstoned")
+  }
+
   test("UPDATE with logPreimages serves update_preimage rows on the feed") {
     val r = mergeRoot("whupre")
     AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
