@@ -168,5 +168,80 @@ object Extended80 {
     engine
   }
 
-  val all: Seq[Q] = Seq(c80UpdatePreimageFeed, c82CompositeMergeKey)
+  /** C83 — RESTORE rides the change feed as EXPLICIT RETRACTIONS
+    * behind `.option("restoreAsDeletes", true)`: each entry the
+    * rollback removed is re-planned — its own files — as
+    * `_change_type='delete'` rows at a position above the entry's
+    * insert and below every survivor, so threshold suppression
+    * (`__dpos > _pos`) retracts exactly the undone row versions while
+    * older surviving versions FALL BACK, reproducing the engine's
+    * restored snapshot (pinned in-query via
+    * [[graft.ops.Merge.applyChangeFeed]]). Delta's CDF-by-file-diff
+    * for RESTORE, on the log-structured manifest. The default remains
+    * the loud ROLLBACK refusal (c79 pins it); restore-FORWARD re-adds,
+    * undone retractions, and fold-sharing ranges still refuse — the
+    * shapes where the position argument breaks.
+    *
+    * Scale: the retraction plans O(removed entries) file reads — the
+    * rows being retracted, nothing else; zero driver-side key
+    * collection, zero scans of surviving data. */
+  val c83RestoreAsDeletes = q("c83_restore_as_deletes",
+    """WITH src AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT k, status, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, 'A' AS status, CAST(1 AS BIGINT) AS load_seq,
+      |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'B', CAST(2 AS BIGINT), 'insert', CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k + 5000000, 'C', CAST(3 AS BIGINT), 'insert',
+      |         CAST(3 AS BIGINT)
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'B', CAST(2 AS BIGINT), 'delete', CAST(4 AS BIGINT)
+      |  FROM src WHERE k % 10 = 0
+      |  UNION ALL
+      |  SELECT k + 5000000, 'C', CAST(3 AS BIGINT), 'delete',
+      |         CAST(4 AS BIGINT)
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, 'D', CAST(5 AS BIGINT), 'insert', CAST(5 AS BIGINT)
+      |  FROM src WHERE k % 25 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c83")
+    val dir = s"$root/t"
+    val src = Tables.orders(s, d).where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("long").as("k"))
+    def ep(rows: org.apache.spark.sql.DataFrame, st: String, seq: Long) =
+      AtomicWarehouse.commitEpoch(s, dir,
+        rows.withColumn("status", lit(st))
+          .withColumn("load_seq", lit(seq)), seq,
+        statsKey = Some("k"), bloomKey = Some("k"))
+    ep(src, "A", 1L) // v1
+    ep(src.where(col("k") % 10 === 0), "B", 2L) // v2
+    ep(src.select((col("k") + 5000000L).as("k")), "C", 3L) // v3
+    AtomicWarehouse.restore(s, dir, 1L) // v4: undoes epochs 2 and 3
+    ep(src.where(col("k") % 25 === 0), "D", 5L) // v5
+    val feed = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .option("restoreAsDeletes", "true")
+      .load().select(col("*"), col("_pos"))
+    // threshold retraction + fallback: applying the feed reproduces the
+    // restored-then-extended snapshot exactly
+    val applied = graft.ops.Merge.applyChangeFeed(feed, "k")
+      .select("k", "status", "load_seq")
+    val engine = AtomicWarehouse.read(s, dir, "k")
+      .select("k", "status", "load_seq")
+    require(applied.exceptAll(engine).isEmpty &&
+      engine.exceptAll(applied).isEmpty,
+      "applied restoreAsDeletes feed must reproduce the engine snapshot")
+    feed.select(col("k"), col("status"), col("load_seq"),
+      col("_change_type"), col("_commit_version"))
+  }
+
+  val all: Seq[Q] = Seq(c80UpdatePreimageFeed, c82CompositeMergeKey,
+    c83RestoreAsDeletes)
 }

@@ -558,18 +558,70 @@ object WarehouseConnector {
     * outrank a LATER re-insert folded out by the same compaction,
     * wrongly suppressing the re-added key in every `__dpos > _pos`
     * consumer merge. */
+  /** Sentinel name of a restore's delete INSTANCE of entry `n` at
+    * version `v` — distinct from `n` itself (which the feed also served
+    * as an insert), so the interleaved order assigns it its OWN
+    * position: strictly above the insert's (first appearance is
+    * earlier), strictly below every end-manifest entry (all folded
+    * names go negative). The NUL separator cannot appear in entry names. */
+  def restoreDelSentinel(n: String, v: Long): String = n + "\u0000restore" + v
+
   def cdfAddsBetween(s: Long, e: Long, ignoreDeletes: Boolean,
-      namesAt: Long => Seq[String], includePreimages: Boolean = false)
-      : (Seq[(String, Long)], Seq[(String, Long)], Seq[String]) = {
+      namesAt: Long => Seq[String], includePreimages: Boolean = false,
+      restoreAsDeletes: Boolean = false)
+      : (Seq[(String, Long)], Seq[(String, Long)], Seq[String],
+         Seq[(String, Long)]) = {
+    val restoreDels = Seq.newBuilder[(String, Long)]
     val adds = (s + 1 to e).flatMap { v =>
       val prev = namesAt(v - 1)
       // ROLLBACK detection, same contract as the stepped walk: a
-      // restore drops entries this feed may already have served
+      // restore drops entries this feed may already have served.
+      // `.option("restoreAsDeletes", true)` serves the rollback as
+      // ROW-LEVEL RETRACTIONS instead (c83): each removed DATA entry's
+      // rows become `_change_type='delete'` rows (the entry's own
+      // files, re-planned with a delete position above the insert's) —
+      // Delta's CDF-by-file-diff for RESTORE. Threshold suppression
+      // (`__dpos > _pos`) converges because every SURVIVING entry holds
+      // an end-manifest position ABOVE the delete's negative one, so a
+      // key's older surviving version falls back exactly like the
+      // engine's own merged read. Refused shapes (the cases where the
+      // position argument breaks): a restore FORWARD (re-added
+      // entries), undone RETRACTIONS (removed tombstones/rewrites —
+      // un-deleting is not expressible), and a range that also
+      // contains a compaction (folded-out survivors would sort below
+      // the delete and be wrongly suppressed).
       val rolledBack = unexplainedRemovals(prev, namesAt(v), namesAt)
-      if (rolledBack.nonEmpty && !ignoreDeletes) refuseRollback(v, rolledBack)
+      if (rolledBack.nonEmpty && !ignoreDeletes) {
+        if (!restoreAsDeletes) refuseRollback(v, rolledBack)
+        val readded = namesAt(v).filterNot(prev.toSet)
+        if (readded.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft-warehouse change feed: restoreAsDeletes cannot serve " +
+              s"the restore FORWARD at v$v (re-adds ${readded.mkString(", ")}" +
+              ") — re-added rows are indistinguishable from the copies " +
+              "already served; restart the consumer from a fresh snapshot")
+        val undoneRetractions = rolledBack.filter(n =>
+          AtomicWarehouse.isTombstone(n) || AtomicWarehouse.isPurgeRewrite(n))
+        if (undoneRetractions.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft-warehouse change feed: restoreAsDeletes cannot serve " +
+              s"the rollback at v$v — it UNDOES retractions " +
+              s"(${undoneRetractions.mkString(", ")}), and an append-only " +
+              "feed cannot un-delete; restart from a fresh snapshot")
+        rolledBack.filterNot(_.startsWith("compact_"))
+          .foreach(n => restoreDels += (n -> v))
+      }
       val prevSet = prev.toSet
       namesAt(v).filterNot(prevSet).map(_ -> v)
     }.distinctBy(_._1)
+    val rDels = restoreDels.result()
+    if (rDels.nonEmpty && adds.exists(_._1.startsWith("compact_")))
+      throw new UnsupportedOperationException(
+        "graft-warehouse change feed: restoreAsDeletes cannot share a " +
+          "version range with a COMPACTION (folded-out pre-restore " +
+          "survivors would sort below the restore's delete position and " +
+          "be wrongly suppressed) — restart from a fresh snapshot, or " +
+          "read the restore and the fold in separate ranges")
     val rewrites = adds.filter(p => AtomicWarehouse.isPurgeRewrite(p._1))
     // a CoW purge commits a NO-OP tombstone — its purge LOG, the key
     // list verbatim — in the SAME manifest version as its rewrites
@@ -606,7 +658,15 @@ object WarehouseConnector {
       (if (includePreimages) pres else Nil)
     val dels = if (ignoreDeletes) Nil else tombs
     val served = (data ++ dels).map(_._1).toSet
-    (data, dels, adds.map(_._1).filter(served))
+    // interleaved commit order, restore-delete SENTINELS spliced in at
+    // their version (after that version's additions — irrelevant in
+    // practice since a pure rollback version adds nothing)
+    val delsAt = rDels.groupBy(_._2)
+    val order = (s + 1 to e).flatMap { v =>
+      adds.filter(p => p._2 == v && served(p._1)).map(_._1) ++
+        delsAt.getOrElse(v, Nil).map(p => restoreDelSentinel(p._1, v))
+    }
+    (data, dels, order, rDels)
   }
 
   /** Spark's own FilePartition BIN-PACKING applied to the connector's
@@ -1087,11 +1147,16 @@ class WarehouseTable(val dir: String, version: Option[Long],
     require(!includePreimages || cdf,
       "includePreimages requires .option(\"readChangeFeed\", true) — " +
         "preimages are row-level change-feed rows")
+    val restoreAsDeletes = options.getBoolean("restoreAsDeletes", false)
+    require(!restoreAsDeletes || cdf,
+      "restoreAsDeletes requires .option(\"readChangeFeed\", true) — " +
+        "a restore's retractions are row-level change-feed rows")
     new WarehouseScanBuilder(dir, version, schema0, mergeKey,
       options.getInt("maxVersionsPerBatch", 0),
       options.getBoolean("ignoreDeletes", false),
       changeStart = changeStart, changeEnd = changeEnd, cdf = cdf,
-      includePreimages = includePreimages)
+      includePreimages = includePreimages,
+      restoreAsDeletes = restoreAsDeletes)
   }
   /** Write options default to the CREATE TABLE-persisted table conf
     * (mergeKey/stats/bloom/cluster/zorder) so a SQL `INSERT INTO`
@@ -1106,7 +1171,8 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
     fullSchema: StructType, mergeKey: String, maxVersionsPerBatch: Int,
     ignoreDeletes: Boolean = false,
     changeStart: Option[Long] = None, changeEnd: Option[Long] = None,
-    cdf: Boolean = false, includePreimages: Boolean = false)
+    cdf: Boolean = false, includePreimages: Boolean = false,
+    restoreAsDeletes: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -1387,7 +1453,7 @@ class WarehouseScanBuilder(dir: String, version: Option[Long],
   override def build(): Scan =
     new WarehouseScan(dir, version, mergeKey, required, pruneFilters,
       maxVersionsPerBatch, ignoreDeletes, pushedAgg, changeStart, changeEnd,
-      cdf, includePreimages)
+      cdf, includePreimages, restoreAsDeletes)
 }
 
 class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
@@ -1395,7 +1461,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     maxVersionsPerBatch: Int, ignoreDeletes: Boolean = false,
     pushedAgg: Option[(StructType, Array[Any])] = None,
     changeStart: Option[Long] = None, changeEnd: Option[Long] = None,
-    cdf: Boolean = false, includePreimages: Boolean = false)
+    cdf: Boolean = false, includePreimages: Boolean = false,
+    restoreAsDeletes: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   import WarehouseConnector._
@@ -1485,7 +1552,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     * as `_change_type='delete'` rows, [[WarehouseConnector
     * .cdfAddsBetween]]). */
   private lazy val changePlan
-      : Option[(Seq[(String, Long)], Seq[(String, Long)], Seq[String])] =
+      : Option[(Seq[(String, Long)], Seq[(String, Long)], Seq[String],
+                Seq[(String, Long)])] =
     changeStart.map { s0 =>
       // == resolvedVersion + 1 is a legitimate empty poll ("anything
       // after what I have?"); BEYOND that is a corrupt/foreign
@@ -1501,21 +1569,21 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
       val sExcl = math.max(s0 - 1, 0L)
       if (cdf)
         WarehouseConnector.cdfAddsBetween(sExcl, resolvedVersion,
-          ignoreDeletes, at, includePreimages)
+          ignoreDeletes, at, includePreimages, restoreAsDeletes)
       else if (s0 == 0L) {
         // startingVersion = 0: the initial SNAPSHOT (end-manifest
         // content, tombstone drops applied) — the documented extension
         // beyond Delta's surface
         val d = WarehouseConnector.addedEntriesBetween(0L, resolvedVersion,
           ignoreDeletes, at).map(_ -> -1L)
-        (d, Nil, d.map(_._1))
+        (d, Nil, d.map(_._1), Nil)
       } else {
         // startingVersion >= 1: stepped walk of versions [s0, e] —
         // s0 = 1 is "everything since the table's birth", served as
         // the ORIGINAL commits (folds skipped), never the snapshot
         val d = WarehouseConnector.steppedEntriesBetween(sExcl,
           resolvedVersion, ignoreDeletes, at).map(_ -> -1L)
-        (d, Nil, d.map(_._1))
+        (d, Nil, d.map(_._1), Nil)
       }
     }
   /** Stable positions for served entries missing from the end manifest
@@ -1527,7 +1595,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     * anti-join wrongly retracts the re-added key). */
   private lazy val foldedPos: Map[String, Int] = changePlan match {
     case None => Map.empty
-    case Some((_, _, order)) =>
+    case Some((_, _, order, _)) =>
       val endNames = allEntries.map(_.name).toSet
       val folded = order.filterNot(endNames)
       val m = folded.size
@@ -1537,7 +1605,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   // key-drop lists (merge-on-read deletion vectors)
   private lazy val entries: Seq[EpochEntry] = changePlan match {
     case None => allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
-    case Some((data, _, _)) =>
+    case Some((data, _, _, _)) =>
       // an in-range entry FOLDED OUT of the end manifest (auto-compact
       // landed inside the range) is still servable — its dir outlives
       // the fold until vacuum. Synthesize a stats-less entry so its
@@ -1640,7 +1708,7 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         // keys) rows, no files opened (the keys ARE the manifest's
         // deletion vector). Residual row filters still apply Spark-side.
         val deletes: Array[InputPartition] = changePlan match {
-          case Some((_, dels, _)) if dels.nonEmpty =>
+          case Some((_, dels, _, _)) if dels.nonEmpty =>
             dels.map { case (name, v) =>
               val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
                 .getOrElse("")
@@ -1653,7 +1721,34 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
             }.toArray
           case _ => Array.empty
         }
-        packed ++ deletes
+        // restoreAsDeletes (c83): each entry a RESTORE removed is
+        // re-planned — its own files — as `_change_type='delete'` rows
+        // at the sentinel's position (above the entry's insert, below
+        // every survivor). O(removed entries) extra file reads, zero
+        // driver-side key collection.
+        val restoreDeleteFiles: Seq[(WarehouseFilePartition, Long)] =
+          changePlan match {
+            case Some((_, _, _, rDels)) if rDels.nonEmpty =>
+              val f = new Path(dir).getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              val byName = allEntries.map(en => en.name -> en).toMap
+              rDels.flatMap { case (n, v) =>
+                val dfiles = byName.get(n)
+                  .map(WarehouseConnector.entryFiles(f, dir, _))
+                  .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n))
+                val pos = foldedPos.getOrElse(
+                  WarehouseConnector.restoreDelSentinel(n, v), 0)
+                dfiles.map(file => WarehouseFilePartition(file.path,
+                  file.partValues.toArray, pos, applyDrops = false,
+                  commitVersion = v,
+                  commitTsMicros = tsOf.getOrElse(v, -1L),
+                  changeType = "delete") -> file.len)
+              }
+            case _ => Nil
+          }
+        packed ++
+          WarehouseConnector.packPartitions(spark, restoreDeleteFiles) ++
+          deletes
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1681,7 +1776,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         "own end offsets (use Trigger.AvailableNow to drain to a point)")
     new WarehouseMicroBatchStream(dir, required, pruneFilters, mergeKey,
       maxVersionsPerBatch, ignoreDeletes, startVersion = changeStart,
-      cdf = cdf, includePreimages = includePreimages)
+      cdf = cdf, includePreimages = includePreimages,
+      restoreAsDeletes = restoreAsDeletes)
   }
 }
 
@@ -2314,7 +2410,7 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     pruneFilters: Array[Filter], mergeKey: String, maxVersionsPerBatch: Int,
     ignoreDeletes: Boolean = false,
     startVersion: Option[Long] = None, cdf: Boolean = false,
-    includePreimages: Boolean = false)
+    includePreimages: Boolean = false, restoreAsDeletes: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -2433,16 +2529,17 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     // (pos, applyDrops). A CDF tail never snapshots: its batch 0 is a
     // stepped walk from the start version.
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
-    val (dataAdds, delAdds, serveOrder) =
+    val (dataAdds, delAdds, serveOrder, rDels) =
       if (cdf)
         WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt,
-          includePreimages)
+          includePreimages, restoreAsDeletes)
       else {
         if (s == 0L && snapshotAtZero)
           snapshotTombs =
             WarehouseConnector.loadTombstones(spark, dir, allEntries)
         val d = entriesToServe(s, e).map(_ -> -1L)
-        (d, Seq.empty[(String, Long)], d.map(_._1))
+        (d, Seq.empty[(String, Long)], d.map(_._1),
+          Seq.empty[(String, Long)])
       }
     // entries folded out of the END manifest mid-batch get stable
     // NEGATIVE positions in INTERLEAVED COMMIT ORDER (same contract as
@@ -2483,7 +2580,22 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         tsOf.getOrElse(v, -1L))
         : InputPartition
     }.toArray
-    WarehouseConnector.packPartitions(spark, files) ++ deletes
+    // restoreAsDeletes: a removed entry's files re-served as delete
+    // rows, same contract as the batch feed
+    val restoreDeleteFiles: Seq[(WarehouseFilePartition, Long)] =
+      rDels.flatMap { case (n, v) =>
+        val dfiles = byName.get(n)
+          .map(WarehouseConnector.entryFiles(f, dir, _))
+          .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n))
+        val pos = posFor(WarehouseConnector.restoreDelSentinel(n, v))
+        dfiles.map(file => WarehouseFilePartition(file.path,
+          file.partValues.toArray, pos, applyDrops = false,
+          commitVersion = v, commitTsMicros = tsOf.getOrElse(v, -1L),
+          changeType = "delete") -> file.len)
+      }
+    WarehouseConnector.packPartitions(spark, files) ++
+      WarehouseConnector.packPartitions(spark, restoreDeleteFiles) ++
+      deletes
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -881,6 +881,74 @@ class WarehouseSourceSpec extends SparkSuite {
       "endingVersion" -> "4").count() == 20) // epochs 1,2,4; fold skipped
   }
 
+  test("restoreAsDeletes serves a rollback as row-level retractions") {
+    val dir = freshDir("restoredel")
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(1, 10, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(5, 8, 2L), 2L) // v2
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(20, 22, 3L), 3L) // v3
+    AtomicWarehouse.restore(spark, dir, 1L) // v4: undoes epochs 2 and 3
+    AtomicWarehouse.commitEpoch(spark, dir, typedRows(5, 5, 5L), 5L) // v5
+    def feed(extra: (String, String)*) = connRead(dir,
+      (Seq("startingVersion" -> "1", "readChangeFeed" -> "true") ++
+        extra): _*).select(col("*"), col("_pos"))
+    // default unchanged: the rollback refuses
+    val err = intercept[UnsupportedOperationException] { feed().count() }
+    assert(err.getMessage.contains("ROLLBACK"))
+    val f = feed("restoreAsDeletes" -> "true")
+    // the removed entries' rows serve as delete rows at the restore's
+    // commit version — full rows, no driver key collection
+    val dels = f.where(col("_change_type") === "delete")
+    assert(dels.count() == 7, "epoch_2's 4 rows + epoch_3's 3 rows")
+    assert(dels.select("_commit_version").distinct().head.getLong(0) == 4L)
+    // threshold suppression converges: k 5..8 fall BACK to their v1
+    // versions (survivors sort above the delete), k 20..22 retract,
+    // the post-restore re-add of k=5 wins
+    val applied = graft.ops.Merge.applyChangeFeed(f, "k")
+    val engine = AtomicWarehouse.read(spark, dir, "k")
+    assert(applied.count() == 10)
+    assert(applied.select("k", "name", "load_seq")
+      .exceptAll(engine.select("k", "name", "load_seq")).isEmpty,
+      "applied feed must reproduce the engine's restored snapshot")
+    assert(applied.where(col("k") === 6L).head.getAs[Long]("load_seq") == 1L,
+      "undone keys fall back to the surviving version")
+    assert(applied.where(col("k") === 5L).head.getAs[Long]("load_seq") == 5L,
+      "a post-restore re-add wins the merge")
+    // the STREAMING CDF tail serves the same retractions
+    val sink = graft.queries.memorySinkName(spark, "rdel")
+    val q = spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .option("restoreAsDeletes", "true").load()
+      .writeStream.format("memory").queryName(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table(sink).where(col("_change_type") === "delete")
+      .count() == 7)
+    // a range that also contains a COMPACTION refuses (folded-out
+    // survivors would sort below the delete position)
+    AtomicWarehouse.compact(spark, dir, "k") // v6
+    val err2 = intercept[UnsupportedOperationException] {
+      feed("restoreAsDeletes" -> "true").count()
+    }
+    assert(err2.getMessage.contains("COMPACTION"))
+    // a restore FORWARD that both REMOVES entries and RE-ADDS undone
+    // ones refuses under the option (re-added rows indistinguishable
+    // from the served copies); a pure re-add with no removals serves
+    // as plain additions and needs no refusal
+    val dir2 = freshDir("restoredelfwd")
+    AtomicWarehouse.commitEpoch(spark, dir2, typedRows(1, 5, 1L), 1L) // v1
+    AtomicWarehouse.commitEpoch(spark, dir2, typedRows(6, 9, 2L), 2L) // v2
+    AtomicWarehouse.restore(spark, dir2, 1L) // v3: undoes epoch_2
+    AtomicWarehouse.commitEpoch(spark, dir2, typedRows(30, 31, 4L), 4L) // v4
+    AtomicWarehouse.restore(spark, dir2, 2L) // v5: fwd — re-adds epoch_2,
+    // removes epoch_4
+    val err3 = intercept[UnsupportedOperationException] {
+      connRead(dir2, "startingVersion" -> "4", "readChangeFeed" -> "true",
+        "restoreAsDeletes" -> "true").count()
+    }
+    assert(err3.getMessage.contains("FORWARD"), err3.getMessage)
+  }
+
   test("manifest tail serves SQL INSERT/MERGE entries, skips folds") {
     // named entries (insert_*/merge_* — the SQL writers' collision-free
     // namespace) are NEW data and must ride the tail; round 10's
