@@ -214,15 +214,26 @@ object Extended45 {
     val pairs = srcs.as("a").join(srcs.as("b"),
         col("a.source") < col("b.source"))
       .select(col("a.source").as("s1"), col("b.source").as("s2"))
-    val merged = pairs.join(broadcast(sketch),
-        col("source") === col("s1") || col("source") === col("s2"))
-      .select(col("s1"), col("s2"), col("hv")).distinct()
+    // OR-of-equalities would plan a BroadcastNestedLoopJoin; the two
+    // sides are disjoint (s1 < s2), so a UNION of equi-joins is the
+    // same rows through codegen'd broadcast-hash joins — this was the
+    // a25 bimodality: the BNLJ amplified the corpus-scale hash set
+    // 19x into one wide shuffle, swinging 2.7-8.9 s with memory
+    // pressure
+    def bySource(big: org.apache.spark.sql.DataFrame) =
+      pairs.join(broadcast(big), col("source") === col("s1"))
+        .select(col("s1"), col("s2"), col("hv"))
+        .unionAll(pairs.join(broadcast(big), col("source") === col("s2"))
+          .select(col("s1"), col("s2"), col("hv")))
+    val merged = bySource(sketch).distinct()
     val kth = merged.withColumn("rk", row_number().over(
         Window.partitionBy("s1", "s2").orderBy(col("hv").asc)))
       .where(col("rk") === 64)
       .select(col("s1"), col("s2"), col("hv").as("h64"))
-    val exact = pairs.join(h,
-        col("source") === col("s1") || col("source") === col("s2"))
+    val exact = h.join(broadcast(pairs), col("source") === col("s1"))
+      .select(col("s1"), col("s2"), col("hv"))
+      .unionAll(h.join(broadcast(pairs), col("source") === col("s2"))
+        .select(col("s1"), col("s2"), col("hv")))
       .groupBy("s1", "s2").agg(countDistinct("hv").as("exact_union"))
     exact.join(kth, Seq("s1", "s2"))
       .select(col("s1"), col("s2"), col("exact_union"),
