@@ -110,8 +110,41 @@ object RewriteWarehouseDelete extends Rule[LogicalPlan] {
           case "string" => "string"
           case _ => "long"
         }
+    // key-bound predicates (e.g. `k = 5 AND name LIKE ...`, or a
+    // composite `k1 = 5 AND k2 = 3`) read the matched slice through
+    // the engine's PRUNED point lookups instead of a full merged scan
+    def keyBound(part: String)(e: Expression): Option[Seq[String]] = {
+      def render(v: Any): Option[String] = v match {
+        case null => None
+        case u8: org.apache.spark.unsafe.types.UTF8String => Some(u8.toString)
+        case other => Some(other.toString)
+      }
+      def isPart(a: Expression): Boolean = a match {
+        case ar: AttributeReference =>
+          targetIds.contains(ar.exprId) && ar.name == part
+        case c: org.apache.spark.sql.catalyst.expressions.Cast
+            if c.child.resolved && c.child.dataType == c.dataType =>
+          isPart(c.child)
+        case _ => false
+      }
+      e match {
+        case EqualTo(a, v) if isPart(a) && v.foldable =>
+          render(v.eval()).map(Seq(_))
+        case EqualTo(v, a) if isPart(a) && v.foldable =>
+          render(v.eval()).map(Seq(_))
+        case In(a, vs) if isPart(a) && vs.forall(_.foldable) =>
+          val rs = vs.map(v => render(v.eval()))
+          if (rs.forall(_.isDefined)) Some(rs.flatten.distinct) else None
+        case CAnd(l, r) => keyBound(part)(l).orElse(keyBound(part)(r))
+        case COr(l, r) => for { a <- keyBound(part)(l); b <- keyBound(part)(r) }
+          yield (a ++ b).distinct
+        case _ => None
+      }
+    }
     WarehouseDeleteCommand(table.dir, table.mergeKey, keyTyp,
-      MergeBranch(Some(remapped), Map.empty, srcOnly = false))
+      MergeBranch(Some(remapped), Map.empty, srcOnly = false),
+      pointKeys = PointBound.boundKeys(table.mergeKey, d.condition, keyBound)
+        .getOrElse(Nil))
   }
 }
 
@@ -121,11 +154,25 @@ object RewriteWarehouseDelete extends Rule[LogicalPlan] {
   * QueryPlan's expression traversal). */
 final case class WarehouseDeleteCommand(
     dir: String, mergeKey: String, keyTyp: String,
-    branch: MergeBranch)
+    branch: MergeBranch,
+    pointKeys: Seq[String] = Nil)
     extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val snap = AtomicWarehouse.read(spark, dir, mergeKey)
+    val nParts = AtomicWarehouse.keyParts(mergeKey).size
+    val snap =
+      if (pointKeys.nonEmpty && pointKeys.size <= 64)
+        pointKeys.flatMap { k =>
+          if (nParts > 1)
+            Some(AtomicWarehouse.readPointComposite(spark, dir, mergeKey,
+              k.split(AtomicWarehouse.CompositeSep, -1).toSeq))
+          else if (keyTyp == "string")
+            Some(AtomicWarehouse.readPointStr(spark, dir, mergeKey, k))
+          else k.toLongOption
+            .map(AtomicWarehouse.readPoint(spark, dir, mergeKey, _))
+        }.reduceOption(_.unionByName(_))
+          .getOrElse(AtomicWarehouse.read(spark, dir, mergeKey))
+      else AtomicWarehouse.read(spark, dir, mergeKey)
     val cond = coalesce(GraftBridge.column(branch.cond.get), lit(false))
     val matched = snap.where(cond)
     val maxKeys = spark.conf.get("graft.delete.maxKeys", "100000").toInt

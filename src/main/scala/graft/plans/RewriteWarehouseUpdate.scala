@@ -103,7 +103,8 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
     // store must not read the store. The bound is a SUPERSET contract
     // (the full predicate still applies residually), so any conjunct's
     // bound is sound; an Or needs both sides bounded.
-    def keyBound(e: org.apache.spark.sql.catalyst.expressions.Expression)
+    def keyBound(part: String)(
+        e: org.apache.spark.sql.catalyst.expressions.Expression)
         : Option[Seq[String]] = {
       import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, And => CAnd, Or => COr}
       def render(v: Any): Option[String] = v match {
@@ -114,7 +115,7 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
       def isKey(a: org.apache.spark.sql.catalyst.expressions.Expression) =
         a match {
           case ar: AttributeReference =>
-            targetIds.contains(ar.exprId) && ar.name == table.mergeKey
+            targetIds.contains(ar.exprId) && ar.name == part
           case _ => false
         }
       e match {
@@ -125,8 +126,8 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
         case In(a, vs) if isKey(a) && vs.forall(_.foldable) =>
           val rs = vs.map(v => render(v.eval()))
           if (rs.forall(_.isDefined)) Some(rs.flatten.distinct) else None
-        case CAnd(l, r) => keyBound(l).orElse(keyBound(r))
-        case COr(l, r) => for { a <- keyBound(l); b <- keyBound(r) }
+        case CAnd(l, r) => keyBound(part)(l).orElse(keyBound(part)(r))
+        case COr(l, r) => for { a <- keyBound(part)(l); b <- keyBound(part)(r) }
           yield (a ++ b).distinct
         case _ => None
       }
@@ -137,7 +138,9 @@ object RewriteWarehouseUpdate extends Rule[LogicalPlan] {
     WarehouseUpdateCommand(table.dir, table.mergeKey,
       rel.output.map(a => a.name -> a.dataType.catalogString),
       MergeBranch(u.condition.map(remap), assigns, srcOnly = false),
-      pointKeys = u.condition.flatMap(keyBound).getOrElse(Nil),
+      pointKeys = u.condition
+        .flatMap(c => PointBound.boundKeys(table.mergeKey, c, keyBound))
+        .getOrElse(Nil),
       keyTyp = keyTyp)
   }
 }
@@ -164,10 +167,16 @@ final case class WarehouseUpdateCommand(
     // per key — blooms/zone maps open only the epochs that can hold
     // it); the full predicate still applies residually below, so the
     // bound only has to be a superset of the matched rows
+    val nParts = AtomicWarehouse.keyParts(mergeKey).size
     val snap =
       if (pointKeys.nonEmpty && pointKeys.size <= 64)
         pointKeys.flatMap { k =>
-          if (keyTyp == "string")
+          if (nParts > 1)
+            // composite bound: the rendering splits back into parts,
+            // pruned per part (zone maps + blooms)
+            Some(AtomicWarehouse.readPointComposite(spark, dir, mergeKey,
+              k.split(AtomicWarehouse.CompositeSep, -1).toSeq))
+          else if (keyTyp == "string")
             Some(AtomicWarehouse.readPointStr(spark, dir, mergeKey, k))
           else k.toLongOption
             .map(AtomicWarehouse.readPoint(spark, dir, mergeKey, _))
@@ -219,5 +228,29 @@ final case class WarehouseUpdateCommand(
         statsKey = Some(mergeKey), statsCols = Seq("load_seq"),
         bloomKey = Some(mergeKey), skipIfEmpty = true)
     Nil
+  }
+}
+
+/** Shared key-bound extraction for the point-read DML paths: when every
+  * part of the (possibly composite) mergeKey is pinned to literal
+  * value(s) by the predicate, the bounded key set — renderings, parts
+  * [[graft.sinks.AtomicWarehouse.CompositeSep]]-joined — is a SUPERSET
+  * of the matched rows (the full predicate still applies residually),
+  * so the command reads through pruned point lookups instead of a full
+  * merged scan. A composite bound is the CROSS PRODUCT of the per-part
+  * bounds, capped (a blown-up product reads the scan path instead). */
+private[plans] object PointBound {
+  def boundKeys(mergeKey: String,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      keyBound: String => org.apache.spark.sql.catalyst.expressions.Expression
+        => Option[Seq[String]]): Option[Seq[String]] = {
+    val parts = graft.sinks.AtomicWarehouse.keyParts(mergeKey)
+    val perPart = parts.map(p => keyBound(p)(cond))
+    if (perPart.exists(_.isEmpty)) return None
+    val product = perPart.flatten.foldLeft(Seq(Seq.empty[String])) {
+      (acc, vs) => if (acc.size * vs.size > 64) return None
+        else acc.flatMap(prefix => vs.map(prefix :+ _))
+    }
+    Some(product.map(_.mkString(graft.sinks.AtomicWarehouse.CompositeSep)))
   }
 }

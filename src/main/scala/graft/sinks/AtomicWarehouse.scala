@@ -2648,6 +2648,30 @@ object AtomicWarehouse {
       Some(col(key).cast("string") === value))
   }
 
+  /** COMPOSITE point lookup: `partVals` are the key parts' values in
+    * [[keyParts]] order, canonical renderings (a long part's decimal
+    * form). Every part prunes independently against its own column's
+    * zone map + bloom ([[pointMayHold]]'s composite split), so a
+    * two-part lookup on a 100 TB store opens only the epochs that may
+    * hold BOTH parts — the same O(matching epochs) shape as single-key
+    * point reads. */
+  def readPointComposite(spark: SparkSession, dir: String, key: String,
+      partVals: Seq[String]): DataFrame = {
+    val parts = keyParts(key)
+    require(parts.size > 1, s"'$key' is not a composite key")
+    require(partVals.size == parts.size,
+      s"expected ${parts.size} part values (${parts.mkString(",")}), " +
+        s"got ${partVals.size}")
+    val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
+    require(entries.nonEmpty, s"no committed epochs at $dir")
+    val rendered = partVals.mkString(CompositeSep)
+    val scanned = scanListForPointTyped(entries, key, "string", rendered)
+      .map(_.name).toSet
+    mergedRead(spark, dir, key, entries, scanned,
+      Some(parts.zip(partVals).map { case (p, v) =>
+        col(p).cast("string") === v }.reduce(_ && _)))
+  }
+
   /** The epochs [[readPoint]] would open: range stats first, then the
     * bloom's no-false-negative verdict. Exposed for test pinning. */
   def scanListForPoint(entries: Seq[EpochEntry], key: String,

@@ -260,6 +260,16 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(merged.where((col("grp") === "b" && col("id") === 1L) ||
       (col("grp") === "c" && col("id") === 1L)).isEmpty,
       "keys absent from the source must be tombstoned")
+    // KEY-BOUND composite predicates ride the pruned point-read path
+    // (per-part zone maps + blooms); results identical to the scan path
+    spark.sql("UPDATE whck.t SET name = 'pt' " +
+      "WHERE grp = 'a' AND id = 2 AND name LIKE 'X%'")
+    assert(merged.where(col("grp") === "a" && col("id") === 2L)
+      .head.getAs[String]("name") == "pt")
+    spark.sql("DELETE FROM whck.t " +
+      "WHERE grp = 'd' AND id IN (7, 8) AND name IS NOT NULL")
+    assert(merged.count() == 2)
+    assert(merged.where(col("grp") === "d").isEmpty)
   }
 
   test("UPDATE with logPreimages serves update_preimage rows on the feed") {
