@@ -43,6 +43,9 @@ object ScaleProbe {
     if (mode == "densify") { densifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "anndensify") { annDensifyProbe(spark, sfDir, k); spark.stop(); return }
     if (mode == "dml") { dmlProbe(spark, base, k); spark.stop(); return }
+    if (mode == "composite") {
+      compositeProbe(spark, base, k); spark.stop(); return
+    }
     if (mode == "cdc") { cdcProbe(spark, base, k); spark.stop(); return }
     if (mode == "warehouse") { warehouseProbe(spark, sfDir, base, k); spark.stop(); return }
     if (mode == "connector") { connectorProbe(spark, sfDir, base, k); spark.stop(); return }
@@ -858,6 +861,75 @@ object ScaleProbe {
     println(s"| manifest | ${names.size} entries | " +
       s"${names.count(_.startsWith("update_v"))} update epochs, " +
       s"${names.count(AtomicWarehouse.isTombstone)} tombstones |")
+  }
+
+  /** COMPOSITE-KEY probe (round 14): a warehouse keyed `grp,id` at K
+    * epochs, each epoch one `grp` partition of 1000 ids — the layout a
+    * real multi-tenant drain produces. Measures (a) the key-bound
+    * composite UPDATE/DELETE point path — per-part zone maps + blooms
+    * must open ~1 epoch regardless of K, pinned by the scan-list count
+    * — against (b) the unbounded-predicate scan path that reads the
+    * merged store, and (c) the composite change feed end-to-end. The
+    * point verbs staying flat while K grows is the 100 TB evidence:
+    * depth costs the manifest read, never the data. */
+  private def compositeProbe(spark: SparkSession, base: String,
+      k: Int): Unit = {
+    import graft.sinks.AtomicWarehouse
+    def timeIt[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val root = s"$base/cmp"
+    spark.conf.set("spark.sql.catalog.whcmp",
+      "graft.sources.v2.WarehouseCatalog")
+    spark.conf.set("spark.sql.catalog.whcmp.root", root)
+    spark.conf.set("spark.sql.catalog.whcmp.mergeKey", "grp,id")
+    val dir = s"$root/t"
+    val rowsPerEpoch = 1000
+    (1 to k).foreach { seq =>
+      AtomicWarehouse.commitEpoch(spark, dir,
+        spark.range(rowsPerEpoch).select(
+          lit(s"g$seq").as("grp"), col("id"),
+          concat(lit("name"), col("id")).as("name"),
+          lit(seq.toLong).as("load_seq")),
+        seq.toLong, statsKey = Some("grp,id"), bloomKey = Some("grp,id"))
+    }
+    val total = k.toLong * rowsPerEpoch
+    println(s"composite probe: $k epochs x $rowsPerEpoch rows " +
+      s"($total rows, mergeKey grp,id)")
+    println("| verb | wall s | epochs opened | note |")
+    println("|---|---|---|---|")
+    val entries = AtomicWarehouse.committedEpochs(spark, dir)
+    val allEntries = graft.sinks.AtomicWarehouse
+      .committedEntriesAt(spark, dir,
+        AtomicWarehouse.currentVersion(spark, dir))
+    val mid = k / 2 + 1
+    val opened = AtomicWarehouse.scanListForPointTyped(allEntries,
+      "grp,id", "string",
+      "g" + mid + AtomicWarehouse.CompositeSep + "500").size
+    val (_, tPoint) = timeIt(spark.sql(
+      s"UPDATE whcmp.t SET name = 'point' WHERE grp = 'g$mid' AND id = 500"))
+    println(f"| UPDATE WHERE grp='g$mid' AND id=500 | $tPoint%.2f | " +
+      s"$opened of ${entries.size} | per-part pruned point read |")
+    require(spark.sql(
+      s"SELECT name FROM (SELECT name, load_seq, row_number() OVER " +
+        s"(PARTITION BY grp, id ORDER BY load_seq DESC) rn FROM whcmp.t " +
+        s"WHERE grp = 'g$mid' AND id = 500) WHERE rn = 1").head.getString(0)
+      == "point")
+    val (_, tScan) = timeIt(spark.sql(
+      "UPDATE whcmp.t SET name = concat(name, '!') WHERE id % 1000 = 7"))
+    println(f"| UPDATE WHERE id %% 1000 = 7 | $tScan%.2f | all | " +
+      "unbounded predicate: merged scan |")
+    val (_, tDel) = timeIt(spark.sql(
+      s"DELETE FROM whcmp.t WHERE grp = 'g$mid' AND id IN (1, 2, 3)"))
+    println(f"| DELETE 3 composite keys | $tDel%.2f | $opened | " +
+      "point-read matched slice -> one tombstone |")
+    val (nDel, tFeed) = timeIt(spark.read.format("graft-warehouse")
+      .option("path", dir).option("startingVersion", "1")
+      .option("readChangeFeed", "true").load()
+      .where(col("_change_type") === "delete").count())
+    require(nDel == 3L, s"feed delete rows: $nDel")
+    println(f"| CDF feed (delete rows) | $tFeed%.2f | - | " +
+      "composite delete rows carry both parts |")
   }
 
   /** Events-family probe: K id-shifted replicas of the events table —
