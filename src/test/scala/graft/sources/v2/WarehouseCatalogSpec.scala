@@ -270,6 +270,13 @@ class WarehouseCatalogSpec extends SparkSuite {
       "WHERE grp = 'd' AND id IN (7, 8) AND name IS NOT NULL")
     assert(merged.count() == 2)
     assert(merged.where(col("grp") === "d").isEmpty)
+    // metadata COUNT stays exact with composite tombstones outstanding:
+    // suppression totals were counted over the composite rendering at
+    // tombstone-commit time (log-view row versions, not merged winners)
+    val logRows = spark.read.format("graft-warehouse")
+      .option("path", s"$r/t").load().rdd.count() // row scan, no pushdown
+    assert(spark.sql("SELECT count(*) AS c FROM whck.t").head.getLong(0)
+      == logRows)
   }
 
   test("UPDATE with logPreimages serves update_preimage rows on the feed") {
