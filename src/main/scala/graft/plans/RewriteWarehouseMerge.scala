@@ -354,46 +354,53 @@ final case class WarehouseMergeCommand(
         keys
       }
 
-    val newRows =
+    // GENERAL PATH pieces: old values / branch selection need the
+    // matched target row — one left-outer join against the merged
+    // snapshot (the delta-sized source is the join's small side).
+    // Shared by the plain commit and the typed-feed commit (which needs
+    // the matched/not-matched SPLIT even for symmetric merges).
+    def generalParts(): (org.apache.spark.sql.DataFrame, Column, Column,
+        Seq[Column]) = {
+      val merged = AtomicWarehouse.read(spark, dir, mergeKey)
+      val t = merged.select(merged.columns.toSeq
+        .map(c => col(c).as(s"__t_$c")): _*)
+      val joinCond = srcKeyExprs.zip(keyPartNames).map { case (e, p) =>
+        GraftBridge.column(e) === col(s"__t_$p")
+      }.reduce(_ && _)
+      val joined = src.join(t, joinCond, "left_outer")
+      val isMatched = keyPartNames.map(p => col(s"__t_$p").isNotNull)
+        .reduce(_ && _)
+      // FIRST-MATCH-WINS branch selection, per Spark MERGE semantics:
+      // nested WHEN chains pick the earliest accepting branch; a row
+      // no branch accepts is not actionable and appends nothing
+      val anyMatched = matched.map(guard)
+        .foldLeft(lit(false))(_ || _)
+      val anyInsert = notMatched.map(guard)
+        .foldLeft(lit(false))(_ || _)
+      val actionable = (isMatched && anyMatched) ||
+        (!isMatched && anyInsert)
+      val outCols = dataCols.map { c =>
+        val keep = col(s"__t_$c")
+        val nullOf = lit(null).cast(targetCols.find(_._1 == c).get._2)
+        val u = matched.foldRight(keep) { (b, els) =>
+          when(guard(b), b.assigns.get(c).map(colOf).getOrElse(keep))
+            .otherwise(els)
+        }
+        val i = notMatched.foldRight(nullOf) { (b, els) =>
+          when(guard(b), b.assigns.get(c).map(colOf).getOrElse(nullOf))
+            .otherwise(els)
+        }
+        when(isMatched, u).otherwise(i).as(c)
+      } :+ lit(newSeq).as("load_seq")
+      (joined, isMatched, actionable, outCols)
+    }
+    lazy val newRows =
       if (symmetric)
         src.select(dataCols.map(c =>
             colOf(matched.head.assigns(c)).as(c)) :+
           lit(newSeq).as("load_seq"): _*)
       else {
-        // GENERAL PATH: old values / branch selection need the matched
-        // target row — one left-outer join against the merged snapshot
-        // (the delta-sized source is the join's small side)
-        val merged = AtomicWarehouse.read(spark, dir, mergeKey)
-        val t = merged.select(merged.columns.toSeq
-          .map(c => col(c).as(s"__t_$c")): _*)
-        val joinCond = srcKeyExprs.zip(keyPartNames).map { case (e, p) =>
-          GraftBridge.column(e) === col(s"__t_$p")
-        }.reduce(_ && _)
-        val joined = src.join(t, joinCond, "left_outer")
-        val isMatched = keyPartNames.map(p => col(s"__t_$p").isNotNull)
-          .reduce(_ && _)
-        // FIRST-MATCH-WINS branch selection, per Spark MERGE semantics:
-        // nested WHEN chains pick the earliest accepting branch; a row
-        // no branch accepts is not actionable and appends nothing
-        val anyMatched = matched.map(guard)
-          .foldLeft(lit(false))(_ || _)
-        val anyInsert = notMatched.map(guard)
-          .foldLeft(lit(false))(_ || _)
-        val actionable = (isMatched && anyMatched) ||
-          (!isMatched && anyInsert)
-        val outCols = dataCols.map { c =>
-          val keep = col(s"__t_$c")
-          val nullOf = lit(null).cast(targetCols.find(_._1 == c).get._2)
-          val u = matched.foldRight(keep) { (b, els) =>
-            when(guard(b), b.assigns.get(c).map(colOf).getOrElse(keep))
-              .otherwise(els)
-          }
-          val i = notMatched.foldRight(nullOf) { (b, els) =>
-            when(guard(b), b.assigns.get(c).map(colOf).getOrElse(nullOf))
-              .otherwise(els)
-          }
-          when(isMatched, u).otherwise(i).as(c)
-        } :+ lit(newSeq).as("load_seq")
+        val (joined, _, actionable, outCols) = generalParts()
         joined.where(actionable).select(outCols: _*)
       }
     // COLLISION-FREE entry namespace: never `epoch_<seq>` — the external
@@ -418,6 +425,33 @@ final case class WarehouseMergeCommand(
       if (deleteKeys.nonEmpty)
         AtomicWarehouse.purgeKeysDeferredTyped(spark, dir, mergeKey,
           keyTyp, deleteKeys)
+    } else if (spark.conf
+        .get("graft.merge.typedFeedEntries", "false").toBoolean) {
+      // TYPED-FEED commit (Delta CDF's per-row merge typing, expressed
+      // as per-ENTRY typing): the matched branch's rows land as an
+      // `update_v*_m` epoch (feed-typed 'update_postimage'), the
+      // not-matched branch's as the plain merge epoch ('insert'), the
+      // by-source deletes as the tombstone — all in ONE manifest CAS,
+      // with the matched winners' preimages logged alongside when
+      // graft.update.logPreimages is on. Needs the matched split, so
+      // symmetric merges take the general join too — that one extra
+      // target read is the price of the typed feed, paid only under
+      // the opt-in.
+      val (joined, isMatched, actionable, outCols) = generalParts()
+      val updRows = joined.where(actionable && isMatched)
+        .select(outCols: _*)
+      val insRows = joined.where(actionable && !isMatched)
+        .select(outCols: _*)
+      val preRows =
+        if (!spark.conf.get("graft.update.logPreimages", "false").toBoolean)
+          None
+        else Some(joined.where(actionable && isMatched).select(
+          dataCols.map(c => col(s"__t_$c").as(c)) :+
+            col("__t_load_seq").as("load_seq"): _*))
+      AtomicWarehouse.commitMergeTyped(spark, dir,
+        s"merge_v${baseV}_$digest", updRows, insRows, preRows, newSeq,
+        mergeKey, keyTyp, deleteKeys, statsKey = Some(mergeKey),
+        statsCols = Seq("load_seq"), bloomKey = Some(mergeKey))
     } else
       AtomicWarehouse.commitNamedEpochWithTombstoneTyped(spark, dir,
         newRows, s"merge_v${baseV}_$digest", newSeq, mergeKey, keyTyp,

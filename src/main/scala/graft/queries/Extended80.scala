@@ -242,6 +242,81 @@ object Extended80 {
       col("_change_type"), col("_commit_version"))
   }
 
+  /** C84 — the change feed TYPES a MERGE's branches apart
+    * (`graft.merge.typedFeedEntries`): the matched branch's rows commit
+    * as an `update_v*_m` epoch (feed-typed `'update_postimage'`), the
+    * not-matched branch's as the plain merge epoch (`'insert'`), and —
+    * with `graft.update.logPreimages` — the matched winners' pre-merge
+    * versions ride a preimage log served as `'update_preimage'` rows;
+    * all entries land in ONE manifest CAS
+    * ([[graft.sinks.AtomicWarehouse.commitMergeTyped]]), so a torn
+    * half-merge is unreachable. Delta CDF's per-row merge typing,
+    * expressed as per-entry typing over disjoint key sets. Default
+    * merges are unchanged (one untyped epoch); the opt-in costs one
+    * extra target join for symmetric merges (the split needs it).
+    *
+    * Scale: same O(delta) merge — the split is a WHERE over the join
+    * the general path already runs; the preimage write is O(matched). */
+  val c84MergeTypedFeed = q("c84_merge_typed_feed",
+    """WITH src AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name FROM part)
+      |SELECT k, name, load_seq, _change_type, _commit_version FROM (
+      |  SELECT k, name, CAST(1 AS BIGINT) AS load_seq,
+      |         'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |  FROM src
+      |  UNION ALL
+      |  SELECT k, name, CAST(1 AS BIGINT), 'update_preimage',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 'M-' || name, CAST(2 AS BIGINT), 'update_postimage',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k + 3000000, 'NEW', CAST(2 AS BIGINT), 'insert',
+      |         CAST(2 AS BIGINT)
+      |  FROM src WHERE k % 7 = 0)""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c84")
+    s.conf.set("spark.sql.catalog.whc84", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc84.root", root)
+    s.conf.set("spark.sql.catalog.whc84.mergeKey", "k")
+    val dir = s"$root/t"
+    val src = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name").as("name"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    src.where(col("k") % 3 === 0)
+      .select(col("k").as("sk"), concat(lit("M-"), col("name")).as("sn"))
+      .unionByName(src.where(col("k") % 7 === 0)
+        .select((col("k") + 3000000L).as("sk"), lit("NEW").as("sn")))
+      .createOrReplaceTempView("c84_src")
+    s.conf.set("graft.merge.typedFeedEntries", "true")
+    s.conf.set("graft.update.logPreimages", "true")
+    try s.sql(
+      """MERGE INTO whc84.t AS t USING c84_src AS s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET name = s.sn
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, s.sn)
+        |""".stripMargin) // v2: preimage log + update epoch + insert epoch
+    finally {
+      s.conf.unset("graft.merge.typedFeedEntries")
+      s.conf.unset("graft.update.logPreimages")
+    }
+    require(AtomicWarehouse.currentVersion(s, dir) == 2L,
+      "typed merge commits ONE manifest version (torn halves unreachable)")
+    val feed = s.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .option("includePreimages", "true").load()
+    // a last-wins consumer over the typed feed reproduces the snapshot
+    require(graft.ops.Merge.applyChangeFeed(
+      feed.select(col("*"), col("_pos")), "k").count() ==
+      AtomicWarehouse.read(s, dir, "k").count(),
+      "applyChangeFeed over the typed merge feed must match the snapshot")
+    feed.select(col("k"), col("name"), col("load_seq"),
+      col("_change_type"), col("_commit_version"))
+  }
+
   val all: Seq[Q] = Seq(c80UpdatePreimageFeed, c82CompositeMergeKey,
-    c83RestoreAsDeletes)
+    c83RestoreAsDeletes, c84MergeTypedFeed)
 }

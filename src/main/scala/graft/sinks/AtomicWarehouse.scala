@@ -2449,6 +2449,95 @@ object AtomicWarehouse {
     }
   }
 
+  /** TYPED MERGE commit (`graft.merge.typedFeedEntries`): up to FOUR
+    * entries in ONE manifest CAS so the change feed can type a MERGE's
+    * rows like Delta CDF does —
+    *
+    *   1. optional UPDATE PREIMAGE LOG (`tombstone_noop_pre_<updName>`),
+    *   2. the matched branch's rows as `update_v<base>_m<digest>`
+    *      (served `_change_type='update_postimage'` — the name rides
+    *      the SQL UPDATE prefix, so feed typing needs zero new rules),
+    *   3. the not-matched branch's rows as `merge_v<base>_<digest>`
+    *      (served 'insert'),
+    *   4. the WHEN NOT MATCHED BY SOURCE delete tombstone.
+    *
+    * The FOUR key sets are disjoint by construction (a source row
+    * either matched or didn't; deleted keys are target-not-in-source),
+    * so relative entry order never changes a winner. A torn subset is
+    * unreachable — the CAS makes them visible together. Zero-row
+    * branches commit nothing (their dir is dropped); replay converges
+    * when EITHER data entry is already committed. */
+  private[graft] def commitMergeTyped(spark: SparkSession, dir: String,
+      baseName: String, updRows: DataFrame, insRows: DataFrame,
+      preRows: Option[DataFrame], loadSeq: Long, key: String,
+      keyTyp: String, tombKeys: Seq[String],
+      statsKey: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomKey: Option[String] = None): Unit = {
+    val updName = baseName.replaceFirst("^merge_v", "update_v") + "_m"
+    val insName = baseName
+    val preName = s"tombstone_noop_pre_$updName"
+    val f = fs(spark, dir)
+    def committedAny(): Boolean = {
+      val names = committedEpochs(spark, dir)
+      names.contains(updName) || names.contains(insName)
+    }
+    if (committedAny()) return // replay converged
+    val wanted = (statsKey.toSeq ++ statsCols).distinct
+    var attempt = 0
+    while (true) {
+      // publish every non-empty part; row counts come from the stats
+      // pass each publish already runs
+      def publishPart(df: DataFrame, name: String,
+          declared: Boolean): Option[(String, Map[String, ColStats])] = {
+        publishData(spark, dir, df, name)
+        val p = new Path(s"$dir/$name")
+        if (!f.exists(p)) return None // racing vacuum: CAS will notice
+        val stats = statsAndBloomOf(spark, s"$dir/$name",
+          if (declared) wanted else Nil,
+          if (declared) bloomKey else None)._1
+        if (stats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
+          f.delete(p, true); None // zero-row branch: no entry
+        } else Some(name -> stats)
+      }
+      val upd = publishPart(updRows, updName, declared = true)
+      val ins = publishPart(insRows, insName, declared = true)
+      val pre = if (upd.isEmpty) None
+        else preRows.flatMap(publishPart(_, preName, declared = false))
+      val tomb =
+        if (tombKeys.isEmpty) None
+        else Some(publishTombstone(spark, dir, key, keyTyp, tombKeys,
+          currentVersion(spark, dir)))
+      if (upd.isEmpty && ins.isEmpty && tomb.isEmpty) return // no-op merge
+      var vanished = false
+      commitManifest(spark, dir, s"typed merge $baseName") { entries =>
+        if (entries.exists(e => e.name == updName || e.name == insName))
+          None // concurrent replay won
+        else if ((upd.toSeq ++ ins.toSeq ++ pre.toSeq).exists(p =>
+            !f.exists(new Path(s"$dir/${p._1}")))) {
+          vanished = true; None
+        } else {
+          val dataEntries = (pre.toSeq ++ upd.toSeq ++ ins.toSeq)
+            .map { case (n, st) => EpochEntry(n, st) }
+          val withData = entries ++ dataEntries
+          Some(tomb match {
+            case Some((tn, tStats, _)) if !entries.exists(_.name == tn) =>
+              withData :+ EpochEntry(tn, tStats ++
+                suppressionStats(spark, dir, key, keyTyp,
+                  canonicalKeys(keyTyp, tombKeys), entries))
+            case _ => withData
+          })
+        }
+      }
+      if (!vanished) { maybeAutoCompact(spark, dir); return }
+      attempt += 1
+      if (attempt >= MaxCommitAttempts)
+        throw new java.io.IOException(
+          s"typed merge $baseName at $dir kept vanishing before its " +
+            s"manifest commit ($MaxCommitAttempts attempts) — a vacuum " +
+            "is racing this merge with too short a grace window")
+    }
+  }
+
   /** Retention pass: keep the latest `retainVersions` manifests, delete
     * older ones, then delete every data dir no retained manifest
     * references. This is the ONLY operation that destroys history — until

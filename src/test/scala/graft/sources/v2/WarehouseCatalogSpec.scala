@@ -279,6 +279,76 @@ class WarehouseCatalogSpec extends SparkSuite {
       == logRows)
   }
 
+  test("typed MERGE feed: matched rows update_postimage + preimages, inserts insert") {
+    val r = mergeRoot("whmtyp")
+    AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1
+    Seq((3L, "u3"), (4L, "u4"), (20L, "i20"), (21L, "i21"))
+      .toDF("sk", "sn").createOrReplaceTempView("mtyp_src")
+    spark.conf.set("graft.merge.typedFeedEntries", "true")
+    spark.conf.set("graft.update.logPreimages", "true")
+    try spark.sql(
+      """MERGE INTO whmtyp.t AS t USING mtyp_src AS s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET name = s.sn
+        |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.sk, s.sn)
+        |""".stripMargin) // v2: preimage log + update epoch + insert epoch
+    finally {
+      spark.conf.unset("graft.merge.typedFeedEntries")
+      spark.conf.unset("graft.update.logPreimages")
+    }
+    assert(AtomicWarehouse.currentVersion(spark, s"$r/t") == 2L,
+      "the typed merge must commit ONE manifest version")
+    val names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+    assert(names.count(AtomicWarehouse.isPreimageLog) == 1 &&
+      names.exists(n => n.startsWith("update_v1_") && n.endsWith("_m")) &&
+      names.exists(_.startsWith("merge_v1_")), names)
+    // merged content is the normal MERGE result
+    val merged = AtomicWarehouse.read(spark, s"$r/t", "k")
+    assert(merged.count() == 12)
+    assert(merged.where(col("k") === 3L).head.getAs[String]("name") == "u3")
+    assert(merged.where(col("k") === 20L).head.getAs[String]("name") == "i20")
+    // the feed types the branches apart, preimages behind the option
+    val feed = spark.read.format("graft-warehouse").option("path", s"$r/t")
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .option("includePreimages", "true").load()
+    val posts = feed.where(col("_change_type") === "update_postimage")
+      .select("k", "name").as[(Long, String)].collect().sortBy(_._1)
+    assert(posts.toSeq == Seq((3L, "u3"), (4L, "u4")))
+    val pres = feed.where(col("_change_type") === "update_preimage")
+      .select("k", "name", "load_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(pres.toSeq == Seq((3L, "n3", 1L), (4L, "n4", 1L)),
+      "preimages are the matched winners' OLD versions")
+    assert(feed.where(col("_change_type") === "insert" &&
+      col("k").isin(20L, 21L)).count() == 2)
+    // a last-wins consumer over the typed feed reproduces the snapshot
+    val applied = graft.ops.Merge.applyChangeFeed(
+      feed.select(col("*"), col("_pos")), "k")
+    assert(applied.count() == 12 &&
+      applied.where(col("k") === 3L).head.getAs[String]("name") == "u3")
+    // typed merge with WHEN NOT MATCHED BY SOURCE THEN DELETE: the
+    // tombstone rides the same CAS
+    Seq((3L, "u3b")).toDF("sk", "sn").createOrReplaceTempView("mtyp_src2")
+    spark.conf.set("graft.merge.typedFeedEntries", "true")
+    try spark.sql(
+      """MERGE INTO whmtyp.t AS t USING mtyp_src2 AS s ON t.k = s.sk
+        |WHEN MATCHED THEN UPDATE SET name = s.sn
+        |WHEN NOT MATCHED BY SOURCE AND k >= 20 THEN DELETE
+        |""".stripMargin) // v3: update epoch + tombstone, one CAS
+    finally spark.conf.unset("graft.merge.typedFeedEntries")
+    assert(AtomicWarehouse.currentVersion(spark, s"$r/t") == 3L)
+    val after = AtomicWarehouse.read(spark, s"$r/t", "k")
+    assert(after.count() == 10, "k=20,21 tombstoned")
+    assert(after.where(col("k") === 3L).head.getAs[String]("name") == "u3b")
+    // zero-row branches commit no empty entries: the v3 diff is exactly
+    // one update epoch + one tombstone (no insert epoch, no preimage)
+    val v3names = AtomicWarehouse.committedEpochs(spark, s"$r/t")
+      .filterNot(names.contains)
+    assert(v3names.size == 2 &&
+      v3names.count(AtomicWarehouse.isTombstone) == 1 &&
+      v3names.count(n => n.startsWith("update_v2_")) == 1, v3names)
+  }
+
   test("UPDATE with logPreimages serves update_preimage rows on the feed") {
     val r = mergeRoot("whupre")
     AtomicWarehouse.commitEpoch(spark, s"$r/t", rows(1, 10, 1L), 1L,
