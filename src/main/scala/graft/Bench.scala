@@ -28,7 +28,55 @@ object Bench {
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] /proc/loadavg unreadable: $e")
+        -1.0
+    }
+
+  /** Parse the per-query budget TSV. EXPLICIT UTF-8 (Files.readAllLines):
+    * round 14 shipped this on the JVM default charset (US-ASCII here), a
+    * header em-dash threw MalformedInputException inside a swallow-all
+    * catch, and the rerun pass silently never fired. Failures are loud.
+    */
+  def parseBudgets(path: String): Map[String, Double] =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+        .asScala // UTF-8 by default
+        .filterNot(_.startsWith("#")).flatMap { l =>
+          l.split("\t") match {
+            case Array(n, s) => Some(n -> s.toDouble)
+            case _ => None
+          }
+        }.toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] FAILED to read $path: ${e.getClass.getName}: " +
+            s"${e.getMessage} — outlier adjudication DISABLED this run")
+        Map.empty
+    }
+
+  /** Pick the queries whose observed/budget ratio exceeds 3x the run's
+    * MEDIAN ratio (median normalizes machine speed + SF away), worst
+    * first, capped at 10 so the battery's runtime stays bounded. Pure —
+    * spec-tested with a synthetic outlier so this pass can never again
+    * ship dead.
+    */
+  def pickOutliers(results: Seq[(String, Double)],
+                   budgets: Map[String, Double],
+                   minSample: Int = 8): Seq[String] = {
+    val ratios = results.flatMap { case (n, t) =>
+      budgets.get(n).filter(_ > 0).map(b => (n, t / b))
+    }
+    if (ratios.size < minSample) Seq.empty // tiny filtered run: no signal
+    else {
+      val sortedR = ratios.map(_._2).sorted
+      val median = sortedR(sortedR.size / 2)
+      ratios.filter(_._2 > 3.0 * median).sortBy(-_._2).take(10).map(_._1)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,27 +136,20 @@ object Bench {
     }
     val loadEnd = load1()
     // ---- outlier adjudication: re-run the worst budget violators ----
-    val budgets: Map[String, Double] =
-      try scala.io.Source.fromFile("tools/latency_budget_sf0.001.tsv")
-        .getLines().filterNot(_.startsWith("#")).flatMap { l =>
-          l.split("\t") match {
-            case Array(n, s) => Some(n -> s.toDouble)
-            case _ => None
-          }
-        }.toMap
-      catch { case _: Throwable => Map.empty }
-    val ratios = results.toSeq.flatMap { case (n, t) =>
-      budgets.get(n).filter(_ > 0).map(b => (n, t / b))
-    }
+    // SPARK_GRAFT_MIN_SAMPLE lowers the small-run floor so a filtered
+    // smoke run can PROVE the pass fires (see BenchAdjudicationSpec + the
+    // recorded injection run in BENCH.md).
+    val budgetPath =
+      sys.env.getOrElse("SPARK_GRAFT_BUDGETS", "tools/latency_budget_sf0.001.tsv")
+    val budgets = parseBudgets(budgetPath)
+    if (budgets.isEmpty)
+      System.err.println(
+        s"[bench] budgets EMPTY ($budgetPath) — rerun pass cannot fire")
+    val minSample =
+      sys.env.getOrElse("SPARK_GRAFT_MIN_SAMPLE", "8").toInt
+    val outliers = pickOutliers(results.toSeq, budgets, minSample)
     val rerun: Map[String, Double] =
-      if (ratios.size < 8) Map.empty // tiny filtered run: nothing to judge
-      else {
-        val sortedR = ratios.map(_._2).sorted
-        val median = sortedR(sortedR.size / 2)
-        val outliers = ratios.filter(_._2 > 3.0 * median)
-          .sortBy(-_._2).take(10).map(_._1)
-        outliers.map { n => n -> timeOnce(selected(n)) }.toMap
-      }
+      outliers.map { n => n -> timeOnce(selected(n)) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadJs = loads.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -118,9 +159,14 @@ object Bench {
     val hostJs = s"""{"load_start":$loadStart,"load_end":$loadEnd,""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // "budgets" is a visible marker (count or "unavailable") so an empty
+    // rerun is machine-distinguishable from a dead adjudication pass.
+    val budgetsJs =
+      if (budgets.isEmpty) "\"unavailable\"" else budgets.size.toString
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""load":$loadJs,"rerun":$rerunJs,"host":$hostJs,"sf":"$sfDir"}"""
+        s""""load":$loadJs,"rerun":$rerunJs,"budgets":$budgetsJs,""" +
+        s""""host":$hostJs,"sf":"$sfDir"}"""
     println(full)
     // The harness that records per-round numbers keeps only the LAST ~2 KB
     // of stdout: at 300+ queries the full JSON line is ~10 KB, so its tail
@@ -134,7 +180,7 @@ object Bench {
     val slow = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"rerun":$rerunJs,"host":$hostJs,"sf":"$sfDir","full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"rerun":$rerunJs,"budgets":$budgetsJs,"host":$hostJs,"sf":"$sfDir","full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -796,6 +796,17 @@ object AtomicWarehouse {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.DirectoryNotEmptyException => false
+        // On Linux a TOCTOU loser — dst created by a concurrent writer
+        // between the caller's existence check and this move — can get
+        // ENOTEMPTY surfaced as the GENERIC FileSystemException
+        // ("Directory not empty"), not DirectoryNotEmptyException
+        // (observed: round-14's red concurrent-replay test). Classify by
+        // re-checking dst: if it now exists we lost the race (false);
+        // a genuine I/O failure (dst still absent) propagates.
+        case e: java.nio.file.FileSystemException =>
+          if (java.nio.file.Files.exists(
+              java.nio.file.Paths.get(dst.toUri.getPath))) false
+          else throw e
       }
     } else {
       try {

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Pins the bench's self-adjudication pass so it can never again ship
+  * dead. Round 14's #1 feature never fired once: `Source.fromFile` with
+  * the JVM default charset (US-ASCII on this host) threw
+  * MalformedInputException on the budget TSV's em-dash, a swallow-all
+  * catch returned Map.empty, and `rerun` was `{}` in all five recorded
+  * runs — including one with a 347x outlier.
+  */
+class BenchAdjudicationSpec extends AnyFunSuite {
+
+  test("parseBudgets reads the committed TSV and is NONEMPTY") {
+    val b = Bench.parseBudgets("tools/latency_budget_sf0.001.tsv")
+    assert(b.size > 300, s"expected 300+ budget entries, got ${b.size}")
+    assert(b.values.forall(_ > 0))
+  }
+
+  test("parseBudgets survives a UTF-8 em-dash in comments (r14 regression)") {
+    val tmp = Files.createTempFile("budget", ".tsv")
+    Files.write(tmp,
+      "# header with an em-dash — here\nq1\t0.5\nq2\t1.0\n".getBytes(UTF_8))
+    try {
+      val b = Bench.parseBudgets(tmp.toString)
+      assert(b == Map("q1" -> 0.5, "q2" -> 1.0))
+    } finally Files.delete(tmp)
+  }
+
+  test("parseBudgets on a missing file is empty (and loud on stderr)") {
+    assert(Bench.parseBudgets("/nonexistent/nope.tsv").isEmpty)
+  }
+
+  test("pickOutliers fires on a synthetic 100x outlier") {
+    // 9 queries at exactly budget (ratio 1.0) + one at 100x: median ratio
+    // 1.0, threshold 3.0 — the outlier MUST be selected.
+    val budgets = (1 to 9).map(i => s"q$i" -> 1.0).toMap + ("slow" -> 1.0)
+    val results = (1 to 9).map(i => s"q$i" -> 1.0) :+ ("slow" -> 100.0)
+    assert(Bench.pickOutliers(results, budgets) == Seq("slow"))
+  }
+
+  test("pickOutliers is empty when every query sits at budget") {
+    val budgets = (1 to 10).map(i => s"q$i" -> 1.0).toMap
+    val results = (1 to 10).map(i => s"q$i" -> (1.0 + i * 0.01))
+    assert(Bench.pickOutliers(results, budgets).isEmpty)
+  }
+
+  test("pickOutliers respects the small-sample floor and the 10-cap") {
+    val budgets = (1 to 52).map(i => s"q$i" -> 1.0).toMap
+    // below minSample: no signal even with a huge outlier
+    assert(Bench.pickOutliers(Seq("q1" -> 99.0), budgets).isEmpty)
+    // 40 queries at budget keep the median at 1.0; 12 big outliers: cap
+    // at 10, worst ratio first
+    val results = (1 to 40).map(i => s"q$i" -> 1.0) ++
+      (41 to 52).map(i => s"q$i" -> (100.0 + i))
+    val out = Bench.pickOutliers(results, budgets)
+    assert(out.size == 10)
+    assert(out.head == "q52") // worst ratio first
+  }
+
+  test("the committed TSV is ASCII-clean (so no charset can break it)") {
+    val bytes = Files.readAllBytes(Paths.get("tools/latency_budget_sf0.001.tsv"))
+    val bad = bytes.zipWithIndex.filter { case (b, _) => (b & 0xFF) > 0x7F }
+    assert(bad.isEmpty, s"non-ASCII bytes at offsets ${bad.take(5).map(_._2).mkString(",")}")
+  }
+}
