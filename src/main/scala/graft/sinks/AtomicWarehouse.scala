@@ -123,11 +123,33 @@ object AtomicWarehouse {
     * mtime granularity can recreate an identical-length v<N>.json inside
     * one tick, and the memo then served the previous incarnation's
     * MIN/MAX. Manifests are O(entries) small, so hashing costs less
-    * than the planning read that follows it. */
+    * than the planning read that follows it.
+    *
+    * The digest itself is memoized by (path, mtime, length) — but ONLY
+    * once the file's mtime is older than one conservative granularity
+    * tick ([[StampMtimeGuardMs]]): the recreate-within-one-tick ambiguity
+    * that forced content hashing can only arise while "now" still sits
+    * in the file's mtime tick, so a file safely past the tick can never
+    * again gain a same-(mtime,length) new incarnation — any recreation
+    * lands on a LATER tick and misses the cache. This restores the O(1)
+    * stat fast path for hot repeated metadata plans at high version
+    * counts (the memo's whole purpose) while keeping the round-14
+    * correctness fix for freshly recreated manifests. */
+  private val StampMtimeGuardMs = 2000L
+  private val stampCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
   private[graft] def manifestStamp(spark: SparkSession, dir: String,
       v: Long): String = {
     val f = fs(spark, dir)
     val p = new Path(manifestDir(dir), s"v$v.json")
+    val st = f.getFileStatus(p)
+    val settled =
+      System.currentTimeMillis() - st.getModificationTime > StampMtimeGuardMs
+    val key = (p.toString, st.getModificationTime, st.getLen)
+    if (settled) {
+      val hit = stampCache.get(key)
+      if (hit != null) return hit
+    }
     val in = f.open(p)
     val bytes = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -136,8 +158,15 @@ object AtomicWarehouse {
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toByteArray
     } finally in.close()
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+    if (settled) {
+      // bound the memo (long-lived sessions over many scratch warehouses):
+      // entries are ~100 B, a wholesale clear just re-pays one hash each
+      if (stampCache.size > 8192) stampCache.clear()
+      stampCache.put(key, digest)
+    }
+    digest
   }
 
   /** Highest `load_seq` present in the CURRENT snapshot, or None on a
@@ -2498,20 +2527,31 @@ object AtomicWarehouse {
     while (true) {
       // publish every non-empty part; row counts come from the stats
       // pass each publish already runs
-      def publishPart(df: DataFrame, name: String,
-          declared: Boolean): Option[(String, Map[String, ColStats])] = {
+      def publishPart(df: DataFrame, name: String, declared: Boolean,
+          keepEmpty: Boolean = false): Option[(String, Map[String, ColStats])] = {
         publishData(spark, dir, df, name)
         val p = new Path(s"$dir/$name")
         if (!f.exists(p)) return None // racing vacuum: CAS will notice
         val stats = statsAndBloomOf(spark, s"$dir/$name",
           if (declared) wanted else Nil,
           if (declared) bloomKey else None)._1
-        if (stats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
+        if (!keepEmpty &&
+            stats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
           f.delete(p, true); None // zero-row branch: no entry
         } else Some(name -> stats)
       }
       val upd = publishPart(updRows, updName, declared = true)
-      val ins = publishPart(insRows, insName, declared = true)
+      // A DELETE-ONLY typed merge (both data branches zero-row, WHEN NOT
+      // MATCHED BY SOURCE only) must still leave a replay marker: replay
+      // convergence keys on the DATA entry names, and a tombstone's name
+      // encodes the CURRENT base version — different on every replay — so
+      // without a marker each replay stacks a fresh redundant tombstone
+      // of the same keys (the exact bloat the CDC-mirror delete-only
+      // batch fix closed). Keep insName as a ZERO-ROW marker entry in
+      // that case; zero-row epochs are already first-class on the read
+      // and feed paths (the mirror commits them every delete-only batch).
+      val ins = publishPart(insRows, insName, declared = true,
+        keepEmpty = upd.isEmpty && tombKeys.nonEmpty)
       val pre = if (upd.isEmpty) None
         else preRows.flatMap(publishPart(_, preName, declared = false))
       val tomb =

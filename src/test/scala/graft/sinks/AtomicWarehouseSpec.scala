@@ -699,4 +699,31 @@ class AtomicWarehouseSpec extends SparkSuite {
         Map("compactEvery" -> "9"))
     }
   }
+
+  test("tombstone-only typed merge leaves a replay marker; replay stacks nothing") {
+    val wh = tmp("aw_tombonly") + "/wh"
+    AtomicWarehouse.commitEpoch(spark, wh,
+      (1L to 10L).map(i => (i, s"n$i", 1L)).toDF("k", "v", "load_seq"), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    val empty = Seq.empty[(Long, String, Long)].toDF("k", "v", "load_seq")
+    def mergeOnce(): Unit = AtomicWarehouse.commitMergeTyped(spark, wh,
+      "merge_v1_feedf00d", empty, empty, None, 2L, "k", "long",
+      tombKeys = Seq("5", "6"), statsKey = Some("k"),
+      statsCols = Seq("load_seq"), bloomKey = Some("k"))
+    mergeOnce() // a WHEN NOT MATCHED BY SOURCE-only merge: both branches empty
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 2L)
+    val names1 = AtomicWarehouse.committedEpochs(spark, wh)
+    assert(names1.contains("merge_v1_feedf00d"),
+      s"zero-row marker entry must be committed: $names1")
+    assert(names1.count(AtomicWarehouse.isTombstone) == 1, names1)
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == 8)
+    // replay of the SAME merge at the SAME base: converges on the marker
+    // name — no new manifest version, no second tombstone of the keys
+    mergeOnce()
+    assert(AtomicWarehouse.currentVersion(spark, wh) == 2L,
+      "replay must not commit a new version")
+    assert(AtomicWarehouse.committedEpochs(spark, wh) == names1,
+      "replay must not stack redundant tombstones")
+    assert(AtomicWarehouse.read(spark, wh, "k").count() == 8)
+  }
 }
