@@ -1831,6 +1831,21 @@ object AtomicWarehouse {
   private[graft] def isPreimageLog(n: String): Boolean =
     n.startsWith("tombstone_noop_pre_")
 
+  /** Is `n` a DELETE PREIMAGE LOG — the purged keys' CURRENT WINNER
+    * rows a deferred purge records alongside its tombstone
+    * (`graft.delete.logPreimages`), served by the row-level change feed
+    * as FULL-PAYLOAD `_change_type='delete'` rows behind
+    * `.option("includePreimages", true)` — Delta CDF's full delete
+    * contract (without it a tombstone serves key-only delete rows and
+    * an auditor must time-travel + join to see WHAT was deleted)? Rides
+    * the `tombstone_noop_` prefix like the update preimage log, so
+    * every "not data / suppresses nothing" classification holds
+    * automatically; feed paths must exclude it from key-list delete
+    * serving (it holds full rows, not a key list) and from purge-LOG
+    * detection. */
+  private[graft] def isDeletePreimageLog(n: String): Boolean =
+    n.startsWith("tombstone_noop_delpre_")
+
   /** A tombstone's key list read DRIVER-SIDE via parquet-hadoop — ZERO
     * Spark jobs. Key lists are O(purged keys) tiny by the purge
     * contract, but reading each through `spark.read.parquet(...).
@@ -2217,9 +2232,40 @@ object AtomicWarehouse {
     if (baseV == 0L) return 0
     val ks = canonicalKeys(typ, keys)
     val (name, stats, n) = publishTombstone(spark, dir, key, typ, keys, baseV)
+    // DELETE PREIMAGES (c86, Delta CDF's full delete contract): behind
+    // the opt-in, log the victims' CURRENT WINNERS — the exact rows this
+    // tombstone retracts from the merged read — as a no-op
+    // `tombstone_noop_delpre_<name>` entry in the SAME manifest CAS.
+    // Cost: ONE bloom/zone-pruned merged read over the affected keys —
+    // the same O(affected epochs) shape the suppression-count stat
+    // already pays; replay converges on the tombstone's name (the
+    // preimage name is derived from it).
+    val preEntry: Option[(String, Map[String, ColStats])] =
+      if (!spark.conf.get("graft.delete.logPreimages", "false").toBoolean)
+        None
+      else {
+        import spark.implicits._
+        val keysDf = broadcast(
+          if (typ == "long") ks.map(_.toLong).toDF("__dk")
+          else ks.toDF("__dk"))
+        val victims = read(spark, dir, key)
+          .join(keysDf, keyCol(key, typ) === col("__dk"), "left_semi")
+        val preName = s"tombstone_noop_delpre_$name"
+        publishData(spark, dir, victims, preName)
+        val f = fs(spark, dir)
+        val p = new Path(s"$dir/$preName")
+        if (!f.exists(p)) None
+        else {
+          val preStats = statsAndBloomOf(spark, s"$dir/$preName", Nil, None)._1
+          if (preStats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
+            f.delete(p, true); None // keys not present: nothing to log
+          } else Some(preName -> preStats)
+        }
+      }
     commitManifest(spark, dir, s"tombstone of $n keys") { entries =>
       if (entries.exists(_.name == name)) None // identical replay converged
-      else Some(entries :+
+      else Some(entries ++
+        preEntry.map { case (pn, ps) => EpochEntry(pn, ps) } :+
         EpochEntry(name, stats ++
           suppressionStats(spark, dir, key, typ, ks, entries)))
     }

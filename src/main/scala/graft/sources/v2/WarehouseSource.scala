@@ -188,7 +188,8 @@ object WarehouseConnector {
     * audit/diff consumers can now tell an update from a fresh
     * insert. */
   def feedChangeType(entry: String): String =
-    if (AtomicWarehouse.isPreimageLog(entry)) "update_preimage"
+    if (AtomicWarehouse.isDeletePreimageLog(entry)) "delete"
+    else if (AtomicWarehouse.isPreimageLog(entry)) "update_preimage"
     else if (entry.startsWith("update_v")) "update_postimage"
     else "insert"
   /** Wall-clock commit instant of `_commit_version` — the version's
@@ -632,7 +633,8 @@ object WarehouseConnector {
     // only the key-set digest, so the deleted keys are gone.
     val loggedVersions = adds.collect {
       case (n, v) if AtomicWarehouse.isNoopTombstone(n) &&
-        !AtomicWarehouse.isPreimageLog(n) => v
+        !AtomicWarehouse.isPreimageLog(n) &&
+        !AtomicWarehouse.isDeletePreimageLog(n) => v
     }.toSet
     val unlogged = rewrites.filterNot(p => loggedVersions(p._2))
     if (unlogged.nonEmpty && !ignoreDeletes)
@@ -648,15 +650,28 @@ object WarehouseConnector {
     // UPDATE preimage logs ride the tombstone_noop_ namespace but are
     // NOT retractions: never serve them as delete rows; serve them as
     // 'update_preimage' DATA entries only when the consumer asked
-    // (includePreimages — Delta CDF's full update contract)
-    val (pres, nonPre) = adds
+    // (includePreimages — Delta CDF's full update contract). DELETE
+    // preimage logs (c86, `graft.delete.logPreimages`) hold the purged
+    // keys' winner rows: behind includePreimages they are served as
+    // FULL-PAYLOAD `_change_type='delete'` DATA and their tombstone's
+    // key-only rows are dropped (serving both would double the
+    // deletes); without the opt-in they are skipped and the key-only
+    // tombstone serves as before. Never treat them as key lists.
+    val (delPres, rest0) = adds
       .filterNot(p => AtomicWarehouse.isPurgeRewrite(p._1))
+      .partition(p => AtomicWarehouse.isDeletePreimageLog(p._1))
+    val (pres, nonPre) = rest0
       .partition(p => AtomicWarehouse.isPreimageLog(p._1))
     val (tombs, rest) = nonPre
       .partition(p => AtomicWarehouse.isTombstone(p._1))
+    val servedDelPres =
+      if (includePreimages && !ignoreDeletes) delPres else Nil
+    val loggedTombs = servedDelPres
+      .map(_._1.stripPrefix("tombstone_noop_delpre_")).toSet
     val data = rest.filterNot(_._1.startsWith("compact_")) ++
-      (if (includePreimages) pres else Nil)
-    val dels = if (ignoreDeletes) Nil else tombs
+      (if (includePreimages) pres else Nil) ++ servedDelPres
+    val dels =
+      if (ignoreDeletes) Nil else tombs.filterNot(p => loggedTombs(p._1))
     val served = (data ++ dels).map(_._1).toSet
     // interleaved commit order, restore-delete SENTINELS spliced in at
     // their version (after that version's additions — irrelevant in

@@ -605,4 +605,51 @@ class PurgeSpec extends SparkSuite {
       .exists(AtomicWarehouse.isTombstone))
     assert(AtomicWarehouse.read(spark, dir, "k").count() == 28)
   }
+
+  test("delete preimage log: full-row deletes on feeds, ignored elsewhere") {
+    val dir = freshDir("dv_delpre")
+    commit(dir, 1, 40, 1L)
+    commit(dir, 20, 30, 2L) // winners of 20..30 move to seq 2
+    spark.conf.set("graft.delete.logPreimages", "true")
+    try AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(10L, 25L))
+    finally spark.conf.unset("graft.delete.logPreimages")
+    val names = AtomicWarehouse.committedEpochs(spark, dir)
+    assert(names.exists(AtomicWarehouse.isDeletePreimageLog), names)
+    // snapshot + metadata paths skip the log entirely
+    val read = AtomicWarehouse.read(spark, dir, "k")
+    assert(read.count() == 38 && read.where(col("k").isin(10L, 25L)).isEmpty)
+    def feed(opts: Map[String, String]) = {
+      val b = spark.read.format("graft-warehouse").option("path", dir)
+        .option("startingVersion", "1").option("readChangeFeed", "true")
+      opts.foldLeft(b) { case (x, (k, v)) => x.option(k, v) }.load()
+    }
+    // default: key-only delete rows, the log invisible
+    val plain = feed(Map.empty).where(col("_change_type") === "delete")
+    assert(plain.count() == 2 && plain.where(col("name").isNotNull).isEmpty)
+    // includePreimages: the log REPLACES the key rows — full payloads,
+    // the winner versions at purge time
+    val full = feed(Map("includePreimages" -> "true"))
+      .where(col("_change_type") === "delete")
+      .select("k", "name", "load_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(full.toSeq == Seq((10L, "n10", 1L), (25L, "n25", 2L)), full.toSeq)
+    // ignoreDeletes skips the log like every other retraction
+    assert(feed(Map("includePreimages" -> "true", "ignoreDeletes" -> "true"))
+      .where(col("_change_type") === "delete").isEmpty)
+    // streaming CDF tail serves the same full-payload delete rows
+    val out = java.nio.file.Files.createTempDirectory("delpre_sink").toString
+    spark.readStream.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .option("includePreimages", "true").load()
+      .writeStream.format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .where(col("_change_type") === "delete")
+      .select("k", "name", "load_seq").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(streamed.toSeq == Seq((10L, "n10", 1L), (25L, "n25", 2L)),
+      streamed.toSeq)
+  }
 }
