@@ -104,5 +104,84 @@ object Extended85 {
       col("_change_type"), col("_commit_version"))
   }
 
-  val all: Seq[Q] = Seq(c86DeletePreimageFeed)
+  /** C85 — COLUMN MAPPING: `ALTER TABLE ... RENAME COLUMN` / `DROP
+    * COLUMN` with ZERO data rewrites. A directive commits as a
+    * manifest-only `colmap_*` entry; reads resolve each epoch's
+    * PHYSICAL columns through the directives committed after it —
+    * pre-rename epochs serve their values under the new name, dropped
+    * values stay masked even if a later epoch re-adds the name (column
+    * identity is positional, Delta's id-mapping semantics on manifest
+    * positions). Round 14 closed the silent rename FORK by refusing
+    * add+drop commits; this round gives rename/drop a real story. The
+    * reference's staging sheet is positional — header renames are
+    * exactly what it cannot survive (ref: Python-pipeline/
+    * ingestdatainbigquery.py:37-46 sanitizes names for the same
+    * reason).
+    *
+    * Scale: DDL is one manifest CAS (no data I/O at any table size);
+    * reads carry an O(directives) per-entry resolution; compaction
+    * materializes the mapping and the directives fold away. Streams
+    * pinned before a directive refuse loudly (Delta's own streaming
+    * restriction); pushed filters on renamed columns row-group-filter
+    * old files under their physical name. */
+  val c85ColumnMapping = q("c85_column_mapping",
+    """WITH src AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS k, p_name AS name FROM part)
+      |SELECT k,
+      |       CASE WHEN k % 4 = 0 THEN 'T-' || name ELSE name END AS title,
+      |       CASE WHEN k % 4 = 0 THEN CAST(2 AS BIGINT)
+      |            ELSE CAST(1 AS BIGINT) END AS load_seq
+      |FROM src""".stripMargin) { (s, d) =>
+    import graft.sinks.AtomicWarehouse
+    val root = freshScratch("c85")
+    s.conf.set("spark.sql.catalog.whc85", "graft.sources.v2.WarehouseCatalog")
+    s.conf.set("spark.sql.catalog.whc85.root", root)
+    s.conf.set("spark.sql.catalog.whc85.mergeKey", "k")
+    val dir = s"$root/t"
+    val src = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"), col("p_name").as("name"),
+      col("p_type").as("kind"))
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.withColumn("load_seq", lit(1L)), 1L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v1: (k, name, kind)
+    s.sql("ALTER TABLE whc85.t RENAME COLUMN name TO title") // v2: directive
+    // post-rename drain commits the NEW name; both generations one column
+    AtomicWarehouse.commitEpoch(s, dir,
+      src.where(col("k") % 4 === 0)
+        .select(col("k"), concat(lit("T-"), col("name")).as("title"),
+          col("kind"), lit(2L).as("load_seq")), 2L,
+      statsKey = Some("k"), bloomKey = Some("k")) // v3
+    s.sql("ALTER TABLE whc85.t DROP COLUMN kind") // v4: projection mask
+    require(s.table("whc85.t").columns.sorted.toSeq ==
+      Seq("k", "load_seq", "title"),
+      s"mapped schema must be (k, title, load_seq): " +
+        s"${s.table("whc85.t").columns.toSeq}")
+    // the connector serves the LOG view (its documented contract); a SQL
+    // consumer's own last-wins window over it — THROUGH the mapping —
+    // must reproduce the engine's merged read exactly
+    val out = s.sql(
+      """SELECT k, title, load_seq FROM (
+        |  SELECT k, title, load_seq,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY load_seq DESC, _pos DESC) rn
+        |  FROM whc85.t) WHERE rn = 1""".stripMargin)
+    val engine = AtomicWarehouse.read(s, dir, "k")
+      .select("k", "title", "load_seq")
+    require(out.exceptAll(engine).isEmpty && engine.exceptAll(out).isEmpty,
+      "connector log view + window must equal the engine's merged read")
+    // a pushed filter on the RENAMED column reaches old parquet under
+    // its physical name
+    val probe = src.limit(1).collect().head
+    require(s.sql(
+      s"SELECT count(*) AS c FROM whc85.t WHERE title = '${
+        probe.getString(1).replace("'", "''")}'").head.getLong(0) ==
+      s.table("whc85.t").where(col("title") === probe.getString(1)).count(),
+      "pushed filter on the renamed column must not change results")
+    // time travel BEFORE the directives serves the original shape
+    require(s.sql("SELECT * FROM whc85.t VERSION AS OF 1").columns
+      .contains("name"), "v1 time travel must predate the rename")
+    out
+  }
+
+  val all: Seq[Q] = Seq(c85ColumnMapping, c86DeletePreimageFeed)
 }

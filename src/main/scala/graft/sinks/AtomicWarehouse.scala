@@ -182,7 +182,7 @@ object AtomicWarehouse {
     * scan — one single-column max() over that entry alone. */
   def maxLoadSeq(spark: SparkSession, dir: String): Option[Long] = {
     val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
-      .filterNot(e => isTombstone(e.name))
+      .filterNot(e => isTombstone(e.name) || isColMap(e.name))
     if (entries.isEmpty) return None
     val known: Seq[Option[Long]] = entries.map { e =>
       // RECORDED stats beat the name-derived seq: the stats are computed
@@ -449,12 +449,19 @@ object AtomicWarehouse {
     if (spark.conf.get("graft.schema.allowNonAdditive", "false").toBoolean)
       return
     val entries = committedEntriesAt(spark, dir, currentVersion(spark, dir))
-      .filterNot(e => isTombstone(e.name))
-    val known: Set[String] = entries.flatMap(_.stats.get(SchemaStat))
-      .flatMap(st => scala.util.Try(
-        org.apache.spark.sql.types.DataType.fromJson(st.mn)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-          .fieldNames.toSeq).getOrElse(Nil))
+    val ops = colMapOps(entries)
+    val posOf = entries.map(_.name).zipWithIndex.toMap
+    // the additive judgment runs against the EFFECTIVE schema: a commit
+    // under post-rename names must not read as "drops the old name", and
+    // a mapped-away (dropped) column is no longer known
+    val known: Set[String] = entries
+      .filterNot(e => isTombstone(e.name) || isColMap(e.name))
+      .flatMap(e => e.stats.get(SchemaStat).toSeq.flatMap(st =>
+        scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(st.mn)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq).getOrElse(Nil))
+        .flatMap(c => effectiveName(c, posOf(e.name), ops)))
       .toSet
     if (known.isEmpty) return
     val cols = newCols.toSet
@@ -471,6 +478,158 @@ object AtomicWarehouse {
           "spark.conf graft.schema.allowNonAdditive=true to commit the " +
           "add+drop knowingly")
   }
+
+  // ---- COLUMN MAPPING (rename / drop without rewrites) ----------------
+  //
+  // Delta's column-mapping idea on the log-structured manifest: a RENAME
+  // or DROP commits a zero-I/O DIRECTIVE entry (`colmap_*`, manifest-only
+  // — no data dir), and reads RESOLVE each epoch's physical columns
+  // through the directives committed AFTER it. Column identity is
+  // positional, exactly like tombstone suppression: a directive applies
+  // only to entries committed BEFORE it, so dropping `c` and later
+  // re-adding a column named `c` creates a NEW column — the old values
+  // stay masked (Delta's id-based semantics, expressed with manifest
+  // positions instead of field ids). Renames chain in commit order.
+  // Zero data I/O at DDL time; compaction MATERIALIZES the mapping (the
+  // fold reads through it and rewrites under the final names), after
+  // which the directives fold away with their base.
+
+  private[graft] val ColMapStat = "#colmap"
+  private[graft] def isColMap(n: String): Boolean = n.startsWith("colmap_")
+
+  private[graft] sealed trait ColMapOp
+  private[graft] final case class RenameOp(oldName: String, newName: String)
+      extends ColMapOp
+  private[graft] final case class DropOp(colName: String) extends ColMapOp
+
+  private def encodeOp(op: ColMapOp): String = {
+    def esc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    op match {
+      case RenameOp(o, n) => s"rename ${esc(o)} ${esc(n)}"
+      case DropOp(c) => s"drop ${esc(c)}"
+    }
+  }
+  private def decodeOp(s: String): ColMapOp = {
+    def un(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    s.split(' ') match {
+      case Array("rename", o, n) => RenameOp(un(o), un(n))
+      case Array("drop", c) => DropOp(un(c))
+      case _ => throw new IllegalStateException(s"bad colmap directive: $s")
+    }
+  }
+
+  /** The manifest's mapping directives as (position, op), commit order.
+    * Positions index the SAME entry seq the read paths' `posOf` use. */
+  private[graft] def colMapOps(entries: Seq[EpochEntry]): Seq[(Int, ColMapOp)] =
+    entries.zipWithIndex.flatMap { case (e, i) =>
+      if (!isColMap(e.name)) None
+      else e.stats.get(ColMapStat).map(st => i -> decodeOp(st.mn))
+    }
+
+  /** Resolve physical column `c` of an entry at manifest position `pos`
+    * through every directive committed after it: the final served name,
+    * or None when a drop masks it. */
+  private[graft] def effectiveName(c: String, pos: Int,
+      ops: Seq[(Int, ColMapOp)]): Option[String] = {
+    var cur = c
+    ops.foreach { case (opPos, op) =>
+      if (opPos > pos) op match {
+        case RenameOp(o, n) if o == cur => cur = n
+        case DropOp(d) if d == cur => return None
+        case _ => ()
+      }
+    }
+    Some(cur)
+  }
+
+  /** The EFFECTIVE (served) schema at `version` — every data entry's
+    * physical fields resolved through the directives, first occurrence
+    * fixing order. */
+  private[graft] def effectiveSchema(spark: SparkSession, dir: String,
+      entries: Seq[EpochEntry]): Seq[(String, DataType)] = {
+    val ops = colMapOps(entries)
+    val posOf = entries.map(_.name).zipWithIndex.toMap
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    entries.filterNot(e => isTombstone(e.name) || isColMap(e.name))
+      .foreach { e =>
+        val st = graft.sources.v2.WarehouseConnector.entrySchema(spark, dir, e)
+        st.fields.foreach { f =>
+          effectiveName(f.name, posOf(e.name), ops).foreach { n =>
+            if (!out.contains(n)) out(n) = f.dataType
+          }
+        }
+      }
+    out.toSeq
+  }
+
+  /** Commit one mapping directive as a MANIFEST-ONLY entry: no data dir,
+    * empty recorded schema/file list, zero rows — every planner treats
+    * it as contributing nothing; only the mapping resolution reads the
+    * [[ColMapStat]] payload. The name digests (base version, op), so a
+    * replay of the same DDL at the same base converges; any other writer
+    * commits under a different name. */
+  private def commitColMapOp(spark: SparkSession, dir: String,
+      op: ColMapOp): Unit = {
+    val f = fs(spark, dir)
+    requireAtomicScheme(f, dir)
+    val baseV = currentVersion(spark, dir)
+    require(baseV > 0L, s"no committed manifest at $dir to alter")
+    val name = s"colmap_v${baseV}_${digestOf(Seq(encodeOp(op)))}"
+    val stats = Map(
+      ColMapStat -> ColStats("colmap", encodeOp(op), "-"),
+      RowCountStat -> ColStats("long", "0", "0"),
+      SchemaStat -> ColStats("schema", new StructType().json, "-"),
+      FilesStat -> ColStats("files", "", "-"))
+    commitManifest(spark, dir, s"column mapping $op") { entries =>
+      if (entries.exists(_.name == name)) None // replay converged
+      else {
+        val eff = effectiveSchema(spark, dir, entries).map(_._1).toSet
+        op match {
+          case RenameOp(o, n) =>
+            require(eff.contains(o),
+              s"RENAME: no column '$o' in the effective schema of $dir " +
+                s"(have: ${eff.toSeq.sorted.mkString(", ")})")
+            require(!eff.contains(n),
+              s"RENAME: column '$n' already exists in $dir — renames " +
+                "never merge columns")
+          case DropOp(c) =>
+            require(eff.contains(c),
+              s"DROP: no column '$c' in the effective schema of $dir")
+        }
+        // the merge key's name is load-bearing across the whole lattice
+        // (tombstone comparisons, catalog conf, SQL DML rewrites):
+        // remapping it would strand every committed key list — refuse
+        val conf = graft.sources.v2.WarehouseCatalog.tableConf(f, dir)
+        val keyCols = conf.get("mergeKey").toSeq
+          .flatMap(keyParts).toSet + "load_seq"
+        val touched = op match {
+          case RenameOp(o, _) => o
+          case DropOp(c) => c
+        }
+        require(!keyCols.contains(touched),
+          s"column mapping cannot touch '$touched': it is the declared " +
+            "merge key or the engine's load_seq sequencing column")
+        Some(entries :+ EpochEntry(name, stats))
+      }
+    }
+  }
+
+  /** RENAME a column with ZERO data rewrites — a manifest-only mapping
+    * directive; old epochs' values serve under the new name from the
+    * next read on. Refused: renaming onto an existing column, renaming
+    * the declared merge key or `load_seq`. */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String): Unit = {
+    require(oldName != newName, "rename to the same name is a no-op")
+    commitColMapOp(spark, dir, RenameOp(oldName, newName))
+  }
+
+  /** DROP a column with ZERO data rewrites — a manifest-only projection
+    * mask. Values committed before the drop stay masked even if a later
+    * epoch re-adds the name (new column identity, Delta semantics);
+    * history before the directive still time-travels with the column. */
+  def dropColumn(spark: SparkSession, dir: String, colName: String): Unit =
+    commitColMapOp(spark, dir, DropOp(colName))
 
   /** Resolve the default `epoch_<seq>` name for a fresh commit,
     * sidestepping a RESTORE-undone dir of the same name: if `$dir/$base`
@@ -541,7 +700,10 @@ object AtomicWarehouse {
     * must count exactly the rows a read would serve. */
   private def logViewWithPos(spark: SparkSession, dir: String, key: String,
       entries: Seq[EpochEntry], scanned: Set[String]): DataFrame = {
-    val (tombs, data) = entries.partition(e => isTombstone(e.name))
+    val (tombs, dataAll) = entries.partition(e => isTombstone(e.name))
+    // column-mapping DIRECTIVES are manifest-only metadata: never data,
+    // their positions resolve each epoch's physical names below
+    val data = dataAll.filterNot(e => isColMap(e.name))
     require(data.nonEmpty,
       s"warehouse at $dir holds only tombstone entries — no data to read")
     // every row carries its entry's MANIFEST POSITION (`__pos`):
@@ -552,7 +714,8 @@ object AtomicWarehouse {
     // entry name), and manifest order — commit order — decides the
     // winner deterministically, matching wall-clock last-wins.
     val posOf = entries.map(_.name).zipWithIndex.toMap
-    val union0 = unionOfEpochs(spark, dir, data, scanned, posOf)
+    val union0 = unionOfEpochs(spark, dir, data, scanned, posOf,
+      colMapOps(entries))
     val union =
       if (tombs.isEmpty) union0
       else {
@@ -614,10 +777,11 @@ object AtomicWarehouse {
     * `c` (all suppressed / column absent from every epoch). */
   private[graft] def minMaxOfEntries(spark: SparkSession, dir: String,
       key: String, entries: Seq[EpochEntry], c: String): (Any, Any) = {
-    val data = entries.filterNot(e => isTombstone(e.name))
+    val data = entries.filterNot(e => isTombstone(e.name) || isColMap(e.name))
     val scanned = data.map(_.name).toSet
     val posOf = entries.map(_.name).zipWithIndex.toMap
-    val union0 = unionOfEpochs(spark, dir, data, scanned, posOf)
+    val union0 = unionOfEpochs(spark, dir, data, scanned, posOf,
+      colMapOps(entries))
     if (!union0.columns.contains(c)) return (null, null)
     // a union schema lacking the key column means every scanned epoch
     // predates it: those rows hold null keys, which are never purge
@@ -663,20 +827,31 @@ object AtomicWarehouse {
     * names embed task UUIDs, but checked rather than assumed). */
   private def unionOfEpochs(spark: SparkSession, dir: String,
       data: Seq[EpochEntry], scanned: Set[String],
-      posOf: Map[String, Int]): DataFrame = {
+      posOf: Map[String, Int],
+      ops: Seq[(Int, ColMapOp)] = Nil): DataFrame = {
     import graft.sources.v2.WarehouseConnector
     val f = fs(spark, dir)
     val schemas: Seq[(EpochEntry, StructType)] =
       data.map(e => e -> WarehouseConnector.entrySchema(spark, dir, e))
-    // name → type over ALL data entries, first occurrence fixing the
-    // output column order (the unionByName fold's order)
+    // per-entry column RESOLUTION under the mapping directives: physical
+    // name → effective served name (dropped columns resolve away). With
+    // no directives this is the identity and everything below reduces to
+    // the round-11 shape.
+    def effOf(e: EpochEntry, st: StructType): Seq[(String, String)] =
+      st.fields.toSeq.flatMap(fld =>
+        effectiveName(fld.name, posOf(e.name), ops).map(fld.name -> _))
+    // EFFECTIVE name → type over ALL data entries, first occurrence
+    // fixing the output column order (the unionByName fold's order)
     val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
     var conflict = false
-    schemas.foreach { case (_, st) =>
+    schemas.foreach { case (e, st) =>
+      val eff = effOf(e, st).toMap
       st.fields.foreach { fld =>
-        types.get(fld.name) match {
-          case None => types(fld.name) = fld.dataType
-          case Some(t) => if (t != fld.dataType) conflict = true
+        eff.get(fld.name).foreach { n =>
+          types.get(n) match {
+            case None => types(n) = fld.dataType
+            case Some(t) => if (t != fld.dataType) conflict = true
+          }
         }
       }
     }
@@ -712,27 +887,36 @@ object AtomicWarehouse {
       }
     }
     if (conflict || dupName)
-      return legacyUnionOfEpochs(spark, dir, data, scanned, posOf)
+      return legacyUnionOfEpochs(spark, dir, data, scanned, posOf, ops)
     val target: Seq[(String, DataType)] = types.toSeq
-    def align(df: DataFrame, have: Set[String],
+    // `physFor`: effective name → this group's PHYSICAL column (identity
+    // without directives; the pre-rename name for remapped epochs)
+    def align(df: DataFrame, physFor: Map[String, String],
         pos: org.apache.spark.sql.Column): DataFrame =
       df.select(target.map { case (c, dt) =>
-        if (have.contains(c)) col(c) else lit(null).cast(dt).as(c)
+        physFor.get(c) match {
+          case Some(p) if p == c => col(c)
+          case Some(p) => col(p).as(c)
+          case None => lit(null).cast(dt).as(c)
+        }
       } :+ pos.as("__pos"): _*)
     val frozen = posByFile.toMap
+    // grouping key is (schema, resolution): epochs straddling a rename
+    // directive read the same physical schema under different served
+    // names and must not share a relation projection
     val flatParts = flat
-      .groupBy(_._2).toSeq
-      .map { case (st, es) => (es.map(_._1.name), st) }
-      .sortBy { case (names, _) => posOf(names.head) } // deterministic plan
-      .map { case (names, st) =>
+      .groupBy { case (e, st) => (st, effOf(e, st)) }.toSeq
+      .map { case ((st, eff), es) => (es.map(_._1.name), st, eff) }
+      .sortBy { case (names, _, _) => posOf(names.head) } // deterministic
+      .map { case (names, st, eff) =>
         align(
           spark.read.schema(st).parquet(names.map(n => s"$dir/$n"): _*),
-          st.fieldNames.toSet,
+          eff.map(_.swap).toMap,
           graft.functions.FilePos(col("_metadata.file_name"), frozen))
       }
     val partedParts = parted.map { case (e, st) =>
       align(spark.read.schema(st).parquet(s"$dir/${e.name}"),
-        st.fieldNames.toSet, lit(posOf(e.name)))
+        effOf(e, st).map(_.swap).toMap, lit(posOf(e.name)))
     }
     val parts = flatParts ++ partedParts
     if (parts.isEmpty)
@@ -749,13 +933,18 @@ object AtomicWarehouse {
     * hatch for inputs outside [[unionOfEpochs]]'s preconditions. */
   private def legacyUnionOfEpochs(spark: SparkSession, dir: String,
       data: Seq[EpochEntry], scanned: Set[String],
-      posOf: Map[String, Int]): DataFrame = {
+      posOf: Map[String, Int],
+      ops: Seq[(Int, ColMapOp)] = Nil): DataFrame = {
     def dataDf(e: EpochEntry) = {
-      val df = spark.read
-        .schema(graft.sources.v2.WarehouseConnector
-          .entrySchema(spark, dir, e))
-        .parquet(s"$dir/${e.name}")
-      if (scanned.contains(e.name)) df else df.limit(0)
+      val st = graft.sources.v2.WarehouseConnector.entrySchema(spark, dir, e)
+      val df = spark.read.schema(st).parquet(s"$dir/${e.name}")
+      // resolve this epoch's physical names through the mapping
+      // directives committed after it (identity when there are none)
+      val sel = df.select(st.fields.toSeq.flatMap { fld =>
+        effectiveName(fld.name, posOf(e.name), ops)
+          .map(n => col(fld.name).as(n))
+      }: _*)
+      if (scanned.contains(e.name)) sel else sel.limit(0)
     }
     data.map(e => dataDf(e).withColumn("__pos", lit(posOf(e.name))))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1697,7 +1886,8 @@ object AtomicWarehouse {
     val f = fs(spark, dir)
     entries.map { e =>
       val kind =
-        if (isNoopTombstone(e.name)) "purge-log"
+        if (isColMap(e.name)) "colmap"
+        else if (isNoopTombstone(e.name)) "purge-log"
         else if (isTombstone(e.name)) "tombstone"
         else if (isPurgeRewrite(e.name)) "purged"
         else if (e.name.startsWith("compact_")) "compact"

@@ -192,8 +192,28 @@ class WarehouseCatalog extends TableCatalog with SupportsNamespaces
     }
     load(ident, None)
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly(s"ALTER TABLE $ident")
+  /** `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN c` — the SQL
+    * face of the manifest-level COLUMN MAPPING
+    * ([[AtomicWarehouse.renameColumn]]/[[AtomicWarehouse.dropColumn]]):
+    * zero data rewrites, a manifest-only directive entry; reads resolve
+    * old epochs' physical names through it. Every other ALTER shape
+    * stays refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!isWarehouse(dir)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graft-warehouse columns are flat — nested renames unsupported")
+        AtomicWarehouse.renameColumn(spark, dir, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "graft-warehouse columns are flat — nested drops unsupported")
+        AtomicWarehouse.dropColumn(spark, dir, d.fieldNames()(0))
+      case other => readOnly(s"ALTER TABLE $ident (${other.getClass.getSimpleName})")
+    }
+    load(ident, None)
+  }
   override def dropTable(ident: Identifier): Boolean =
     readOnly(s"DROP TABLE $ident")
   override def renameTable(old: Identifier, to: Identifier): Unit =

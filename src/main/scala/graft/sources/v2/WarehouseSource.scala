@@ -247,18 +247,27 @@ object WarehouseConnector {
     // an empty schema lets the write path proceed (it brings its own
     // schema via supportsExternalMetadata); a read of it is just empty.
     // Tombstone entries are key lists, not data — never part of the
-    // table schema.
-    val entries = AtomicWarehouse.committedEntriesAt(spark, dir, v)
-      .filterNot(e => AtomicWarehouse.isTombstone(e.name))
+    // table schema. Column-mapping directives resolve each epoch's
+    // physical names to the SERVED names (rename) or mask them (drop).
+    val all = AtomicWarehouse.committedEntriesAt(spark, dir, v)
+    val ops = AtomicWarehouse.colMapOps(all)
+    val posOf = all.map(_.name).zipWithIndex.toMap
+    val entries = all.filterNot(e =>
+      AtomicWarehouse.isTombstone(e.name) || AtomicWarehouse.isColMap(e.name))
     entries.foldLeft(new StructType()) { (acc, e) =>
-      entrySchema(spark, dir, e).foldLeft(acc) { (a, f) =>
-        a.fields.find(_.name == f.name) match {
-          case None => a.add(f.copy(nullable = true))
-          case Some(prev) if prev.dataType == f.dataType => a
-          case Some(prev) => throw new IllegalStateException(
-            s"column '${f.name}' committed as ${prev.dataType} and " +
-              s"${f.dataType} in different epochs of $dir — additive " +
-              "evolution may add columns, never retype them")
+      entrySchema(spark, dir, e).foldLeft(acc) { (a, f0) =>
+        AtomicWarehouse.effectiveName(f0.name, posOf(e.name), ops) match {
+          case None => a // dropped by a later directive
+          case Some(served) =>
+            val f = f0.copy(name = served)
+            a.fields.find(_.name == f.name) match {
+              case None => a.add(f.copy(nullable = true))
+              case Some(prev) if prev.dataType == f.dataType => a
+              case Some(prev) => throw new IllegalStateException(
+                s"column '${f.name}' committed as ${prev.dataType} and " +
+                  s"${f.dataType} in different epochs of $dir — additive " +
+                  "evolution may add columns, never retype them")
+            }
         }
       }
     }
@@ -458,7 +467,8 @@ object WarehouseConnector {
     * memo, batch readers pass the direct manifest read. */
   def addedEntriesBetween(s: Long, e: Long, ignoreDeletes: Boolean,
       namesAt: Long => Seq[String]): Seq[String] =
-    if (s == 0L) namesAt(e).filterNot(AtomicWarehouse.isTombstone)
+    if (s == 0L) namesAt(e).filterNot(n =>
+      AtomicWarehouse.isTombstone(n) || AtomicWarehouse.isColMap(n))
     else steppedEntriesBetween(s, e, ignoreDeletes, namesAt)
 
   /** The STEPPED walk of (s, e] without the s=0 snapshot special case —
@@ -533,7 +543,8 @@ object WarehouseConnector {
             "to receive deletes as _change_type='delete' rows")
       added.filterNot(n => n.startsWith("compact_") ||
         AtomicWarehouse.isPurgeRewrite(n) ||
-        AtomicWarehouse.isTombstone(n))
+        AtomicWarehouse.isTombstone(n) ||
+        AtomicWarehouse.isColMap(n)) // manifest-only metadata, never rows
     }.distinct
 
   /** ROW-LEVEL change-feed classification of the version range (s, e]:
@@ -566,6 +577,32 @@ object WarehouseConnector {
     * earlier), strictly below every end-manifest entry (all folded
     * names go negative). The NUL separator cannot appear in entry names. */
   def restoreDelSentinel(n: String, v: Long): String = n + "\u0000restore" + v
+
+  /** COLUMN-MAPPING resolution shipped per file partition: for an entry
+    * at manifest position `pos`, (renames served→physical, masked
+    * physical names). Only names a directive mentions can differ from
+    * identity, so per-entry physical schemas are never consulted —
+    * O(directives) per distinct position. */
+  def colMapResolution(pos: Int,
+      ops: Seq[(Int, AtomicWarehouse.ColMapOp)])
+      : (Array[(String, String)], Array[String]) =
+    if (ops.isEmpty) (Array.empty, Array.empty)
+    else {
+      val physNames = ops.flatMap {
+        case (_, AtomicWarehouse.RenameOp(o, n)) => Seq(o, n)
+        case (_, AtomicWarehouse.DropOp(c)) => Seq(c)
+      }.distinct
+      val renames = Seq.newBuilder[(String, String)]
+      val masked = Seq.newBuilder[String]
+      physNames.foreach { c =>
+        AtomicWarehouse.effectiveName(c, pos, ops) match {
+          case Some(n) if n != c => renames += (n -> c); masked += c
+          case None => masked += c
+          case _ => ()
+        }
+      }
+      (renames.result().toArray, masked.result().toArray)
+    }
 
   def cdfAddsBetween(s: Long, e: Long, ignoreDeletes: Boolean,
       namesAt: Long => Seq[String], includePreimages: Boolean = false,
@@ -668,7 +705,20 @@ object WarehouseConnector {
       if (includePreimages && !ignoreDeletes) delPres else Nil
     val loggedTombs = servedDelPres
       .map(_._1.stripPrefix("tombstone_noop_delpre_")).toSet
-    val data = rest.filterNot(_._1.startsWith("compact_")) ++
+    // COLUMN-MAPPING directives are manifest-only metadata, never rows.
+    // A batch feed range may contain them (every served entry's columns
+    // resolve to the END version's names) — UNLESS the range also holds
+    // a compaction: entries folded out BEFORE a folded-away directive
+    // would serve raw pre-mapping names, silently forking the feed.
+    if (rest.exists(p => AtomicWarehouse.isColMap(p._1)) &&
+        adds.exists(_._1.startsWith("compact_")))
+      throw new UnsupportedOperationException(
+        "graft-warehouse change feed: a version range holding BOTH a " +
+          "column-mapping directive and a compaction cannot be served " +
+          "(folded-out entries would bypass the mapping) — read them in " +
+          "separate ranges, or restart from a fresh snapshot")
+    val data = rest.filterNot(p => p._1.startsWith("compact_") ||
+      AtomicWarehouse.isColMap(p._1)) ++
       (if (includePreimages) pres else Nil) ++ servedDelPres
     val dels =
       if (ignoreDeletes) Nil else tombs.filterNot(p => loggedTombs(p._1))
@@ -1619,7 +1669,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
   // DATA entries only — tombstones are split out and applied as per-file
   // key-drop lists (merge-on-read deletion vectors)
   private lazy val entries: Seq[EpochEntry] = changePlan match {
-    case None => allEntries.filterNot(e => AtomicWarehouse.isTombstone(e.name))
+    case None => allEntries.filterNot(e =>
+      AtomicWarehouse.isTombstone(e.name) || AtomicWarehouse.isColMap(e.name))
     case Some((data, _, _, _)) =>
       // an in-range entry FOLDED OUT of the end manifest (auto-compact
       // landed inside the range) is still servable — its dir outlives
@@ -1704,19 +1755,29 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         // commit instants (manifest mtimes), one listing — CDF only
         val tsOf: Map[Long, Long] =
           if (cdf) AtomicWarehouse.manifestTimes(spark, dir) else Map.empty
+        // column-mapping resolution per manifest position (identity —
+        // two empty arrays — when the manifest carries no directives)
+        val ops = AtomicWarehouse.colMapOps(allEntries)
+        val resoMemo = scala.collection.mutable.HashMap
+          .empty[Int, (Array[(String, String)], Array[String])]
+        def resoFor(pos: Int) = resoMemo.getOrElseUpdate(pos,
+          WarehouseConnector.colMapResolution(pos, ops))
         val files = listPlannedFiles()
           .filter(file => all.forall(fileMayMatch(file, _)))
         val packed = WarehouseConnector.packPartitions(spark, files.map { file =>
           val v = versionOf.getOrElse(file.epoch, -1L)
+          // a stable NEGATIVE position for an epoch folded out of the
+          // end manifest mid-range (change feeds only; same contract
+          // as the tail) — first-appearance order below position 0
+          val pos = posOf.getOrElse(file.epoch, foldedPos.getOrElse(file.epoch, 0))
+          val (rn, mk) = resoFor(pos)
           WarehouseFilePartition(file.path, file.partValues.toArray,
-            // a stable NEGATIVE position for an epoch folded out of the
-            // end manifest mid-range (change feeds only; same contract
-            // as the tail) — first-appearance order below position 0
-            posOf.getOrElse(file.epoch, foldedPos.getOrElse(file.epoch, 0)),
+            pos,
             commitVersion = v,
             commitTsMicros = tsOf.getOrElse(v, -1L),
             changeType =
-              WarehouseConnector.feedChangeType(file.epoch)) -> file.len
+              WarehouseConnector.feedChangeType(file.epoch),
+            renames = rn, masked = mk) -> file.len
         })
         // readChangeFeed: each in-range tombstone's key list becomes one
         // partition of synthesized _change_type='delete' rows — O(purged
@@ -1753,11 +1814,12 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
                   .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n))
                 val pos = foldedPos.getOrElse(
                   WarehouseConnector.restoreDelSentinel(n, v), 0)
+                val (rn, mk) = resoFor(posOf.getOrElse(n, pos))
                 dfiles.map(file => WarehouseFilePartition(file.path,
                   file.partValues.toArray, pos, applyDrops = false,
                   commitVersion = v,
                   commitTsMicros = tsOf.getOrElse(v, -1L),
-                  changeType = "delete") -> file.len)
+                  changeType = "delete", renames = rn, masked = mk) -> file.len)
               }
             case _ => Nil
           }
@@ -1828,7 +1890,15 @@ final case class WarehouseFilePartition(path: String,
     applyDrops: Boolean = true,
     commitVersion: Long = -1L,
     commitTsMicros: Long = -1L,
-    changeType: String = "insert")
+    changeType: String = "insert",
+    // COLUMN MAPPING resolution for this file's entry (both empty when
+    // the manifest carries no directives): `renames` maps a SERVED name
+    // to the PHYSICAL column this file stores it under; `masked` lists
+    // physical names that must NOT serve under their own name (renamed
+    // away or dropped after this entry committed — a later re-added
+    // column of the same name is a different column).
+    renames: Array[(String, String)] = Array.empty,
+    masked: Array[String] = Array.empty)
     extends InputPartition
 
 /** Several bin-packed small files served by ONE task (see
@@ -1890,15 +1960,27 @@ class WarehouseReaderFactory(required: StructType,
     * anything absent from this file's footer do not (additive
     * evolution). */
   private[v2] def rowGroupPredicate(
-      schema: MessageType): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+      schema: MessageType,
+      physOf: String => Option[String] = null)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     import org.apache.parquet.io.api.Binary
 
-    def prim(c: String): Option[PrimitiveType] =
-      if (!schema.containsField(c)) None
-      else {
-        val t = schema.getType(schema.getFieldIndex(c))
-        if (t.isPrimitive) Some(t.asPrimitiveType()) else None
+    // filters name SERVED columns; under column mapping the row-group
+    // stats live under the file's PHYSICAL name — resolve first (a
+    // served name with no physical source in this file drops its
+    // conjunct, conservative as ever)
+    val resolve: String => Option[String] =
+      if (physOf != null) physOf
+      else c => if (schema.containsField(c)) Some(c) else None
+
+    def prim(c: String): Option[(String, PrimitiveType)] =
+      resolve(c).flatMap { pn =>
+        if (!schema.containsField(pn)) None
+        else {
+          val t = schema.getType(schema.getFieldIndex(pn))
+          if (t.isPrimitive) Some(pn -> t.asPrimitiveType()) else None
+        }
       }
 
     def longLit(v: Any): Option[Long] = v match {
@@ -1924,10 +2006,10 @@ class WarehouseReaderFactory(required: StructType,
     case object LtEq extends Cmp
 
     def cmp(c: String, v: Any, op: Cmp): Option[FilterPredicate] =
-      prim(c).flatMap { pt =>
+      prim(c).flatMap { case (pn, pt) =>
         (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
           case (INT64, null) => longLit(v).map { l =>
-            val col = FilterApi.longColumn(c); val lit = java.lang.Long.valueOf(l)
+            val col = FilterApi.longColumn(pn); val lit = java.lang.Long.valueOf(l)
             op match {
               case Eq => FilterApi.eq(col, lit); case Gt => FilterApi.gt(col, lit)
               case GtEq => FilterApi.gtEq(col, lit); case Lt => FilterApi.lt(col, lit)
@@ -1937,7 +2019,7 @@ class WarehouseReaderFactory(required: StructType,
           case (INT32, null | _: LogicalTypeAnnotation.DateLogicalTypeAnnotation |
               _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
             intLit(v).map { i =>
-              val col = FilterApi.intColumn(c); val lit = java.lang.Integer.valueOf(i)
+              val col = FilterApi.intColumn(pn); val lit = java.lang.Integer.valueOf(i)
               op match {
                 case Eq => FilterApi.eq(col, lit); case Gt => FilterApi.gt(col, lit)
                 case GtEq => FilterApi.gtEq(col, lit); case Lt => FilterApi.lt(col, lit)
@@ -1947,7 +2029,7 @@ class WarehouseReaderFactory(required: StructType,
           case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
             v match {
               case s: String =>
-                val col = FilterApi.binaryColumn(c)
+                val col = FilterApi.binaryColumn(pn)
                 val lit = Binary.fromString(s)
                 Some(op match {
                   case Eq => FilterApi.eq(col, lit); case Gt => FilterApi.gt(col, lit)
@@ -2110,19 +2192,36 @@ class WarehouseReaderFactory(required: StructType,
     val drops: Array[(String, Array[Long], Array[String])] =
       if (p.applyDrops) dropsAt(p.pos)
       else Array.empty
-    val present: Seq[StructField] = required.fields.toSeq.filter(f =>
-      f.name != WarehouseConnector.PosColumn &&
-        !partMap.contains(f.name) && footerSchema.containsField(f.name))
+    // COLUMN MAPPING: the physical column this file stores served name
+    // `n` under — the rename indirection first, the name itself unless a
+    // later directive remapped/dropped it (`masked`), else absent
+    // (additive evolution / renamed-in column this epoch predates).
+    val renameFor: Map[String, String] = p.renames.toMap
+    val maskedSet: Set[String] = p.masked.toSet
+    def physOf(n: String): Option[String] =
+      renameFor.get(n).filter(footerSchema.containsField)
+        .orElse(if (!maskedSet.contains(n) && footerSchema.containsField(n))
+          Some(n)
+        else None)
+    // (served field, physical column) pairs present in this file
+    val present: Seq[(StructField, String)] = required.fields.toSeq
+      .flatMap { f =>
+        if (f.name == WarehouseConnector.PosColumn ||
+            partMap.contains(f.name)) None
+        else physOf(f.name).map(f -> _)
+      }
     // tombstone key-drop columns must be DECODED to filter on, even when
     // the query didn't project them — appended to the read schema (and
     // never emitted); a column absent from this file's footer means the
-    // epoch predates it, so its rows hold null keys and no drop applies
+    // epoch predates it, so its rows hold null keys and no drop applies.
+    // Key columns are never remappable (the DDL refuses), so physical ==
+    // served for every drop key.
     val dropExtra: Seq[String] = drops.map(_._1).toSeq
       .flatMap(AtomicWarehouse.keyParts).distinct
       .filter(c => !partMap.contains(c) && footerSchema.containsField(c) &&
-        !present.exists(_.name == c))
+        !present.exists(_._2 == c))
     val projected = new MessageType("spark_schema",
-      (present.map(_.name) ++ dropExtra).map(n =>
+      (present.map(_._2) ++ dropExtra).map(n =>
         footerSchema.getType(footerSchema.getFieldIndex(n))): _*)
     // the session's Hadoop configuration rides the (serializable)
     // factory to executors — a fresh Configuration() would drop
@@ -2137,7 +2236,7 @@ class WarehouseReaderFactory(required: StructType,
     })
 
     val presentIdx: Map[String, Int] =
-      present.map(_.name).zipWithIndex.toMap
+      present.map(_._1.name).zipWithIndex.toMap
 
     /** Group-field decoder per present column, by (spark type, parquet
       * primitive). Unsupported combinations fail loudly, naming both. */
@@ -2237,7 +2336,7 @@ class WarehouseReaderFactory(required: StructType,
     // rendering — a numeric column's value matches its decimal form);
     // rows with null/unparseable keys never match (null keys are never
     // purge targets).
-    def idxOf(c: String): Int = present.indexWhere(_.name == c) match {
+    def idxOf(c: String): Int = present.indexWhere(_._2 == c) match {
       case -1 =>
         val j = dropExtra.indexOf(c)
         if (j < 0) -1 else present.size + j
@@ -2360,7 +2459,7 @@ class WarehouseReaderFactory(required: StructType,
       private val reader: ParquetReader[Group] = {
         val b = ParquetReader.builder(new GroupReadSupport(), inPath)
           .withConf(conf)
-        rowGroupPredicate(footerSchema) match {
+        rowGroupPredicate(footerSchema, physOf) match {
           case Some(p) => b.withFilter(
             org.apache.parquet.filter2.compat.FilterCompat.get(p)).build()
           case None => b.build()
@@ -2544,6 +2643,35 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     // (pos, applyDrops). A CDF tail never snapshots: its batch 0 is a
     // stepped walk from the start version.
     val posOf = allEntries.map(_.name).zipWithIndex.toMap
+    // a STREAM's schema is pinned at stream start: a column-mapping
+    // directive landing after that re-shapes what the end version serves
+    // under the consumer's fixed names — detected as a pinned data
+    // column the END-version effective schema no longer carries, and
+    // refused loudly (Delta refuses streaming over rename/drop the same
+    // way); restart the stream to pick up the mapped schema. Directives
+    // wholly before the pinned schema are fine — the per-file resolution
+    // below reads old epochs through them.
+    val colMapOps = AtomicWarehouse.colMapOps(allEntries)
+    if (colMapOps.nonEmpty) {
+      val served = WarehouseConnector.snapshotSchema(spark, dir, e)
+        .fieldNames.toSet
+      val metaCols = Set(WarehouseConnector.PosColumn,
+        WarehouseConnector.ChangeTypeColumn,
+        WarehouseConnector.CommitVersionColumn,
+        WarehouseConnector.CommitTimestampColumn)
+      val stale = required.fieldNames
+        .filterNot(n => served.contains(n) || metaCols.contains(n))
+      if (stale.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"graft-warehouse stream: column(s) ${stale.mkString(", ")} " +
+            "were renamed or dropped by a column-mapping directive after " +
+            "this stream's schema was pinned — restart the stream to " +
+            "read through the new mapping")
+    }
+    val resoMemo = scala.collection.mutable.HashMap
+      .empty[Int, (Array[(String, String)], Array[String])]
+    def resoFor(pos: Int) = resoMemo.getOrElseUpdate(pos,
+      WarehouseConnector.colMapResolution(pos, colMapOps))
     val (dataAdds, delAdds, serveOrder, rDels) =
       if (cdf)
         WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt,
@@ -2580,13 +2708,16 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
       .filter { case (file, _) =>
         pruneFilters.forall(fileMayMatch(file, _)) }
       .map { case (file, v) =>
+        val pos = posFor(file.epoch)
+        val (rn, mk) = resoFor(pos)
         WarehouseFilePartition(file.path, file.partValues.toArray,
-          posFor(file.epoch),
+          pos,
           applyDrops = !cdf && s == 0L && snapshotAtZero,
           commitVersion = v,
           commitTsMicros = tsOf.getOrElse(v, -1L),
           changeType =
-            WarehouseConnector.feedChangeType(file.epoch)) -> file.len }
+            WarehouseConnector.feedChangeType(file.epoch),
+          renames = rn, masked = mk) -> file.len }
     val deletes: Array[InputPartition] = delAdds.map { case (name, v) =>
       val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
         .getOrElse("")
@@ -2603,10 +2734,11 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
           .map(WarehouseConnector.entryFiles(f, dir, _))
           .getOrElse(WarehouseConnector.listEpochFiles(f, dir, n))
         val pos = posFor(WarehouseConnector.restoreDelSentinel(n, v))
+        val (rn, mk) = resoFor(posOf.getOrElse(n, pos))
         dfiles.map(file => WarehouseFilePartition(file.path,
           file.partValues.toArray, pos, applyDrops = false,
           commitVersion = v, commitTsMicros = tsOf.getOrElse(v, -1L),
-          changeType = "delete") -> file.len)
+          changeType = "delete", renames = rn, masked = mk) -> file.len)
       }
     WarehouseConnector.packPartitions(spark, files) ++
       WarehouseConnector.packPartitions(spark, restoreDeleteFiles) ++

@@ -700,6 +700,72 @@ class AtomicWarehouseSpec extends SparkSuite {
     }
   }
 
+  test("column mapping: rename reads old+new epochs as ONE column, zero rewrites") {
+    val wh = tmp("aw_colmap") + "/wh"
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((1L, "a1", 1L), (2L, "a2", 1L)).toDF("k", "name", "load_seq"), 1L)
+    AtomicWarehouse.renameColumn(spark, wh, "name", "title") // v2: directive
+    // zero data I/O: epoch_1's parquet is untouched, one manifest entry
+    val names = AtomicWarehouse.committedEpochs(spark, wh)
+    assert(names.exists(AtomicWarehouse.isColMap), names)
+    // a post-rename drain commits under the NEW name
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((2L, "b2", 2L), (3L, "b3", 2L)).toDF("k", "title", "load_seq"), 3L)
+    val read = AtomicWarehouse.read(spark, wh, "k")
+    assert(read.columns.toSeq == Seq("k", "title", "load_seq"),
+      read.columns.toSeq)
+    assert(read.select("k", "title").as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b2"), (3L, "b3")),
+      "old epoch values must serve under the new name, merged last-wins")
+    // time travel BEFORE the directive serves the original name
+    assert(AtomicWarehouse.readVersion(spark, wh, "k", 1L)
+      .columns.contains("name"))
+    // chained rename composes
+    AtomicWarehouse.renameColumn(spark, wh, "title", "label")
+    assert(AtomicWarehouse.read(spark, wh, "k")
+      .select("k", "label").count() == 3)
+    // refusals: onto an existing column, unknown column, merge-key guard
+    intercept[IllegalArgumentException] {
+      AtomicWarehouse.renameColumn(spark, wh, "label", "k")
+    }
+    intercept[IllegalArgumentException] {
+      AtomicWarehouse.renameColumn(spark, wh, "ghost", "x")
+    }
+    intercept[IllegalArgumentException] {
+      AtomicWarehouse.renameColumn(spark, wh, "load_seq", "seq2")
+    }
+    // compaction MATERIALIZES the mapping and folds the directives away
+    AtomicWarehouse.compact(spark, wh, "k")
+    val folded = AtomicWarehouse.committedEpochs(spark, wh)
+    assert(!folded.exists(AtomicWarehouse.isColMap), folded)
+    assert(AtomicWarehouse.read(spark, wh, "k")
+      .columns.toSeq == Seq("k", "label", "load_seq"))
+  }
+
+  test("column mapping: drop masks old values; a re-added name is a NEW column") {
+    val wh = tmp("aw_colmapdrop") + "/wh"
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((1L, "secret1", 1L), (2L, "secret2", 1L))
+        .toDF("k", "note", "load_seq"), 1L)
+    AtomicWarehouse.dropColumn(spark, wh, "note") // v2: projection mask
+    val read = AtomicWarehouse.read(spark, wh, "k")
+    assert(!read.columns.contains("note"), read.columns.toSeq)
+    assert(read.count() == 2)
+    // re-adding the NAME is a new column: old values stay masked
+    AtomicWarehouse.commitEpoch(spark, wh,
+      Seq((3L, "fresh", 2L)).toDF("k", "note", "load_seq"), 2L)
+    val after = AtomicWarehouse.read(spark, wh, "k")
+    assert(after.columns.contains("note"))
+    val notes = after.select("k", "note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(notes == Map(1L -> None, 2L -> None, 3L -> Some("fresh")),
+      s"dropped values must not resurrect under the re-added name: $notes")
+    // time travel before the drop still serves the original values
+    assert(AtomicWarehouse.readVersion(spark, wh, "k", 1L)
+      .select("note").as[String].collect().toSet ==
+      Set("secret1", "secret2"))
+  }
+
   test("tombstone-only typed merge leaves a replay marker; replay stacks nothing") {
     val wh = tmp("aw_tombonly") + "/wh"
     AtomicWarehouse.commitEpoch(spark, wh,

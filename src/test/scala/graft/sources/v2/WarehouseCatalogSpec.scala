@@ -709,6 +709,65 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(msgs(e).exists(_.contains("AtomicWarehouse")), msgs(e).mkString("; "))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN: zero-rewrite mapping through SQL") {
+    AtomicWarehouse.commitEpoch(spark, s"$root/cmap", rows(1, 6, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    spark.sql("ALTER TABLE whcat.cmap RENAME COLUMN name TO title")
+    // the catalog schema and SELECT serve the new name over OLD parquet
+    assert(spark.table("whcat.cmap").columns.contains("title"))
+    assert(spark.sql(
+      "SELECT title FROM whcat.cmap WHERE k = 3").head.getString(0) == "n3")
+    // a pushed filter ON THE RENAMED column still row-group-filters the
+    // old file correctly (resolved to the physical name executor-side)
+    assert(spark.sql(
+      "SELECT count(*) FROM whcat.cmap WHERE title = 'n4'")
+      .head.getLong(0) == 1L)
+    // post-rename drains commit the new name; both generations read as one
+    AtomicWarehouse.commitEpoch(spark, s"$root/cmap",
+      Seq((7L, "n7", 2L)).toDF("k", "title", "load_seq"), 2L)
+    assert(spark.sql("SELECT count(*) FROM whcat.cmap WHERE title LIKE 'n%'")
+      .head.getLong(0) == 7L)
+    // DROP COLUMN masks values without touching data
+    spark.sql("ALTER TABLE whcat.cmap DROP COLUMN title")
+    assert(!spark.table("whcat.cmap").columns.contains("title"))
+    assert(spark.sql("SELECT count(*) FROM whcat.cmap").head.getLong(0) == 7L)
+    // time travel BEFORE the directives serves the original shape
+    assert(spark.sql("SELECT name FROM whcat.cmap VERSION AS OF 1 " +
+      "WHERE k = 1").head.getString(0) == "n1")
+    // a stream whose schema was pinned BEFORE a directive refuses loudly
+    // (Delta's own restriction on streaming over rename/drop); one whose
+    // schema already reflects the mapping is served through it
+    val pinned = spark.readStream.format("graft-warehouse")
+      .option("path", s"$root/cmap").option("startingVersion", "1").load()
+    spark.sql("ALTER TABLE whcat.cmap RENAME COLUMN k TO id")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val out1 = java.nio.file.Files.createTempDirectory("cmap_out").toString
+    val e = intercept[Exception] {
+      pinned.writeStream.format("noop")
+        .option("checkpointLocation", s"$out1/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(120000)
+    }
+    assert(msgs(e).exists(_.contains("column-mapping")), msgs(e).mkString(";"))
+    // a freshly pinned stream reads old epochs THROUGH the mapping
+    val out2 = java.nio.file.Files.createTempDirectory("cmap_out2").toString
+    spark.readStream.format("graft-warehouse")
+      .option("path", s"$root/cmap").option("startingVersion", "1").load()
+      .writeStream.format("parquet").option("path", s"$out2/data")
+      .option("checkpointLocation", s"$out2/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out2/data")
+    assert(streamed.columns.contains("id") && streamed.count() == 7,
+      s"${streamed.columns.toSeq} / ${streamed.count()}")
+    // the engine's load_seq sequencing column is never remappable
+    val e2 = intercept[IllegalArgumentException] {
+      AtomicWarehouse.renameColumn(spark, s"$root/cmap", "load_seq", "ls")
+    }
+    assert(e2.getMessage.contains("load_seq"), e2.getMessage)
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE is an atomic " +
       "tombstone batch") {
     spark.conf.set("spark.sql.catalog.whsync",
