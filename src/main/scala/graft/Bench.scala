@@ -45,8 +45,11 @@ object Bench {
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
         .asScala // UTF-8 by default
         .filterNot(_.startsWith("#")).flatMap { l =>
+          // >= 2 columns: the observed profile the budget is regenerated
+          // from now carries a third (per-query load) column — dropping
+          // 3-column lines here would silently kill the budgets again
           l.split("\t") match {
-            case Array(n, s) => Some(n -> s.toDouble)
+            case a if a.length >= 2 => Some(a(0) -> a(1).toDouble)
             case _ => None
           }
         }.toMap

@@ -60,6 +60,32 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(out.head == "q52") // worst ratio first
   }
 
+  test("load-scaled budget gate: same slip is excused at high load, fails quiet") {
+    // 4x-over-budget wall time, 8s vs 2s budget, machine factor 1:
+    // measured on a QUIET 32-core box (load 2) it FAILS...
+    assert(LatencyGate.overBudget(secs = 12.0, budget = 2.0,
+      machineFactor = 1.0, load = 2.0, cpus = 32),
+      "a 6x slip at near-zero load is a real regression")
+    // ...but the identical observation taken while the host carried
+    // external load ~= 1.5x its cores is EXCUSED (load factor 2.5)
+    assert(!LatencyGate.overBudget(secs = 12.0, budget = 2.0,
+      machineFactor = 1.0, load = 48.0, cpus = 32),
+      "the same wall time under heavy contention is host noise")
+    // the excuse is CAPPED at 4x: an order-of-magnitude regression still
+    // fails even on a fully swamped host
+    assert(LatencyGate.overBudget(secs = 60.0, budget = 2.0,
+      machineFactor = 1.0, load = 500.0, cpus = 32),
+      "a 30x slip must fail through any load factor")
+    assert(LatencyGate.loadFactor(-1.0, 32) == 1.0, "unreadable load: no excuse")
+  }
+
+  test("parseBudgets tolerates the 3-column observed profile (load column)") {
+    val tmp = Files.createTempFile("budget3", ".tsv")
+    Files.write(tmp, "q1\t0.5\t2.75\nq2\t1.0\t0.10\n".getBytes(UTF_8))
+    try assert(Bench.parseBudgets(tmp.toString) == Map("q1" -> 0.5, "q2" -> 1.0))
+    finally Files.delete(tmp)
+  }
+
   test("the committed TSV is ASCII-clean (so no charset can break it)") {
     val bytes = Files.readAllBytes(Paths.get("tools/latency_budget_sf0.001.tsv"))
     val bad = bytes.zipWithIndex.filter { case (b, _) => (b & 0xFF) > 0x7F }
