@@ -125,7 +125,14 @@ object Bench {
         : Double = {
       cleanSlate()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query still reports its elapsed time (the battery keeps
+      // going — correctness is Verify's job) but NEVER silently: a quiet
+      // catch here is how r14's budget bug shipped unnoticed
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query FAILED: ${e.getClass.getName}: " +
+            s"${String.valueOf(e.getMessage).take(160)}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -179,7 +186,8 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (full + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench_full.json: $e") }
     val slow = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
