@@ -82,8 +82,16 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wallT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the machine's cores, NOT a fixed 4: the harness contract is
+    // local[32] / shuffle.partitions=32, and the per-round driver does not
+    // set SPARK_GRAFT_CPUS. Rounds 1-15 therefore benched on local[4] — the
+    // round-14 driver record shows g10_triangle_cc at 259 s vs ~2 s on the
+    // same code at local[32], a >100x gap no host load explains, and the
+    // round-15 driver run timed out (rc=124) under the same 4-core default.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -135,15 +143,47 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Wall-clock DEADLINE (seconds from process start, warmups included):
+    // the per-round driver runs this main under a hard `timeout`; round 15
+    // blew it (BENCH_r15.json rc:124, parsed:null) and the round has NO
+    // bench record at all. A truncated-but-parsed record beats a dead one,
+    // so once the deadline passes the remaining queries are SKIPPED (named
+    // in the JSON — never silently) and the summary still prints with rc 0.
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "2100").toDouble
+    def elapsedSec(): Double = (System.nanoTime() - wallT0) / 1e9
+    val skipped = scala.collection.mutable.ArrayBuffer[String]()
     val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = selected.map { case (name, fn) =>
-      (0 until warmups).foreach { _ =>
-        cleanSlate()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    // partial-progress journal: one line per finished query, flushed as we
+    // go, so even a hard kill leaves a machine-readable record of how far
+    // the battery got and what each finished query cost.
+    val progressPath = java.nio.file.Paths.get("bench_progress.jsonl")
+    try java.nio.file.Files.deleteIfExists(progressPath)
+    catch { case _: java.io.IOException => }
+    def journal(name: String, sec: Double, load: Double): Unit =
+      try java.nio.file.Files.write(progressPath,
+        (s"""{"q":"$name","sec":$sec,"load":$load,"elapsed":${elapsedSec()}}""" + "\n")
+          .getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] journal write failed: $e") }
+    val results = selected.flatMap { case (name, fn) =>
+      if (elapsedSec() > deadlineSec) { skipped += name; None }
+      else {
+        (0 until warmups).foreach { _ =>
+          cleanSlate()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        }
+        loads(name) = load1()
+        val t = timeOnce(fn)
+        journal(name, t, loads(name))
+        Some(name -> t)
       }
-      loads(name) = load1()
-      name -> timeOnce(fn)
     }
+    if (skipped.nonEmpty)
+      System.err.println(s"[bench] DEADLINE ${deadlineSec}s passed — " +
+        s"skipped ${skipped.size} queries: ${skipped.take(20).mkString(",")}")
     val loadEnd = load1()
     // ---- outlier adjudication: re-run the worst budget violators ----
     // SPARK_GRAFT_MIN_SAMPLE lowers the small-run floor so a filtered
@@ -157,7 +197,13 @@ object Bench {
         s"[bench] budgets EMPTY ($budgetPath) — rerun pass cannot fire")
     val minSample =
       sys.env.getOrElse("SPARK_GRAFT_MIN_SAMPLE", "8").toInt
-    val outliers = pickOutliers(results.toSeq, budgets, minSample)
+    // the rerun pass also respects the deadline — adjudication is worth
+    // ~10 queries of runtime, never worth losing the whole record
+    val outliers =
+      if (elapsedSec() > deadlineSec) {
+        System.err.println("[bench] deadline passed — rerun pass skipped")
+        Seq.empty
+      } else pickOutliers(results.toSeq, budgets, minSample)
     val rerun: Map[String, Double] =
       outliers.map { n => n -> timeOnce(selected(n)) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -173,10 +219,11 @@ object Bench {
     // rerun is machine-distinguishable from a dead adjudication pass.
     val budgetsJs =
       if (budgets.isEmpty) "\"unavailable\"" else budgets.size.toString
+    val skippedJs = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""load":$loadJs,"rerun":$rerunJs,"budgets":$budgetsJs,""" +
-        s""""host":$hostJs,"sf":"$sfDir"}"""
+        s""""skipped":$skippedJs,"host":$hostJs,"sf":"$sfDir"}"""
     println(full)
     // The harness that records per-round numbers keeps only the LAST ~2 KB
     // of stdout: at 300+ queries the full JSON line is ~10 KB, so its tail
@@ -191,7 +238,7 @@ object Bench {
     val slow = results.toSeq.sortBy(-_._2).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":$slow,"rerun":$rerunJs,"budgets":$budgetsJs,"host":$hostJs,"sf":"$sfDir","full":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nskipped":${skipped.size},"queries":$slow,"rerun":$rerunJs,"budgets":$budgetsJs,"host":$hostJs,"sf":"$sfDir","full":"bench_full.json"}""")
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ object SparkEntry {
       Extended7.all ++ Extended8.all ++ Extended9.all ++ Extended10.all ++
       Extended11.all ++ Extended12.all ++ Extended13.all ++ Extended14.all ++
       Extended15.all ++ Extended16.all ++ Extended17.all ++ Extended18.all ++
-      Extended19.all ++ Extended20.all ++ Extended21.all ++ Extended22.all ++ Extended23.all ++ Extended24.all ++ Extended25.all ++ Extended26.all ++ Extended27.all ++ Extended28.all ++ Extended29.all ++ Extended30.all ++ Extended31.all ++ Extended32.all ++ Extended33.all ++ Extended34.all ++ Extended35.all ++ Extended36.all ++ Extended37.all ++ Extended38.all ++ Extended39.all ++ Extended40.all ++ Extended41.all ++ Extended42.all ++ Extended43.all ++ Extended44.all ++ Extended45.all ++ Extended46.all ++ Extended47.all ++ Extended48.all ++ Extended49.all ++ Extended50.all ++ Extended51.all ++ Extended52.all ++ Extended53.all ++ Extended54.all ++ Extended55.all ++ Extended56.all ++ Extended57.all ++ Extended58.all ++ Extended59.all ++ Extended60.all ++ Extended61.all ++ Extended62.all ++ Extended63.all ++ Extended64.all ++ Extended65.all ++ Extended66.all ++ Extended67.all ++ Extended68.all ++ Extended69.all ++ Extended76.all ++ Extended80.all ++ Extended85.all
+      Extended19.all ++ Extended20.all ++ Extended21.all ++ Extended22.all ++ Extended23.all ++ Extended24.all ++ Extended25.all ++ Extended26.all ++ Extended27.all ++ Extended28.all ++ Extended29.all ++ Extended30.all ++ Extended31.all ++ Extended32.all ++ Extended33.all ++ Extended34.all ++ Extended35.all ++ Extended36.all ++ Extended37.all ++ Extended38.all ++ Extended39.all ++ Extended40.all ++ Extended41.all ++ Extended42.all ++ Extended43.all ++ Extended44.all ++ Extended45.all ++ Extended46.all ++ Extended47.all ++ Extended48.all ++ Extended49.all ++ Extended50.all ++ Extended51.all ++ Extended52.all ++ Extended53.all ++ Extended54.all ++ Extended55.all ++ Extended56.all ++ Extended57.all ++ Extended58.all ++ Extended59.all ++ Extended60.all ++ Extended61.all ++ Extended62.all ++ Extended63.all ++ Extended64.all ++ Extended65.all ++ Extended66.all ++ Extended67.all ++ Extended68.all ++ Extended69.all ++ Extended76.all ++ Extended80.all ++ Extended85.all ++ Extended87.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. One epoch of
     * the reference pipeline re-shaped onto the star schema: pushdown scan →

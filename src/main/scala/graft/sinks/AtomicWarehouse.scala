@@ -134,7 +134,19 @@ object AtomicWarehouse {
     * lands on a LATER tick and misses the cache. This restores the O(1)
     * stat fast path for hot repeated metadata plans at high version
     * counts (the memo's whole purpose) while keeping the round-14
-    * correctness fix for freshly recreated manifests. */
+    * correctness fix for freshly recreated manifests.
+    *
+    * SINGLE-CLOCK ASSUMPTION: the settle check compares the LOCAL
+    * `System.currentTimeMillis()` against filesystem mtimes, which is
+    * sound when readers and writers see one clock (local fs, or object
+    * stores stamping mtimes server-side from one authority). On a
+    * shared filesystem where a WRITER's clock runs ahead of this
+    * reader's, a freshly recreated v<N>.json can carry an mtime already
+    * more than the guard in this reader's past and look settled
+    * immediately — re-opening the recreate-within-a-tick window. If
+    * this engine is ever deployed over such a filesystem, derive "now"
+    * from the filesystem itself (stat a probe file written by this
+    * process) or widen the guard past the maximum credible skew. */
   private val StampMtimeGuardMs = 2000L
   private val stampCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
@@ -528,13 +540,22 @@ object AtomicWarehouse {
 
   /** Resolve physical column `c` of an entry at manifest position `pos`
     * through every directive committed after it: the final served name,
-    * or None when a drop masks it. */
+    * or None when a drop masks it — or when `c` is a PHANTOM: a later
+    * rename's TARGET reached while the chain still names `c`. A rename's
+    * precondition is that its target is absent from the effective schema,
+    * so no entry at `pos` can physically hold such a column; resolving it
+    * anyway gave chained renames (k→id, id→uid) a bogus uid→id mapping
+    * at positions before BOTH directives, shadowing the real uid→k and
+    * serving nulls from pre-rename files. Real fields never trip this:
+    * a physical `c` still serving at the rename would have made the
+    * directive's own precondition refuse. */
   private[graft] def effectiveName(c: String, pos: Int,
       ops: Seq[(Int, ColMapOp)]): Option[String] = {
     var cur = c
     ops.foreach { case (opPos, op) =>
       if (opPos > pos) op match {
         case RenameOp(o, n) if o == cur => cur = n
+        case RenameOp(_, n) if n == cur => return None // phantom candidate
         case DropOp(d) if d == cur => return None
         case _ => ()
       }
@@ -2271,6 +2292,45 @@ object AtomicWarehouse {
     * manifest commit — the window a concurrent drain or fold can land
     * in; specs use it to pin the carry-over/retry behavior
     * deterministically. */
+  /** Publish (or RE-publish, deleting a lost CAS attempt's stale dir)
+    * the delete-preimage log `preName`: the purged keys' CURRENT winner
+    * rows — the exact rows the purge retracts from the merged read — in
+    * one bloom/zone-pruned read. Returns the manifest entry (None when
+    * no key is present: nothing to log) and the BASIS — the committed
+    * entry names the victims read ran against. Commit closures compare
+    * the basis against their own entry list and recompute on mismatch:
+    * a concurrent drain committing a newer winner between the read and
+    * the winning CAS would otherwise leave the logged preimage missing
+    * the row the purge actually retracts (key-only feed and preimage
+    * feed disagreeing). The basis is captured BEFORE the read, so a
+    * commit sneaking between capture and read is indistinguishable from
+    * one after it — both force the recompute. */
+  private def publishDeletePreimage(spark: SparkSession, dir: String,
+      key: String, typ: String, ks: Seq[String], preName: String)
+      : (Option[(String, Map[String, ColStats])], Seq[String]) = {
+    import spark.implicits._
+    val f = fs(spark, dir)
+    val p = new Path(s"$dir/$preName")
+    val basis = committedEntriesAt(spark, dir,
+      currentVersion(spark, dir)).map(_.name)
+    if (f.exists(p)) f.delete(p, true)
+    val keysDf = broadcast(
+      if (typ == "long") ks.map(_.toLong).toDF("__dk")
+      else ks.toDF("__dk"))
+    val victims = read(spark, dir, key)
+      .join(keysDf, keyCol(key, typ) === col("__dk"), "left_semi")
+    publishData(spark, dir, victims, preName)
+    val entry =
+      if (!f.exists(p)) None
+      else {
+        val preStats = statsAndBloomOf(spark, s"$dir/$preName", Nil, None)._1
+        if (preStats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
+          f.delete(p, true); None // keys not present: nothing to log
+        } else Some(preName -> preStats)
+      }
+    (entry, basis)
+  }
+
   private[sinks] def purgeKeysImpl(spark: SparkSession, dir: String,
       key: String, typ: String, keys0: Seq[String],
       statsKey: Option[String], statsCols: Seq[String],
@@ -2334,6 +2394,25 @@ object AtomicWarehouse {
       // like a deferred purge's.
       val (tombName, tombStats, _) =
         publishTombstone(spark, dir, key, typ, keys, baseV, noop = true)
+      // DELETE PREIMAGES on the CoW path too (c86's contract, previously
+      // deferred-purge-only): behind the same opt-in, the victims'
+      // current winners publish as `tombstone_noop_delpre_<log>` in the
+      // SAME CAS as the rewrites — the feed's includePreimages serves
+      // them as full-payload delete rows replacing the purge log's
+      // key-only rows. The read MUST precede the CAS (afterwards the
+      // rewrites have destroyed the winners); the basis check recomputes
+      // it when the manifest moved in between.
+      val logPre =
+        spark.conf.get("graft.delete.logPreimages", "false").toBoolean
+      val preName = s"tombstone_noop_delpre_$tombName"
+      var preEntry: Option[(String, Map[String, ColStats])] = None
+      var preBasis: Option[Seq[String]] = None
+      def computePreimage(): Unit = {
+        val (e, basis) =
+          publishDeletePreimage(spark, dir, key, typ, keys, preName)
+        preEntry = e; preBasis = Some(basis)
+      }
+      if (logPre) computePreimage()
       beforeCommit()
       var stale = false
       commitManifest(spark, dir, s"purge of ${keys.size} keys") { entries =>
@@ -2365,11 +2444,15 @@ object AtomicWarehouse {
           // snapshot does
           if (mapped.exists(_.name == tombName)) Some(mapped)
           else {
+            if (logPre && !preBasis.contains(entries.map(_.name)))
+              computePreimage() // manifest moved since the victims read
             val idx = mapped.lastIndexWhere(e =>
               rewritten.valuesIterator.exists(_._1 == e.name))
             val log = EpochEntry(tombName, tombStats +
               (SuppTotalStat -> ColStats("long", "0", "0")))
-            Some((mapped.take(idx + 1) :+ log) ++ mapped.drop(idx + 1))
+            Some((mapped.take(idx + 1) ++
+              preEntry.map { case (pn, ps) => EpochEntry(pn, ps) } :+ log) ++
+              mapped.drop(idx + 1))
           }
         }
       }
@@ -2430,34 +2513,35 @@ object AtomicWarehouse {
     // the same O(affected epochs) shape the suppression-count stat
     // already pays; replay converges on the tombstone's name (the
     // preimage name is derived from it).
-    val preEntry: Option[(String, Map[String, ColStats])] =
-      if (!spark.conf.get("graft.delete.logPreimages", "false").toBoolean)
-        None
-      else {
-        import spark.implicits._
-        val keysDf = broadcast(
-          if (typ == "long") ks.map(_.toLong).toDF("__dk")
-          else ks.toDF("__dk"))
-        val victims = read(spark, dir, key)
-          .join(keysDf, keyCol(key, typ) === col("__dk"), "left_semi")
-        val preName = s"tombstone_noop_delpre_$name"
-        publishData(spark, dir, victims, preName)
-        val f = fs(spark, dir)
-        val p = new Path(s"$dir/$preName")
-        if (!f.exists(p)) None
-        else {
-          val preStats = statsAndBloomOf(spark, s"$dir/$preName", Nil, None)._1
-          if (preStats.get(RowCountStat).exists(_.mn.toLong == 0L)) {
-            f.delete(p, true); None // keys not present: nothing to log
-          } else Some(preName -> preStats)
-        }
-      }
+    val logPre =
+      spark.conf.get("graft.delete.logPreimages", "false").toBoolean
+    val preName = s"tombstone_noop_delpre_$name"
+    // the preimage is RECOMPUTED whenever the manifest moved under us
+    // (mirroring suppressionStats): the victims read pins the current
+    // winners, but a concurrent drain committing a newer winner between
+    // that read and the winning CAS would leave the logged preimage
+    // missing the row the tombstone actually retracts — key-only feed
+    // and preimage feed disagreeing. `preBasis` records the entry names
+    // the victims read ran against; the commit closure compares and
+    // recomputes on mismatch (CAS failure then re-runs the closure with
+    // fresh entries, so the pair converges).
+    var preEntry: Option[(String, Map[String, ColStats])] = None
+    var preBasis: Option[Seq[String]] = None
+    def computePreimage(): Unit = {
+      val (e, basis) = publishDeletePreimage(spark, dir, key, typ, ks, preName)
+      preEntry = e; preBasis = Some(basis)
+    }
+    if (logPre) computePreimage()
     commitManifest(spark, dir, s"tombstone of $n keys") { entries =>
       if (entries.exists(_.name == name)) None // identical replay converged
-      else Some(entries ++
-        preEntry.map { case (pn, ps) => EpochEntry(pn, ps) } :+
-        EpochEntry(name, stats ++
-          suppressionStats(spark, dir, key, typ, ks, entries)))
+      else {
+        if (logPre && !preBasis.contains(entries.map(_.name)))
+          computePreimage()
+        Some(entries ++
+          preEntry.map { case (pn, ps) => EpochEntry(pn, ps) } :+
+          EpochEntry(name, stats ++
+            suppressionStats(spark, dir, key, typ, ks, entries)))
+      }
     }
     // a tombstone GROWS the manifest like any commit: a compliance job
     // issuing many deferred purges between drains must trigger the

@@ -981,13 +981,58 @@ object WarehouseConnector {
           size > 4096
       })
 
+  /** The PHYSICAL column name one part of a tombstone's key resolves to
+    * for a file at `filePos`: the tombstone recorded its key under the
+    * name SERVED at its own commit position, so the directives committed
+    * between the file and the tombstone are walked BACKWARDS, inverting
+    * renames. None = the column the tombstone addresses did not exist at
+    * the file's position (renamed-away original, dropped-then-re-added
+    * identity, or additively-evolved later) — such files hold null keys
+    * for it and the drop cannot apply. Without this resolution a
+    * deferred purge committed AFTER a key rename silently skipped every
+    * pre-rename file (the footer lacks the new name), resurfacing
+    * superseded rows in SQL/DSv2 reads while the engine's merged read
+    * suppressed them — divergent results. */
+  def tombKeyPhysName(part: String, filePos: Int, tombPos: Int,
+      ops: Seq[(Int, AtomicWarehouse.ColMapOp)]): Option[String] = {
+    var cur = part
+    ops.filter { case (p, _) => p > filePos && p < tombPos }
+      .sortBy(-_._1)
+      .foreach {
+        case (_, AtomicWarehouse.RenameOp(o, n)) =>
+          if (n == cur) cur = o
+          // the tombstone's name matches the rename's VACATED source: it
+          // can only address a column re-added after the rename — a new
+          // identity this file predates
+          else if (o == cur) return None
+        case (_, AtomicWarehouse.DropOp(c)) if c == cur =>
+          // dropped at opPos: any later column of this name is a new
+          // identity; the file's own `cur` values are masked
+          return None
+        case _ => ()
+      }
+    Some(cur)
+  }
+
   /** The key-drop lists a file of the entry at `pos` must apply: every
-    * tombstone ordered AFTER it, grouped by key column, split by key
-    * type. Empty for a tombstone-free warehouse — the common fast
-    * path. */
-  def dropsFor(tombstones: Seq[TombstoneKeys], pos: Int)
+    * tombstone ordered AFTER it, its key column RESOLVED to this file's
+    * physical name through the mapping directives between them
+    * ([[tombKeyPhysName]] per composite part; an unresolvable part means
+    * the file cannot hold the key — skipped), grouped by resolved key
+    * column, split by key type. Empty for a tombstone-free warehouse —
+    * the common fast path. */
+  def dropsFor(tombstones: Seq[TombstoneKeys], pos: Int,
+      ops: Seq[(Int, AtomicWarehouse.ColMapOp)] = Nil)
       : Array[(String, Array[Long], Array[String])] =
-    tombstones.filter(_.pos > pos).groupBy(_.keyCol)
+    tombstones.filter(_.pos > pos).flatMap { t =>
+      if (ops.isEmpty) Some(t)
+      else {
+        val resolved = AtomicWarehouse.keyParts(t.keyCol)
+          .map(tombKeyPhysName(_, pos, t.pos, ops))
+        if (resolved.exists(_.isEmpty)) None
+        else Some(t.copy(keyCol = resolved.flatten.mkString(",")))
+      }
+    }.groupBy(_.keyCol)
       .map { case (c, ts) => (c, ts.flatMap(_.keys).distinct.toArray,
         ts.flatMap(_.strKeys).distinct.toArray) }
       .toArray
@@ -1832,7 +1877,8 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
     if (pushedAgg.isDefined) new WarehouseAggReaderFactory
     else new WarehouseReaderFactory(required, pruneFilters ++ runtimeFilters,
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration), tombstones)
+        spark.sparkContext.hadoopConfiguration), tombstones,
+      AtomicWarehouse.colMapOps(allEntries))
 
   override def description(): String =
     s"graft-warehouse($dir v$resolvedVersion) " +
@@ -1926,18 +1972,21 @@ final case class WarehouseDeleteKeysPartition(keyCol: String,
 class WarehouseReaderFactory(required: StructType,
     filters: Array[Filter] = Array.empty,
     hadoopConf: org.apache.spark.util.SerializableConfiguration = null,
-    tombstones: Seq[WarehouseConnector.TombstoneKeys] = Nil)
+    tombstones: Seq[WarehouseConnector.TombstoneKeys] = Nil,
+    colMapOps: Seq[(Int, graft.sinks.AtomicWarehouse.ColMapOp)] = Nil)
     extends PartitionReaderFactory {
 
   /** Per-position drop lists derived from the factory-shipped tombstone
-    * list, memoized — entries share positions, so each is computed once
-    * per executor instead of once per file on the driver. */
+    * list — key columns resolved through the column-mapping directives
+    * between each tombstone and the file's entry — memoized: entries
+    * share positions, so each is computed once per executor instead of
+    * once per file on the driver. */
   @transient private lazy val dropsByPos = new java.util.concurrent
     .ConcurrentHashMap[Integer, Array[(String, Array[Long], Array[String])]]()
   private def dropsAt(pos: Int): Array[(String, Array[Long], Array[String])] =
     if (tombstones.isEmpty) Array.empty
     else dropsByPos.computeIfAbsent(pos,
-      p => WarehouseConnector.dropsFor(tombstones, p))
+      p => WarehouseConnector.dropsFor(tombstones, p, colMapOps))
   import org.apache.parquet.example.data.Group
   import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -2214,8 +2263,10 @@ class WarehouseReaderFactory(required: StructType,
     // the query didn't project them — appended to the read schema (and
     // never emitted); a column absent from this file's footer means the
     // epoch predates it, so its rows hold null keys and no drop applies.
-    // Key columns are never remappable (the DDL refuses), so physical ==
-    // served for every drop key.
+    // Drop-key names arrive ALREADY RESOLVED to this file's physical
+    // columns ([[WarehouseConnector.dropsFor]] walks the mapping
+    // directives between each tombstone and this entry), so a purge
+    // keyed on a renamed column still reaches pre-rename files.
     val dropExtra: Seq[String] = drops.map(_._1).toSeq
       .flatMap(AtomicWarehouse.keyParts).distinct
       .filter(c => !partMap.contains(c) && footerSchema.containsField(c) &&
@@ -2539,6 +2590,10 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
     * drops, so a later refresh cannot change served results). */
   @volatile private var snapshotTombs: Seq[WarehouseConnector.TombstoneKeys] =
     Nil
+  /** The directives the snapshot's drop keys resolve through — loaded
+    * with [[snapshotTombs]] under the same plan-then-execute ordering. */
+  @volatile private var snapshotColMapOps
+      : Seq[(Int, AtomicWarehouse.ColMapOp)] = Nil
 
   /** Per-STREAM memo of each version's committed entry names: the tail
     * diffs consecutive manifests, so without it a batch of V versions
@@ -2677,9 +2732,11 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         WarehouseConnector.cdfAddsBetween(s, e, ignoreDeletes, epochsAt,
           includePreimages, restoreAsDeletes)
       else {
-        if (s == 0L && snapshotAtZero)
+        if (s == 0L && snapshotAtZero) {
           snapshotTombs =
             WarehouseConnector.loadTombstones(spark, dir, allEntries)
+          snapshotColMapOps = colMapOps
+        }
         val d = entriesToServe(s, e).map(_ -> -1L)
         (d, Seq.empty[(String, Long)], d.map(_._1),
           Seq.empty[(String, Long)])
@@ -2764,7 +2821,8 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
         IntegerType, nullable = false))
     new WarehouseReaderFactory(served, pruneFilters,
       new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration), snapshotTombs)
+        spark.sparkContext.hadoopConfiguration), snapshotTombs,
+      snapshotColMapOps)
   }
 
   override def commit(end: StreamOffset): Unit = ()

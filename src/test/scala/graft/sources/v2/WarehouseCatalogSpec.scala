@@ -934,4 +934,66 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT count(DISTINCT vid) AS c FROM whvid.vids")
       .head.getLong(0) == 4)
   }
+
+  test("deferred purge AFTER a key rename reaches pre-rename files " +
+      "(drop keys resolve through the mapping directives)") {
+    val dir = s"$root/keyren"
+    AtomicWarehouse.commitEpoch(spark, dir, rows(1, 6, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.renameColumn(spark, dir, "k", "id")
+    // the purge addresses the NEW name; epoch_1's parquet only has 'k' —
+    // before the directive-walking resolution the connector classified
+    // 'id' as "epoch predates the column" and served keys 1 and 5 back
+    // (while the engine's merged read suppressed them: divergence)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "id", Seq(1L, 5L))
+    val engine = AtomicWarehouse.read(spark, dir, "id")
+      .select("id", "name").collect()
+      .map(r => (r.get(0), r.get(1))).toMap
+    assert(engine.keySet == Set(2L, 3L, 4L, 6L), engine.toSeq.sortBy(_.toString))
+    val sql = spark.read.format("graft-warehouse").option("path", dir)
+      .load().select("id", "name").collect()
+      .map(r => (r.get(0), r.get(1))).toMap
+    assert(sql == engine, s"connector ${sql.toSeq.sortBy(_.toString)} vs engine ${engine.toSeq.sortBy(_.toString)}")
+    // a SECOND rename after the purge: the old tombstone (key 'id')
+    // still resolves onto pre-rename files via the multi-hop walk
+    AtomicWarehouse.renameColumn(spark, dir, "id", "uid")
+    AtomicWarehouse.commitEpoch(spark, dir,
+      Seq((1L, "readd")).toDF("uid", "name")
+        .withColumn("load_seq", lit(2L)), 2L)
+    // key 1 re-added AFTER its tombstone is new data and survives;
+    // key 5 stays suppressed in BOTH paths
+    val engine2 = AtomicWarehouse.read(spark, dir, "uid")
+      .select("uid", "name").collect()
+      .map(r => (r.get(0), r.get(1))).toMap
+    assert(engine2 == Map(1L -> "readd", 2L -> "n2", 3L -> "n3",
+      4L -> "n4", 6L -> "n6"), engine2.toSeq.sortBy(_.toString))
+    val sql2 = spark.read.format("graft-warehouse").option("path", dir)
+      .load().select("uid", "name").collect()
+      .map(r => (r.get(0), r.get(1))).toMap
+    assert(sql2 == engine2, s"connector ${sql2.toSeq.sortBy(_.toString)} vs engine ${engine2.toSeq.sortBy(_.toString)}")
+    // and a purge on the LATEST name reaches files two renames back
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "uid", Seq(3L))
+    val sql3 = spark.read.format("graft-warehouse").option("path", dir)
+      .load().select("uid").collect().map(_.get(0)).toSet
+    assert(sql3 == Set(1L, 2L, 4L, 6L), sql3)
+  }
+
+  test("a tombstone keyed on a DROPPED-then-re-added column never " +
+      "suppresses the old identity's rows") {
+    val dir = s"$root/dropread"
+    AtomicWarehouse.commitEpoch(spark, dir,
+      Seq((10L, "old10", 1L), (11L, "old11", 1L))
+        .toDF("tag", "name", "load_seq"), 1L)
+    AtomicWarehouse.dropColumn(spark, dir, "tag")
+    // re-added name = NEW column identity (Delta semantics)
+    AtomicWarehouse.commitEpoch(spark, dir,
+      Seq((10L, "new10")).toDF("tag", "name")
+        .withColumn("load_seq", lit(2L)), 2L)
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "tag", Seq(10L))
+    // old epoch's tag=10 row has a MASKED tag (serves null) — only the
+    // re-added identity's row dies; the old rows survive with null tag
+    val sql = spark.read.format("graft-warehouse").option("path", dir)
+      .load().select("name").as[String].collect().toSet
+    assert(sql == Set("old10", "old11"), sql)
+  }
 }
