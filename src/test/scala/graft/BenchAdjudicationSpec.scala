@@ -91,4 +91,29 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     val bad = bytes.zipWithIndex.filter { case (b, _) => (b & 0xFF) > 0x7F }
     assert(bad.isEmpty, s"non-ASCII bytes at offsets ${bad.take(5).map(_._2).mkString(",")}")
   }
+
+  test("familyOf groups by letter prefix with sql_ as its own family") {
+    assert(LatencyGate.familyOf("c38_pipeline_from_connector") == "c")
+    assert(LatencyGate.familyOf("d2_minhash_lsh") == "d")
+    assert(LatencyGate.familyOf("sql_window") == "sql")
+    assert(LatencyGate.familyOf("g16_ppr_push") == "g")
+  }
+
+  test("family gate fires on unbudgeted growth, stays quiet at budget") {
+    // a family at its summed budget: comfortably inside 1.5x + 5s
+    assert(!LatencyGate.familyOverBudget(obsSum = 40.0, budgetSum = 40.0,
+      machineFactor = 1.0, meanLoadFactor = 1.0))
+    // growth to 2x the summed budget + past the slack: MUST flag
+    // (this is the shape that killed the round-15 driver bench)
+    assert(LatencyGate.familyOverBudget(obsSum = 100.0, budgetSum = 40.0,
+      machineFactor = 1.0, meanLoadFactor = 1.0))
+    // the same subtotal is excused on a 2x-slow machine
+    assert(!LatencyGate.familyOverBudget(obsSum = 100.0, budgetSum = 40.0,
+      machineFactor = 2.0, meanLoadFactor = 1.0))
+    // a brand-new family (no budget rows) gets only the fixed slack
+    assert(LatencyGate.familyOverBudget(obsSum = 8.0, budgetSum = 0.0,
+      machineFactor = 1.0, meanLoadFactor = 1.0))
+    assert(!LatencyGate.familyOverBudget(obsSum = 4.0, budgetSum = 0.0,
+      machineFactor = 1.0, meanLoadFactor = 1.0))
+  }
 }

@@ -26,4 +26,24 @@ object LatencyGate {
     val allow = machineFactor * loadFactor(load, cpus)
     secs > 5 * allow * budget && secs > 1.5 * allow
   }
+
+  /** A query's battery family — the letter prefix tools/catalog.py
+    * groups QUERIES.md by (`sql_*` is its own family). */
+  def familyOf(name: String): String =
+    if (name.startsWith("sql_")) "sql"
+    else name.takeWhile(_.isLetter)
+
+  /** true = a FAMILY's wall-clock subtotal violates its derived ceiling:
+    * 1.5x the family's summed per-query budgets plus 5 s fixed slack,
+    * scaled by the machine factor and the family's mean load factor.
+    * This is the battery-GROWTH gate (round 16): the per-round driver
+    * runs the bench under a hard external timeout and round 15's record
+    * died to it — per-query budgets bound individual regressions, but
+    * nothing bounded the SUM. A new query lands with no budget row, so
+    * its whole cost counts against the family's headroom until the
+    * profile is regenerated — growth is claimed consciously at `sbt
+    * test` time, not discovered at driver time. */
+  def familyOverBudget(obsSum: Double, budgetSum: Double,
+      machineFactor: Double, meanLoadFactor: Double): Boolean =
+    obsSum > machineFactor * meanLoadFactor * (1.5 * budgetSum + 5.0)
 }
