@@ -106,9 +106,13 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
+      catch { case e: Throwable => // tolerated (warmup), never silent:
+        // a missing table here means every query on it fails below
+        System.err.println(s"[bench] warmup scan of $t failed: $e") }
     }
-    try graft.Tables.events(spark, sfDir).count() catch { case _: Throwable => }
+    try graft.Tables.events(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup scan of events failed: $e") }
     // optional comma-separated filter for profiling single queries locally
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
@@ -173,7 +177,11 @@ object Bench {
       else {
         (0 until warmups).foreach { _ =>
           cleanSlate()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+          // tolerated (untimed warmup; the TIMED pass reports the same
+          // failure loudly) — but still visible, not silent
+          try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] warmup of $name failed: ${e.getClass.getName}") }
         }
         loads(name) = load1()
         val t = timeOnce(fn)

@@ -1014,6 +1014,25 @@ object WarehouseConnector {
     Some(cur)
   }
 
+  /** The name a tombstone's key column SERVES under at the end version:
+    * each composite part resolved forward through the directives
+    * committed AFTER the tombstone ([[AtomicWarehouse.effectiveName]]).
+    * A readChangeFeed range crossing a key RENAME serves delete rows
+    * under the END schema's name — without this the partition's raw
+    * recorded name matched nothing and the retraction identities
+    * silently served as null. None = a part was dropped later: the feed
+    * cannot express the retraction's identity (callers refuse loudly
+    * unless deletes are ignored). */
+  def tombKeyServedName(keyCol: String, tombPos: Int,
+      ops: Seq[(Int, AtomicWarehouse.ColMapOp)]): Option[String] =
+    if (ops.isEmpty) Some(keyCol)
+    else {
+      val parts = AtomicWarehouse.keyParts(keyCol)
+        .map(AtomicWarehouse.effectiveName(_, tombPos, ops))
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.mkString(","))
+    }
+
   /** The key-drop lists a file of the entry at `pos` must apply: every
     * tombstone ordered AFTER it, its key column RESOLVED to this file's
     * physical name through the mapping directives between them
@@ -1831,12 +1850,23 @@ class WarehouseScan(dir: String, version: Option[Long], mergeKey: String,
         val deletes: Array[InputPartition] = changePlan match {
           case Some((_, dels, _, _)) if dels.nonEmpty =>
             dels.map { case (name, v) =>
-              val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
+              val keyCol0 = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
                 .getOrElse("")
+              val dpos = posOf.getOrElse(name, foldedPos.getOrElse(name, 0))
+              // serve the retraction under the END schema's key name —
+              // directives after the tombstone may have renamed it
+              val keyCol = WarehouseConnector
+                .tombKeyServedName(keyCol0, dpos, ops)
+                .getOrElse(throw new UnsupportedOperationException(
+                  s"graft-warehouse change feed: the key column " +
+                    s"'$keyCol0' of tombstone $name was DROPPED by a " +
+                    "later column-mapping directive — the retraction's " +
+                    "identity cannot be served; read the range up to " +
+                    "the directive separately, or set " +
+                    ".option(\"ignoreDeletes\", true)"))
               val (_, ls, ss) =
                 AtomicWarehouse.readTombstoneKeys(spark, dir, name)
-              WarehouseDeleteKeysPartition(keyCol, ls, ss,
-                posOf.getOrElse(name, foldedPos.getOrElse(name, 0)), v,
+              WarehouseDeleteKeysPartition(keyCol, ls, ss, dpos, v,
                 tsOf.getOrElse(v, -1L))
                 : InputPartition
             }.toArray
@@ -2776,10 +2806,20 @@ class WarehouseMicroBatchStream(dir: String, required: StructType,
             WarehouseConnector.feedChangeType(file.epoch),
           renames = rn, masked = mk) -> file.len }
     val deletes: Array[InputPartition] = delAdds.map { case (name, v) =>
-      val keyCol = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
+      val keyCol0 = AtomicWarehouse.tombstoneKeyCol(spark, dir, name)
         .getOrElse("")
+      val dpos = posFor(name)
+      // END-schema key name, same contract as the batch feed's deletes
+      val keyCol = WarehouseConnector
+        .tombKeyServedName(keyCol0, dpos, colMapOps)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"graft-warehouse stream: the key column '$keyCol0' of " +
+            s"tombstone $name was DROPPED by a later column-mapping " +
+            "directive — the retraction's identity cannot be served; " +
+            "restart from a fresh snapshot or set " +
+            ".option(\"ignoreDeletes\", true)"))
       val (_, ls, ss) = AtomicWarehouse.readTombstoneKeys(spark, dir, name)
-      WarehouseDeleteKeysPartition(keyCol, ls, ss, posFor(name), v,
+      WarehouseDeleteKeysPartition(keyCol, ls, ss, dpos, v,
         tsOf.getOrElse(v, -1L))
         : InputPartition
     }.toArray

@@ -978,6 +978,29 @@ class WarehouseCatalogSpec extends SparkSuite {
     assert(sql3 == Set(1L, 2L, 4L, 6L), sql3)
   }
 
+  test("change feed across a KEY rename serves delete rows under the " +
+      "new name") {
+    val dir = s"$root/cdfkeyren"
+    AtomicWarehouse.commitEpoch(spark, dir, rows(1, 6, 1L), 1L,
+      statsKey = Some("k"), bloomKey = Some("k"))
+    AtomicWarehouse.purgeKeysDeferred(spark, dir, "k", Seq(2L, 4L)) // v2
+    AtomicWarehouse.renameColumn(spark, dir, "k", "id") // v3
+    val feed = spark.read.format("graft-warehouse").option("path", dir)
+      .option("startingVersion", "1").option("readChangeFeed", "true")
+      .load()
+    assert(feed.columns.contains("id") && !feed.columns.contains("k"),
+      feed.columns.toSeq)
+    // the tombstone recorded its keys under 'k'; the feed's END schema
+    // serves 'id' — before the forward resolution the delete rows'
+    // identities silently landed on no column at all (null keys)
+    val dels = feed.where(col("_change_type") === "delete")
+      .select("id").collect().map(_.get(0)).toSet
+    assert(dels == Set(2L, 4L), dels)
+    val ins = feed.where(col("_change_type") === "insert")
+      .select("id").collect().map(_.get(0)).toSet
+    assert(ins == Set(1L, 2L, 3L, 4L, 5L, 6L), ins)
+  }
+
   test("a tombstone keyed on a DROPPED-then-re-added column never " +
       "suppresses the old identity's rows") {
     val dir = s"$root/dropread"
