@@ -99,21 +99,33 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(LatencyGate.familyOf("g16_ppr_push") == "g")
   }
 
-  test("family gate fires on unbudgeted growth, stays quiet at budget") {
-    // a family at its summed budget: comfortably inside 1.5x + 5s
-    assert(!LatencyGate.familyOverBudget(obsSum = 40.0, budgetSum = 40.0,
+  test("family gate tolerates 2x context swings, fires on a tripling") {
+    // the observed in-suite swing (h: 21 s budgeted, 42.6 s late in a
+    // full sbt test, total flat): context noise, MUST stay quiet
+    assert(!LatencyGate.familyOverBudget(obsSum = 42.6, budgetSum = 21.0,
       machineFactor = 1.0, meanLoadFactor = 1.0))
-    // growth to 2x the summed budget + past the slack: MUST flag
-    // (this is the shape that killed the round-15 driver bench)
-    assert(LatencyGate.familyOverBudget(obsSum = 100.0, budgetSum = 40.0,
+    // a family tripling past the slack: unbudgeted growth, MUST flag
+    assert(LatencyGate.familyOverBudget(obsSum = 120.0, budgetSum = 40.0,
       machineFactor = 1.0, meanLoadFactor = 1.0))
     // the same subtotal is excused on a 2x-slow machine
-    assert(!LatencyGate.familyOverBudget(obsSum = 100.0, budgetSum = 40.0,
+    assert(!LatencyGate.familyOverBudget(obsSum = 120.0, budgetSum = 40.0,
       machineFactor = 2.0, meanLoadFactor = 1.0))
     // a brand-new family (no budget rows) gets only the fixed slack
-    assert(LatencyGate.familyOverBudget(obsSum = 8.0, budgetSum = 0.0,
+    assert(LatencyGate.familyOverBudget(obsSum = 15.0, budgetSum = 0.0,
       machineFactor = 1.0, meanLoadFactor = 1.0))
-    assert(!LatencyGate.familyOverBudget(obsSum = 4.0, budgetSum = 0.0,
+    assert(!LatencyGate.familyOverBudget(obsSum = 8.0, budgetSum = 0.0,
       machineFactor = 1.0, meanLoadFactor = 1.0))
+  }
+
+  test("total gate is the tight one: fires at 1.4x, quiet at 1.1x") {
+    // the stable statistic: observed total 1.02-1.1x budget is normal
+    assert(!LatencyGate.totalOverBudget(obsSum = 545.0, budgetSum = 494.0,
+      machineFactor = 1.0, meanLoadFactor = 1.0))
+    // +40% unbudgeted battery growth — the r15 driver-timeout shape
+    assert(LatencyGate.totalOverBudget(obsSum = 700.0, budgetSum = 494.0,
+      machineFactor = 1.0, meanLoadFactor = 1.0))
+    // excused when the whole machine ran 1.5x slow (median ratio moves)
+    assert(!LatencyGate.totalOverBudget(obsSum = 700.0, budgetSum = 494.0,
+      machineFactor = 1.5, meanLoadFactor = 1.0))
   }
 }

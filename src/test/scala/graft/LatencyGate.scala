@@ -33,17 +33,34 @@ object LatencyGate {
     if (name.startsWith("sql_")) "sql"
     else name.takeWhile(_.isLetter)
 
-  /** true = a FAMILY's wall-clock subtotal violates its derived ceiling:
-    * 1.5x the family's summed per-query budgets plus 5 s fixed slack,
-    * scaled by the machine factor and the family's mean load factor.
-    * This is the battery-GROWTH gate (round 16): the per-round driver
-    * runs the bench under a hard external timeout and round 15's record
-    * died to it — per-query budgets bound individual regressions, but
-    * nothing bounded the SUM. A new query lands with no budget row, so
-    * its whole cost counts against the family's headroom until the
-    * profile is regenerated — growth is claimed consciously at `sbt
-    * test` time, not discovered at driver time. */
+  /** true = a FAMILY's wall-clock subtotal violates its ceiling: 2.5x
+    * the family's summed per-query budgets plus 10 s fixed slack, scaled
+    * by the machine factor and the family's mean load factor. The bound
+    * is deliberately LOOSE: between an isolated QueryBatterySpec run and
+    * the same battery late in a full `sbt test`, family subtotals swing
+    * 0.4x–2x with the session's accumulated state (the h family read
+    * 21 s isolated and 42.6 s in-suite on the same code, with the
+    * battery-wide TOTAL flat at 1.02x) — a 1.5x family bound flagged
+    * pure context noise. 2.5x still catches a family TRIPLING (ten new
+    * heavy fixtures landing unbudgeted); anything subtler is the total
+    * gate's job. */
   def familyOverBudget(obsSum: Double, budgetSum: Double,
       machineFactor: Double, meanLoadFactor: Double): Boolean =
-    obsSum > machineFactor * meanLoadFactor * (1.5 * budgetSum + 5.0)
+    obsSum > machineFactor * meanLoadFactor * (2.5 * budgetSum + 10.0)
+
+  /** true = the BATTERY's total wall-clock violates its ceiling: 1.35x
+    * the summed budgets plus 20 s slack, machine/load-scaled. This is
+    * the battery-GROWTH gate (round 16): the per-round driver runs the
+    * bench under a hard external timeout and round 15's record died to
+    * it — per-query budgets bound individual regressions, but nothing
+    * bounded the SUM, which is the one number the driver budget sees.
+    * The total is also the STABLE statistic (family subtotals swing 2x
+    * with suite context; the total held 1.02x in the same comparison).
+    * New queries land with no budget row, so their whole cost counts
+    * against the slack until the profile is regenerated — growth is
+    * claimed consciously at `sbt test` time, not discovered at driver
+    * time. */
+  def totalOverBudget(obsSum: Double, budgetSum: Double,
+      machineFactor: Double, meanLoadFactor: Double): Boolean =
+    obsSum > machineFactor * meanLoadFactor * (1.35 * budgetSum + 20.0)
 }
