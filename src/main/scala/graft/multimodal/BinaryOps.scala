@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object BinaryOps {
 
+  /** ImageIO defaults to DISK-backed stream caches: every read/write
+    * creates (and fsync-deletes) a temp file, which serializes 32
+    * concurrent codec tasks on filesystem churn — measured m12 going
+    * 1.1 s (serial) → 2.7 s (parallel!) before this. All payloads here
+    * are in-memory byte arrays; cache in memory. Idempotent JVM-global. */
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach payload metadata: byte length + content hash (scan-side,
     * codegen'd — no shuffle at any scale). */
   def withMeta(df: DataFrame, binCol: String): DataFrame =
@@ -91,6 +98,14 @@ object BinaryOps {
       }
     } catch { case _: java.io.IOException => None }
   }
+
+  /** Decode an in-memory image payload through `javax.imageio` with the
+    * memory-cache discipline above (referencing this object from the
+    * decode lambda also guarantees the `setUseCache(false)` init has run
+    * in the executor JVM — a bare `ImageIO.read` in a closure would not).
+    * Null when the payload is not decodable, like `ImageIO.read`. */
+  def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
 
   /** PNG encode (real `javax.imageio` codec): renders `pixel(x, y)` →
     * packed 0xRRGGBB into a PNG byte payload. Used to fixture genuine

@@ -79,9 +79,13 @@ object Extended29 {
     // first-owner via a whole-partition window min on the shingle key:
     // ONE shuffle of the exploded set (the groupBy+join-back form pays
     // that shuffle twice and recomputes the md5-heavy explode for each
-    // side — measured 3× slower at sf0.1)
+    // side — measured 3× slower at sf0.1). The repartition before the
+    // explode exists because the input is ONE unsplittable row group
+    // (guide §2.5 input skew): without it the tokenize+shingle work runs
+    // on a single task; scale-adaptive via defaultParallelism.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(graft.text.NearDup.shingles(col("text"), 3))).as("g"))
       .withColumn("first_id", min("doc_id").over(w))

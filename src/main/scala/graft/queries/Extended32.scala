@@ -56,7 +56,7 @@ object Extended32 {
       |FROM ph p JOIN dup d USING (phash_hi, phash_lo)""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.BinaryOps
-    val hashes = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val hashes = docIds(s, d)
       .mapPartitions { ids =>
         ids.map { id =>
           val g0 = (id % 97).toInt
@@ -67,7 +67,7 @@ object Extended32 {
             val g = (x * 7 + y * 13 + g0) % 251 + shift
             (g << 16) | (g << 8) | g
           })
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+          val img = BinaryOps.readImage(png)
           require(img != null, s"PNG for doc $id failed to decode")
           // 2x2 mean-pool via exact cell sums of decoded (still-shifted) luma
           val cells = Array.ofDim[Long](8, 8)
@@ -99,8 +99,14 @@ object Extended32 {
           (id, hi, lo)
         }
       }.toDF("doc_id", "phash_hi", "phash_lo")
-    val dup = hashes.groupBy("phash_hi", "phash_lo").agg(count(lit(1)).as("n"))
-    hashes.join(dup, Seq("phash_hi", "phash_lo"))
+    // dup count as a whole-partition window over the hash: the groupBy +
+    // self-join form re-ran the codec mapPartitions on BOTH join sides
+    // (two full encode+decode passes) and paid two exchanges; the window
+    // is one exchange and one codec pass (guide §2.4: share one exchange)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("phash_hi", "phash_lo")
+    hashes
+      .withColumn("n", count(lit(1)).over(w))
       .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
         (col("n") - 1).cast("long").as("n_same_phash"))
   }
@@ -135,7 +141,7 @@ object Extended32 {
       |       CAST(sum(sample) AS BIGINT) AS w_sum
       |FROM w GROUP BY 1, 2, 4""".stripMargin) { (s, d) =>
     import s.implicits._
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d) // single-row-group input: repartition or the WAV codec runs serial
       .flatMap { id =>
         val n = (256 + id % 64).toInt
         val data = Array.tabulate[Byte](n)(t => ((t * 13 + id * 7) % 256).toByte)

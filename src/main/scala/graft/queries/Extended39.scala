@@ -104,7 +104,7 @@ object Extended39 {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img = graft.multimodal.BinaryOps.readImage(bytes)
           require(img != null, s"PNG for doc $id failed to decode")
           var rs = 0L
           var yy = 0

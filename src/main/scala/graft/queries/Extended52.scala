@@ -43,15 +43,14 @@ object Extended52 {
       |FROM cov GROUP BY 1""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.BinaryOps
-    Tables.documents(s, d).select(col("doc_id")).as[Long]
+    docIds(s, d) // single-row-group input: repartition or the codec loop below runs serial
       .mapPartitions { ids =>
         ids.map { id =>
           val png = BinaryOps.encodePng(16, 16, (x, y) =>
             ((((x * 7 + y * 13 + id) % 256).toInt << 16) |
               (((x * 3 + y * 5 + 2 * id) % 256).toInt << 8) |
               ((x + y + 3 * id) % 256).toInt))
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(png))
+          val img = BinaryOps.readImage(png)
           require(img != null, s"PNG for doc $id failed to decode")
           var overlapPx = 0L; var checksum = 0L
           var y = 0

@@ -58,6 +58,23 @@ package object queries {
     prefix + (java.util.UUID.randomUUID().hashCode() & Int.MaxValue)
   }
 
+  /** `documents.doc_id` spread over defaultParallelism partitions. The sf
+    * parquet inputs are single unsplittable row groups — one task per scan
+    * — so per-row codec work (PNG/WAV encode+decode, pixel loops) placed
+    * directly downstream of the scan runs SERIAL however many cores the
+    * session has (measured: m10 3.1 s → 1.1 s at local[32] with this).
+    * Repartition first (guide §2.5, input skew: "one huge unsplittable
+    * file … repartition immediately after the read"); hash on doc_id keeps
+    * the row→partition map deterministic under task retries. */
+  def docIds(s: SparkSession, d: String): org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    graft.Tables.documents(s, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .as[Long]
+  }
+
   /** Run `body` with spark.sql.shuffle.partitions temporarily lowered —
     * streaming micro-batch replays pay per-partition state-store setup
     * on EVERY batch, so the tiny-data engine executions in the battery
