@@ -59,7 +59,16 @@ object Pipeline {
 
     val tmp = dirs.stagingDir + "_epoch_tmp"
     s6.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(dirs.stagingDir)
+    // swap by FILESYSTEM RENAME (Warehouse.compact's pattern): the tmp dir
+    // already holds exactly the new staging content, so re-writing it
+    // through a second Spark job (the old read-back + overwrite) doubled
+    // the staging I/O and added two jobs per epoch for identical bytes
+    val dst = new org.apache.hadoop.fs.Path(dirs.stagingDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(
+        s"staging swap failed: rename($tmp -> ${dirs.stagingDir})")
   }
 
   /** One epoch: stages 1–6 composed lazily into a single plan, written to

@@ -100,7 +100,7 @@ object Extended31 {
         .outputMode("append")
         .start()
       try {
-        val nBatches = 4
+        val nBatches = 3 // open/cross/flush state transitions; extra batches are pure trigger wall-clock
         val per = (rows.length + nBatches - 1) / nBatches
         rows.grouped(per).foreach { chunk =>
           source.addData(chunk.toIndexedSeq)

@@ -77,7 +77,7 @@ object Extended34 {
     * event-time ordered, so no qualifying pair is ever late and the
     * engine's incremental result must equal the batch interval join the
     * oracle states (e7's shape). What is verified: watermark-driven state
-    * retention ACROSS 6 micro-batches never evicts a row that a future
+    * retention ACROSS 3 micro-batches never evicts a row that a future
     * batch still needs. */
   val c5StreamIntervalJoin = q("c5_stream_interval_join",
     """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id
@@ -85,7 +85,7 @@ object Extended34 {
       |  ON c.user_id = e.user_id
       | AND c.event_type = 'click' AND e.event_type = 'error'
       | AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts < e.ts""".stripMargin) { (s, d) =>
-    replayStream(s, d, nBatches = 6, feedTypes = Seq("click", "error"),
+    replayStream(s, d, nBatches = 3, feedTypes = Seq("click", "error"),
       shufflePartitions = 2, noDataBatches = false) { ev =>
       graft.streaming.EventStream.clickErrorJoin(
         ev.where(col("event_type") === "click"),
@@ -125,7 +125,7 @@ object Extended34 {
       val query = events.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
-        val per = (rows.length + 3) / 4
+        val per = (rows.length + 2) / 3 // 3 data batches: open/cross/flush state transitions
         rows.grouped(per).foreach { chunk =>
           source.addData(chunk.toIndexedSeq)
           query.processAllAvailable()

@@ -61,7 +61,7 @@ object Extended35 {
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
-        val per = (rows.length + 4) / 5
+        val per = (rows.length + 2) / 3 // 3 data batches: open/cross/flush state transitions
         rows.grouped(per).foreach { chunk =>
           source.addData(chunk.toIndexedSeq)
           query.processAllAvailable()

@@ -134,11 +134,17 @@ object Extended47 {
     var r: DataFrame = seed.select(col("sd").as("node"), lit(S).as("r"))
     var p: DataFrame = seed.select(col("sd").as("node"), lit(0L).as("p"))
     for (_ <- 1 to 5) {
+      // p is NOT checkpointed: each p_t is one narrow full-outer join of
+      // p_{t-1} with the (checkpointed) r_{t-1}, consumed exactly once —
+      // materializing it per sweep paid one blocking job per iteration
+      // for lineage truncation nothing needs (5 joins of frontier-sized
+      // frames is a trivial plan). r IS checkpointed: r_{t-1} feeds both
+      // p_t and r_t, so without materialization the r-chain would
+      // recompute exponentially.
       p = p.as("p").join(r.as("r"), col("p.node") === col("r.node"), "full_outer")
         .select(coalesce(col("p.node"), col("r.node")).as("node"),
           (coalesce(col("p.p"), lit(0L)) +
             coalesce(expr("(15 * r) div 100"), lit(0L))).as("p"))
-        .localCheckpoint(true)
       r = r.join(broadcast(deg.withColumnRenamed("src", "node")), Seq("node"))
         .join(edges.withColumnRenamed("src", "node"), Seq("node"))
         .groupBy(col("dst").as("node2"))

@@ -46,7 +46,7 @@ object Extended57 {
         unix_micros(col("ts")).as("tsMicros"))
       .as[DebEvent]
       .collect()
-    val nBatches = 4
+    val nBatches = 3 // first batch holds every user's keeper; 2 duplicate batches exercise cross-batch suppression
     val batches = Array.fill(nBatches)(Vector.newBuilder[DebEvent])
     rows.groupBy(_.user_id).valuesIterator.foreach { evs =>
       evs.sortBy(e => (e.tsMicros, e.event_id)).zipWithIndex.foreach {
@@ -170,7 +170,7 @@ object Extended57 {
       val query = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
-        val nBatches = 4
+        val nBatches = 3 // open/cross/flush state transitions; extra batches are pure trigger wall-clock
         val per = (rows.length + nBatches - 1) / nBatches
         rows.grouped(per).foreach { chunk =>
           source.addData(chunk.toIndexedSeq)
@@ -342,7 +342,7 @@ object Extended57 {
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()
       try {
-        val per = (rows.length + 4) / 5
+        val per = (rows.length + 2) / 3 // 3 data batches: open/cross/flush state transitions
         rows.grouped(per).foreach { chunk =>
           source.addData(chunk.toIndexedSeq)
           query.processAllAvailable()
@@ -409,7 +409,7 @@ object Extended57 {
             .withColumn("load_seq", lit(id)), id)
       }
       .start()
-    val chunks = rows.grouped((rows.length + 3) / 4).toSeq
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq // 2 pre-restart + 1 post-restart
     withShufflePartitions(s, 4) {
       val q1 = startQuery()
       try {

@@ -37,7 +37,7 @@ object Extended58 {
       .where(col("c_custkey") % 3 =!= 0)
       .select(col("c_custkey").cast("long").as("user_id"),
         col("c_mktsegment").as("segment"))
-    Extended34.replayStream(s, d, nBatches = 4, shufflePartitions = 2,
+    Extended34.replayStream(s, d, nBatches = 3, shufflePartitions = 2,
       noDataBatches = false) { ev =>
       graft.streaming.EventStream.enrichStream(ev, dim, "user_id",
         "segment", "UNKNOWN")

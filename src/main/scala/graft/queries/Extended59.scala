@@ -140,7 +140,7 @@ object Extended59 {
           s"tws replay stalled before offset ${off.json}")
       }
       try {
-        val nBatches = 4
+        val nBatches = 3 // open/cross/flush state transitions; extra batches are pure trigger wall-clock
         val per = (rows.length + nBatches - 1) / nBatches
         rows.grouped(per).foreach { chunk =>
           awaitOffset(source.addData(chunk.toIndexedSeq))

@@ -179,7 +179,7 @@ object Extended61 {
     * rows written through the connector's two-phase commit are read back
     * as a MICRO-BATCH STREAM (`readStream.format("graft-videos")`,
     * [[graft.sources.v2.VideoMicroBatchStream]]) under
-    * `Trigger.AvailableNow` with admission control sized to ~5 bounded
+    * `Trigger.AvailableNow` with admission control sized to 3 bounded
     * batches, feeding an incremental grouped aggregation whose COMPLETE-
     * mode result must equal the batch GROUP BY (the oracle). This
     * replaces the "production path is readStream" claim with an actual
@@ -215,7 +215,10 @@ object Extended61 {
     withShufflePartitions(s, 4) {
       val query = s.readStream.format("graft-videos")
         .option("path", dir)
-        .option("maxRowsPerBatch", math.max(1L, total / 4).toString)
+        // 3 bounded batches (was ~5): multi-batch admission + cursor
+        // state are fully exercised at 3; extra micro-batches are pure
+        // trigger+checkpoint wall-clock
+        .option("maxRowsPerBatch", math.max(1L, (total + 2) / 3).toString)
         .load()
         .groupBy("channel_id")
         .agg(count(lit(1)).as("n_videos"),

@@ -56,12 +56,19 @@ object Warehouse {
     val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
     val deduped = df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
-    // same temp-table-then-copy-back shape as the reference's
+    // same temp-table-then-swap shape as the reference's
     // CREATE OR REPLACE … _dedup (parquet needs the staging hop too:
-    // can't overwrite a dir while reading it).
+    // can't overwrite a dir while reading it). The swap is a filesystem
+    // RENAME, not a second Spark write of identical bytes — compact's
+    // pattern; halves the dedup pass's write I/O.
     val tmp = warehouseDir + "_dedup"
     deduped.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(warehouseDir)
+    val dst = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(
+        s"dedup swap failed: rename($tmp -> $warehouseDir)")
   }
 
   /** Small-file compaction — the maintenance pass every incrementally
