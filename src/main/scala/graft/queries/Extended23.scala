@@ -41,7 +41,11 @@ object Extended23 {
       |  WHERE s.s_suppkey > 0)
       |SELECT depth, count(*) AS n, min(id) AS min_id, max(id) AS max_id
       |FROM org GROUP BY 1""".stripMargin) { (s, d) =>
-    Tables.supplier(s, d).createOrReplaceTempView("sql_rec_sup")
+    // the recursive CTE's static side is re-executed EVERY iteration
+    // (UnionLoop re-runs the join per step); materialize the tiny dim once
+    // so ~10 iterations scan memory instead of re-opening the parquet
+    Tables.supplier(s, d).localCheckpoint(true)
+      .createOrReplaceTempView("sql_rec_sup")
     s.sql(
       """WITH RECURSIVE org(id, depth) AS (
         |  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth

@@ -160,8 +160,11 @@ object Extended29 {
     val jac = NearDup.jaccardOnPairs(docs, cands, "doc_id", col("text"), 3)
     val chash = docs.select(col("doc_id"),
       TextAnalysis.normalizedHash(col("text")).as("ch"))
-    val toksDf = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("tk"))
+    val toksDf = docs
+      // single-row-group input (guide §2.5): spread the explode-heavy compute
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tk"))
     val simh = NearDup.simhash16(toksDf, "doc_id", "tk")
     jac
       .join(chash.select(col("doc_id").as("id_a"), col("ch").as("cha")), Seq("id_a"))

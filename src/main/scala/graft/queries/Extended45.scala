@@ -120,6 +120,9 @@ object Extended45 {
       aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, z) => acc + z)
     val emb = Tables.embeddings(s, d)
+      // single-row-group input (guide §2.5): the 64-dim distance compute
+      // against every broadcast seed below otherwise runs on one task
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), graft.vec.Similarity.asDouble(col("embedding")).as("v"))
     val nc = emb.agg(greatest(lit(10L),
       floor(sqrt(count(lit(1))))).cast("long").as("k"))
@@ -196,6 +199,8 @@ object Extended45 {
       |       CAST(63 * 4294967296 // k.h64 AS BIGINT) AS kmv_estimate
       |FROM exact e JOIN kth k ON e.s1 = k.s1 AND e.s2 = k.s2""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
+      // single-row-group input (guide §2.5): spread the explode-heavy compute
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("source"),
         filter(split(trim(col("text")), "\\s+"), x => x =!= "").as("t"))
       .where(size(col("t")) >= 3)

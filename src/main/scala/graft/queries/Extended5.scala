@@ -158,6 +158,8 @@ object Extended5 {
     val split = when(substring(md5(col("doc_id").cast("string")), 1, 1)
       .isin("0", "1"), "test").otherwise("train")
     val grams = Tables.documents(s, d)
+      // single-row-group input (guide §2.5): spread the explode-heavy compute
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split.as("split"),
         explode(graft.text.NearDup.shingles(col("text"), 3)).as("g"))
     val testGrams = grams.where(col("split") === "test")

@@ -248,6 +248,8 @@ object Extended8 {
           "docs; use d14_simhash64_hamming for production corpora"))
         .as("__guard"))
     val toks = docs
+      // single-row-group input (guide §2.5): spread the explode-heavy compute
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
     // materialized once: the band self-join otherwise re-runs the whole
     // signature pipeline on both sides (see d14)

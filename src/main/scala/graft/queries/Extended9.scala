@@ -306,6 +306,8 @@ object Extended9 {
       |       CAST(min(hamming) AS INT) AS min_hamming
       |FROM deg GROUP BY 1""".stripMargin) { (s, d) =>
     val toks = Tables.documents(s, d)
+      // single-row-group input (guide §2.5): spread the explode-heavy compute
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(graft.text.TextAnalysis.tokens(col("text"))).as("tk"))
     // the signature table fans out into BOTH sides of the band self-join;
     // without materialization each side re-runs the whole tokenize → md5 →
