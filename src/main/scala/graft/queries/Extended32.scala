@@ -147,11 +147,14 @@ object Extended32 {
         val data = Array.tabulate[Byte](n)(t => ((t * 13 + id * 7) % 256).toByte)
         val wav = graft.multimodal.AudioOps.encodeWav8(data, sampleRate = 8000)
         val (rate, samples) = graft.multimodal.AudioOps.decodeWav8(wav)
-        samples.zipWithIndex
-          .groupBy(_._2 / 64).toSeq
-          .map { case (win, ss) =>
-            (id, samples.length.toLong, rate, win, ss.map(_._1.toLong).sum)
-          }
+        // windowed sums via index arithmetic: the zipWithIndex.groupBy
+        // form allocated a tuple per sample and a HashMap per row —
+        // pure overhead for fixed 64-sample windows
+        val nw = (samples.length + 63) / 64
+        val sums = new Array[Long](nw)
+        var i = 0
+        while (i < samples.length) { sums(i / 64) += samples(i); i += 1 }
+        (0 until nw).map(w => (id, samples.length.toLong, rate, w, sums(w)))
       }
       .toDF("doc_id", "n_samples", "sample_rate", "win", "w_sum")
   }

@@ -250,8 +250,14 @@ object Extended76 {
       .select("k", "name", "load_seq")
     val bRead = AtomicWarehouse.read(s, mirror, "k")
       .select("k", "name", "load_seq")
-    require(bRead.exceptAll(aRead).isEmpty &&
-      aRead.exceptAll(bRead).isEmpty,
+    // multiset equality in ONE pass: the symmetric exceptAll pair cost
+    // four shuffles and two actions for the same contract
+    val unbalanced = aRead.withColumn("__side", lit(1))
+      .unionByName(bRead.withColumn("__side", lit(-1)))
+      .groupBy("k", "name", "load_seq")
+      .agg(sum(col("__side")).as("__d"))
+      .where(col("__d") =!= 0)
+    require(unbalanced.isEmpty,
       "CDC mirror must be row-identical to the source snapshot")
     bRead
   }
